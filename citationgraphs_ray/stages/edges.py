@@ -1,0 +1,269 @@
+"""Edge extraction + graph construction over Ray Data.
+
+This is the north-rule edge-extraction stage (SURVEY.md §2.12): the
+reference builds its graph by mutating per-node ``Refs``/``Cites`` slices
+from CSV edge rows (CitationGraphs.go:1528-1540 — G1) and dedups /
+symmetrizes on save via nested sets (CitationGraphs.go:2003-2026 — G2).
+Here the canonical representation is an **edge table** ``(src:int64,
+dst:int64)``; adjacency is always derived, never node-embedded.
+
+Pipeline (streaming, zero-copy Arrow):
+
+    read_parquet(corpus, columns=[repo,path,lang,content])
+      → map_batches(ExtractImportEdges)        # stateless, regex per actor
+      → resolve (repo,path)→id                 # broadcast vertex map / join
+      → drop self-loops, groupby(src,dst) dedup
+      → write_parquet / downstream kernels
+
+``content`` is projected away inside the extraction stage so the wide blob
+column never reaches a shuffle (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..utils import zip_with_index
+
+# Regexes matching the synthetic corpus grammar (corpus.py): same-repo
+# ``import m<k>`` lines and cross-repo ``from org<A>/repo<B>.m<k> import``
+# lines. Real-world extractors plug in here (user-extension hook, SURVEY.md
+# §2.11): any callable str -> list[(dst_repo_or_None, dst_module)].
+_SAME_REPO = re.compile(r"^import m(\d+)\s*$", re.MULTILINE)
+_CROSS_REPO = re.compile(r"^from ([\w./-]+/[\w.-]+)\.m(\d+) import", re.MULTILINE)
+
+
+class ExtractImportEdges:
+    """Stateless-per-batch edge extractor (actor pool so regexes compile once).
+
+    In: corpus batch (repo, path, lang, content). Out: raw string-keyed edge
+    rows (src_repo, src_path, dst_repo, dst_path) — unresolved, undeduped.
+    Markdown/go files simply yield no rows (empty-edge case). The reference
+    analog is keyphrase-candidate extraction per title (CitationGraphs.go
+    call sites 2065/2414) restated as content → import targets.
+    """
+
+    def __init__(self) -> None:
+        self.same_repo = _SAME_REPO
+        self.cross_repo = _CROSS_REPO
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        contents = batch["content"].to_pylist()
+        sr: list[str] = []
+        sp: list[str] = []
+        dr: list[str] = []
+        dp: list[str] = []
+        for repo, path, lang, content in zip(repos, paths, langs, contents):
+            if lang != "python" or not content:
+                continue
+            for m in self.same_repo.finditer(content):
+                sr.append(repo)
+                sp.append(path)
+                dr.append(repo)
+                dp.append(f"src/m{m.group(1)}.py")
+            for m in self.cross_repo.finditer(content):
+                sr.append(repo)
+                sp.append(path)
+                dr.append(m.group(1))
+                dp.append(f"src/m{m.group(2)}.py")
+        return pa.table(
+            {
+                "src_repo": pa.array(sr, type=pa.string()),
+                "src_path": pa.array(sp, type=pa.string()),
+                "dst_repo": pa.array(dr, type=pa.string()),
+                "dst_path": pa.array(dp, type=pa.string()),
+            }
+        )
+
+
+def sha256_content(batch: pa.Table) -> pa.Table:
+    """Append per-row sha256(content) — the input_hint invariant column.
+
+    The pipeline never mutates the corpus, so sha256 before == sha256 after
+    any stage; tests assert equality against a fresh read of the source.
+    Stateless task stage (plain function).
+    """
+    shas = [
+        hashlib.sha256(c.encode() if c is not None else b"").hexdigest()
+        for c in batch["content"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "sha256": pa.array(shas),
+        }
+    )
+
+
+def mint_vertex_ids(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Dense int64 vertex ids for every file: rank over sorted (repo, path).
+
+    Deterministic and order-independent (unlike the reference's first-seen
+    vocab ids, CitationGraphs.go:143-147, which depend on map iteration
+    order). Returns ``(repo, path, id)``. The sort + rank runs over the
+    (small, blob-free) vertex table only.
+    """
+    verts = corpus.select_columns(["repo", "path"]).groupby(["repo", "path"]).count()
+    verts = verts.select_columns(["repo", "path"]).sort(["repo", "path"])
+    return zip_with_index(verts, col="id")
+
+
+def resolve_edges(
+    raw_edges: ray.data.Dataset, vertex_ids: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Resolve string-keyed edges to ``(src:int64, dst:int64)``.
+
+    The vertex map (V rows, no content) is broadcast once via ``ray.put``
+    and probed per batch — the SURVEY.md §2.7 broadcast-join pattern for the
+    reference's ``Nodes`` dict probes. Unresolvable dsts (dangling imports)
+    are dropped here, mirroring "unresolved-edge dropping" in FIXTURES.md.
+    At 10^12-file scale the vertex map no longer fits one object; swap this
+    stage for ``Dataset.join`` on (repo, path) — semantics identical.
+    """
+    vt = vertex_ids.to_arrow_refs()
+    vert_tbl = pa.concat_tables(ray.get(vt))
+    keys = {
+        (r, p): i
+        for r, p, i in zip(
+            vert_tbl["repo"].to_pylist(),
+            vert_tbl["path"].to_pylist(),
+            vert_tbl["id"].to_pylist(),
+        )
+    }
+    keys_ref = ray.put(keys)
+
+    class Resolve:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = self.keys
+            src = np.empty(batch.num_rows, dtype=np.int64)
+            dst = np.empty(batch.num_rows, dtype=np.int64)
+            srs = batch["src_repo"].to_pylist()
+            sps = batch["src_path"].to_pylist()
+            drs = batch["dst_repo"].to_pylist()
+            dps = batch["dst_path"].to_pylist()
+            n = 0
+            for sr, sp, dr, dp in zip(srs, sps, drs, dps):
+                s = k.get((sr, sp))
+                d = k.get((dr, dp))
+                if s is None or d is None or s == d:
+                    continue
+                src[n] = s
+                dst[n] = d
+                n += 1
+            return pa.table(
+                {"src": pa.array(src[:n]), "dst": pa.array(dst[:n])}
+            )
+
+    return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact edge dedup: hash-partition on (src, dst), first per group.
+
+    Reference analog: nested-set dedup on save (CitationGraphs.go:2003-2026).
+    groupby is the shuffle; the count column is projected away.
+    """
+    return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Undirected view: union(edges, reversed(edges)) then exact dedup.
+
+    Reference analog: SaveCitationGraph's union of Refs and reversed Cites
+    (CitationGraphs.go:2003-2026). Self-loops assumed already dropped.
+    """
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    return dedup_edges(edges.union(rev))
+
+
+def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(id, out_degree) via groupby(src).count() — adjacency is derived."""
+    return (
+        edges.groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"id": t["src"], "out_degree": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def in_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(id, in_degree) via groupby(dst).count() — the reference's in-citation
+    count shape (CitationGraphs.go:3947-3961)."""
+    return (
+        edges.groupby("dst")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"id": t["dst"], "in_degree": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def add_salt(
+    edges: ray.data.Dataset,
+    hot_dsts: np.ndarray,
+    num_salts: int = 8,
+) -> ray.data.Dataset:
+    """Degree-threshold salting (SURVEY.md §4.3): split rows whose ``dst``
+    is a hub into ``(dst, salt)`` sub-keys so the message-reduce shuffle has
+    no single hot partition; a second small aggregate merges the partials.
+
+    ``hot_dsts`` is the (small) array of vertex ids whose in-degree exceeds
+    the threshold — broadcast, probed with np.isin per batch.
+    """
+    hot_ref = ray.put(np.sort(hot_dsts.astype(np.int64)))
+
+    class Salt:
+        def __init__(self) -> None:
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            is_hot = (
+                np.isin(dst, self.hot)
+                if len(self.hot)
+                else np.zeros(len(dst), dtype=bool)
+            )
+            salt = np.where(is_hot, src % num_salts, 0).astype(np.int64)
+            return pa.table(
+                {"src": batch["src"], "dst": batch["dst"], "salt": pa.array(salt)}
+            )
+
+    return edges.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def extract_edge_table(
+    corpus: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Full minimum-slice pipeline (SURVEY.md §7.1).
+
+    corpus → extract → mint ids → resolve → dedup. Returns
+    ``(edges(src,dst), vertex_ids(repo,path,id))``.
+    """
+    slim = corpus.select_columns(["repo", "path", "lang", "content"])
+    raw = slim.map_batches(
+        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    vids = mint_vertex_ids(corpus)
+    edges = dedup_edges(resolve_edges(raw, vids))
+    return edges, vids

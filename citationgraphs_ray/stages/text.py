@@ -1,0 +1,213 @@
+"""Text normalization + text-analysis stages.
+
+Covers the reference's scalar string functions (SURVEY.md §2.2):
+
+- ``tidy_title`` — M1/M2: trim, HTML-entity unescape, ``&//x2019;``-style
+  unicode escapes (CitationGraphs.go:1395-1430, 1352-1378). Regexes compile
+  once per actor (reference compiles at package init, 32-37).
+- ``[comma]`` escape/unescape — M3 (CitationGraphs.go:1491, 1980), used by
+  the CSV-conformance writer only.
+- language-ID heuristic, quality scoring, token counting, fingerprinting —
+  the training-data-pipeline text ops (M6 analog: the reference gates on
+  ``langdet`` at CitationGraphs.go:2700-2705; here an n-gram/stopword
+  heuristic with the same call-boundary semantics: text → language code).
+
+All stages are vectorized ``map_batches`` callables over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HEX_ESC = re.compile(r"&//[xX]([0-9a-fA-F]+);")
+_DEC_ESC = re.compile(r"&//(\d+);")
+
+
+def _convert_escapes(s: str) -> str:
+    """``&//x2019;`` / ``&//8217;`` → codepoint, ``<?>`` on failure
+    (CitationGraphs.go:1352-1378)."""
+
+    def hex_sub(m: re.Match) -> str:
+        try:
+            return chr(int(m.group(1), 16))
+        except (ValueError, OverflowError):
+            return "<?>"
+
+    def dec_sub(m: re.Match) -> str:
+        try:
+            return chr(int(m.group(1)))
+        except (ValueError, OverflowError):
+            return "<?>"
+
+    return _DEC_ESC.sub(dec_sub, _HEX_ESC.sub(hex_sub, s))
+
+
+def tidy_title(s: str) -> str:
+    """Reference TidyTitle semantics (CitationGraphs.go:1395-1430)."""
+    s = s.strip()
+    s = html.unescape(s)
+    return _convert_escapes(s)
+
+
+def escape_comma(s: str) -> str:
+    return s.replace(",", "[comma]")
+
+
+def unescape_comma(s: str) -> str:
+    return s.replace("[comma]", ",")
+
+
+class TidyTitles:
+    """map_batches stage: tidy a string column in place."""
+
+    def __init__(self, col: str = "title") -> None:
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [tidy_title(v) if v is not None else None for v in batch[self.col].to_pylist()]
+        i = batch.schema.get_field_index(self.col)
+        return batch.set_column(i, self.col, pa.array(vals, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis (documents table ops)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Public-knowledge word lists; intentionally small.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is for on with that it as at by".split()),
+    "es": frozenset("el la de y que en los del se las un por con una es".split()),
+    "fr": frozenset("le la de et les des en un une du est pour que dans".split()),
+    "de": frozenset("der die das und in den von zu mit sich des ist nicht".split()),
+}
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+# BPE-ish token regex (GPT-2-style, simplified): word pieces, numbers,
+# punctuation runs, leading-space handling approximated.
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+_EN_STOP = _LANG_MARKERS["en"]
+
+
+class LangIdHeuristic:
+    """Stopword-profile language ID over whitespace tokens.
+
+    Returns the marker language with the highest hit ratio, ``und`` when no
+    profile scores > 0. Deterministic; CJK detected by codepoint range.
+    """
+
+    def __init__(self, col: str = "text", out: str = "lang_pred") -> None:
+        self.col, self.out = col, out
+
+    @staticmethod
+    def detect(text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk > 0 and cjk >= len(text[:400]) * 0.05:
+            return "zh"
+        toks = text.lower().split()
+        if not toks:
+            return "und"
+        best, best_score = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            score = sum(1 for t in toks if t in markers)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.detect(t or "") for t in batch[self.col].to_pylist()]
+        return batch.append_column(self.out, pa.array(preds, type=pa.string()))
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish regex token count, vectorized.
+
+    ``ws_tokens`` matches DuckDB ``len(string_split_regex(trim(text),'\\s+'))``
+    for non-empty text.
+    """
+    texts = batch[col].to_pylist()
+    ws = np.fromiter(
+        (len(t.split()) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
+    )
+    bpe = np.fromiter(
+        (len(_BPE_RE.findall(t)) if t else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return batch.append_column("ws_tokens", pa.array(ws)).append_column(
+        "bpe_tokens", pa.array(bpe)
+    )
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Length / punctuation-ratio / stopword-ratio quality signals.
+
+    Mirrors heuristic quality filters in public training-data pipelines
+    (C4/Gopher-style rules); semantics kept SQL-expressible:
+    ``n_chars``=len, ``punct_ratio``=punct chars/len, ``stop_ratio``=EN
+    stopword tokens / tokens, ``mean_word_len``.
+    """
+    texts = batch[col].to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    punct_ratio = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    mean_wl = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        n_chars[i] = len(t)
+        punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        toks = t.lower().split()
+        if toks:
+            stop_ratio[i] = sum(1 for w in toks if w in _EN_STOP) / len(toks)
+            mean_wl[i] = sum(len(w) for w in toks) / len(toks)
+    out = batch
+    for name, arr in (
+        ("n_chars_q", n_chars),
+        ("punct_ratio", punct_ratio),
+        ("stop_ratio", stop_ratio),
+        ("mean_word_len", mean_wl),
+    ):
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text", window: int = 8) -> pa.Table:
+    """Rolling-hash document fingerprint: min of Rabin-Karp window hashes.
+
+    A winnowing-style (Schleimer et al., SIGMOD'03) scalar fingerprint —
+    equal for equal texts, shift-tolerant for near-equal ones.
+    """
+    B, M = 257, (1 << 61) - 1
+    texts = batch[col].to_pylist()
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        data = t.encode()[:4096]
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * B + b) % M
+            fps[i] = h
+            continue
+        h = 0
+        top = pow(B, window - 1, M)
+        mn = M
+        for j, b in enumerate(data):
+            if j >= window:
+                h = (h - data[j - window] * top) % M
+            h = (h * B + b) % M
+            if j >= window - 1:
+                mn = min(mn, h)
+        fps[i] = mn
+    return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))

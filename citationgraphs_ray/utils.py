@@ -1,0 +1,87 @@
+"""Shared helpers: dense-id minting, broadcast lookups, small-table fetch.
+
+These are the building blocks SURVEY.md §1.4 maps the reference's in-memory
+dicts onto: global dense-id assignment (Corpus.Vocab first-seen ids,
+CitationGraphs.go:143-147 → sort + per-block offset rank) and point lookups
+(Nodes map, CitationGraphs.go:74-78 → broadcast dict / numpy array).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _block_len(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _add_index(tbl: pa.Table, offset: int, col: str) -> pa.Table:
+    idx = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    return tbl.append_column(col, idx)
+
+
+def zip_with_index(ds: ray.data.Dataset, col: str = "id") -> ray.data.Dataset:
+    """Append a global 0-based int64 row index as column ``col``.
+
+    The dataset's current block order defines the index order, so call this
+    after a ``sort`` when the rank must be deterministic. Used for dense
+    vertex-id / vocab-id minting (reference: first-seen vocab ids at
+    CitationGraphs.go:143-147; here: rank over sorted keys so ids are
+    order-independent). Cost: one pass to count rows per block + one pass to
+    append the column — both block-parallel; only per-block *counts* hit the
+    driver.
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    counts = ray.get([_block_len.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.int64)
+    out_refs = [
+        _add_index.remote(r, int(off), col) for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def dataset_to_dense_array(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    size: int,
+    default: float | int = 0,
+    dtype=np.float64,
+) -> np.ndarray:
+    """Stream a small per-vertex table ``(key, value)`` into a dense array.
+
+    Per-vertex state (size V) is orders of magnitude smaller than the edge
+    table; the broadcast kernel engines hold it as one dense numpy array on
+    the driver between supersteps (the distributed alternative is the CSR
+    actor engine in graph/csr_engine.py).
+    """
+    out = np.full(size, default, dtype=dtype)
+    for batch in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        out[k] = v
+    return out
+
+
+def table_from_arrays(**cols) -> pa.Table:
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def stable_hash64(strings: np.ndarray | list[str]) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a over strings, vectorized enough for id
+    salting / bucketing (NOT used for vertex identity — dense ranks are)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = np.uint64(1469598103934665603)
+        for b in s.encode():
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out

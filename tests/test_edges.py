@@ -1,0 +1,104 @@
+"""Minimum slice (SURVEY.md §7.1): corpus → extract → resolve → dedup."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.corpus import generate_corpus
+from citationgraphs_ray.stages.edges import (
+    ExtractImportEdges,
+    dedup_edges,
+    extract_edge_table,
+    in_degrees,
+    mint_vertex_ids,
+    out_degrees,
+    sha256_content,
+    symmetrize_edges,
+)
+
+
+def test_corpus_deterministic():
+    a = generate_corpus(n_repos=10, seed=42)
+    b = generate_corpus(n_repos=10, seed=42)
+    assert a.table.equals(b.table)
+    assert a.expected_edges == b.expected_edges
+    c = generate_corpus(n_repos=10, seed=43)
+    assert not a.table.equals(c.table)
+
+
+def test_extraction_matches_generator_ground_truth(small_corpus, small_edges):
+    edges, vids = small_edges
+    # map ids back to (repo, path)
+    vt = vids.to_pandas()
+    id2key = {r.id: (r.repo, r.path) for r in vt.itertuples()}
+    got = set()
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            sr, sp = id2key[s]
+            dr, dp = id2key[d]
+            got.add((sr, sp, dr, dp))
+    assert got == small_corpus.expected_edges
+
+
+def test_dedup_idempotent_and_no_self_loops(small_edges):
+    edges, _ = small_edges
+    df = edges.to_pandas()
+    assert not df.duplicated(["src", "dst"]).any()
+    assert (df.src != df.dst).all()
+    again = dedup_edges(ray.data.from_pandas(df)).to_pandas()
+    assert len(again) == len(df)
+
+
+def test_symmetrize(small_edges):
+    edges, _ = small_edges
+    und = symmetrize_edges(edges).to_pandas()
+    pairs = set(zip(und.src, und.dst))
+    assert all((d, s) in pairs for s, d in pairs)
+
+
+def test_vertex_ids_dense_and_sorted(small_corpus):
+    ds = ray.data.from_arrow(small_corpus.table)
+    vids = mint_vertex_ids(ds).to_pandas().sort_values("id")
+    n = small_corpus.table.num_rows
+    assert list(vids.id) == list(range(n))
+    keys = list(zip(vids.repo, vids.path))
+    assert keys == sorted(keys)
+
+
+def test_degrees_consistent(small_edges):
+    edges, _ = small_edges
+    df = edges.to_pandas()
+    od = out_degrees(edges).to_pandas().set_index("id")["out_degree"]
+    idg = in_degrees(edges).to_pandas().set_index("id")["in_degree"]
+    exp_out = df.groupby("src").size()
+    exp_in = df.groupby("dst").size()
+    assert od.sort_index().equals(exp_out.sort_index().rename("out_degree"))
+    assert idg.sort_index().equals(exp_in.sort_index().rename("in_degree"))
+    assert od.sum() == len(df) == idg.sum()
+
+
+def test_content_sha_invariant(small_corpus):
+    ds = ray.data.from_arrow(small_corpus.table)
+    edges, _ = extract_edge_table(ds)
+    edges.materialize()  # run the pipeline
+    shas = (
+        ds.map_batches(sha256_content, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["repo", "path"])
+    )
+    src = small_corpus.table.to_pandas().sort_values(["repo", "path"])
+    expected = [hashlib.sha256(c.encode()).hexdigest() for c in src.content]
+    assert list(shas.sha256) == expected
+
+
+def test_empty_edge_rows_markdown():
+    corp = generate_corpus(n_repos=5, seed=7)
+    tbl = corp.table
+    ex = ExtractImportEdges()
+    md_mask = pa.compute.equal(tbl["lang"], "markdown")
+    md_only = tbl.filter(md_mask)
+    if md_only.num_rows:
+        assert ex(md_only).num_rows == 0
