@@ -1,0 +1,355 @@
+"""Superstep kernels over the edge table: PageRank, CC, LPA.
+
+Execution model (SURVEY.md §2.12, §4.3): each superstep is ONE
+groupby-aggregate message-passing round over the static edge Dataset —
+
+    edges.map_batches(partial_combine)      # per-batch pre-aggregation:
+                                            #   np.unique(dst) + bincount —
+                                            #   ≤1 row per distinct dst per
+                                            #   batch; this per-batch combine
+                                            #   IS the hub-skew guard: a
+                                            #   mega-hub dst contributes at
+                                            #   most num_blocks rows to the
+                                            #   shuffle (degree-threshold
+                                            #   salting via stages.edges
+                                            #   .add_salt covers shapes with
+                                            #   no combiner)
+      .groupby("dst").aggregate(...)        # the (small) all-to-all
+
+The per-vertex state vector (size V — orders of magnitude smaller than the
+edge table) is held as a dense numpy array on the driver and broadcast to
+the map stage via ``ray.put`` each superstep (zero-copy plasma reads in
+every task). This "broadcast engine" is exact and is the small-V fast path;
+``csr_engine.py`` holds state distributed in partition actors for the
+scale-out path. Edge blocks are materialized once and re-read from the
+object store each superstep — content blobs never enter this loop.
+
+Reference analogs: PageRank ↔ in-citation analytics (CitationGraphs.go:
+3947-3961, 4035-4049); CC/LPA ↔ community extraction + hard assignment
+(2873-2875, 3236-3259); semantics pinned by graph/oracle.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..state.checkpoints import CheckpointManager
+from ..utils import dataset_to_dense_array
+
+
+@dataclass
+class KernelResult:
+    state: np.ndarray  # final per-vertex values, dense over id 0..V-1
+    iterations: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+    def to_dataset(self, value_col: str) -> ray.data.Dataset:
+        ids = np.arange(len(self.state), dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array(ids), value_col: pa.array(self.state)})
+        )
+
+
+def edge_fingerprint(num_vertices: int, num_edges: int, tag: str = "") -> str:
+    return hashlib.sha1(f"{tag}|V={num_vertices}|E={num_edges}".encode()).hexdigest()[
+        :16
+    ]
+
+
+def _prepare_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Project to (src, dst) and pin blocks in the object store once."""
+    return edges.select_columns(["src", "dst"]).materialize()
+
+
+def _msg_table(dst: np.ndarray, val: np.ndarray, val_col: str) -> pa.Table:
+    return pa.table({"dst": pa.array(dst), val_col: pa.array(val)})
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    num_vertices: int,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+) -> KernelResult:
+    """Power-iteration PageRank with uniform dangling-mass redistribution.
+
+    Per superstep: contribs = rank/out_deg shipped along out-edges →
+    ``groupby(dst).sum`` → new_rank = (1-d)/V + d·(sum + dangling/V).
+    Convergence: L-inf residual < tol (driver-side on the dense vector).
+    Matches graph/oracle.py:pagerank_oracle to allclose(1e-6).
+    """
+    eds = _prepare_edges(edges)
+    num_edges = eds.count()
+    out_deg = dataset_to_dense_array(
+        eds.groupby("src").count(),
+        "src",
+        "count()",
+        num_vertices,
+        default=0,
+        dtype=np.float64,
+    )
+    dangling = out_deg == 0.0
+    safe_deg = np.where(dangling, 1.0, out_deg)
+
+    ranks = np.full(num_vertices, 1.0 / num_vertices)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="pagerank",
+            fingerprint=edge_fingerprint(num_vertices, num_edges, "pr"),
+            params={"damping": damping, "tol": tol},
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                ranks = ck.state["rank"]
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("converged"):
+                    # run already finished; an extra superstep would break
+                    # the resume ≡ uninterrupted bitwise invariant
+                    return KernelResult(ranks, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        contrib_vec = ranks / safe_deg
+        contrib_vec[dangling] = 0.0
+        vec_ref = ray.put(contrib_vec)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vec = ray.get(vec_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(dst, return_inverse=True)
+            sums = np.bincount(inv, weights=vec[src])
+            return _msg_table(u, sums, "contrib")
+
+        agg = (
+            eds.map_batches(partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+        )
+        sums = dataset_to_dense_array(agg, "dst", "contrib", num_vertices)
+        dangling_mass = ranks[dangling].sum()
+        new_ranks = (1.0 - damping) / num_vertices + damping * (
+            sums + dangling_mass / num_vertices
+        )
+        resid = float(np.max(np.abs(new_ranks - ranks)))
+        ranks = new_ranks
+        converged = resid < tol
+        history.append({"iteration": it, "linf_residual": resid})
+        if mgr and (it % checkpoint_every == 0 or converged):
+            mgr.save(
+                it,
+                {"id": np.arange(num_vertices, dtype=np.int64), "rank": ranks},
+                {"linf_residual": resid, "converged": converged},
+                parent=it - 1 if it > start_iter or start_iter > 0 else None,
+            )
+        if converged:
+            break
+    return KernelResult(ranks, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-id label propagation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges_undirected: ray.data.Dataset,
+    num_vertices: int,
+    max_iters: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KernelResult:
+    """Min-id label exchange until fixpoint; labels init to own id.
+
+    ``edges_undirected`` must already contain both directions (use
+    stages.edges.symmetrize_edges). Convergence = zero changed labels.
+    Component id = min member id (exact-match vs oracle). Log-round
+    pointer-doubling variants (PAPERS.md: CC in MapReduce) trade extra
+    shuffles for fewer rounds; plain exchange keeps one groupby/round.
+    """
+    eds = _prepare_edges(edges_undirected)
+    num_edges = eds.count()
+    labels = np.arange(num_vertices, dtype=np.int64)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="cc",
+            fingerprint=edge_fingerprint(num_vertices, num_edges, "cc"),
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                labels = ck.state["component"]
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("changed") == 0.0:
+                    return KernelResult(labels, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        vec_ref = ray.put(labels)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vec = ray.get(vec_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(dst, return_inverse=True)
+            mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mins, inv, vec[src])
+            return _msg_table(u, mins, "lab")
+
+        agg = (
+            eds.map_batches(partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Min("lab", alias_name="lab"))
+        )
+        incoming = dataset_to_dense_array(
+            agg, "dst", "lab", num_vertices, default=np.iinfo(np.int64).max,
+            dtype=np.int64,
+        )
+        new_labels = np.minimum(labels, incoming)
+        changed = int(np.count_nonzero(new_labels != labels))
+        labels = new_labels
+        history.append({"iteration": it, "changed": changed})
+        if mgr:
+            mgr.save(
+                it,
+                {"id": np.arange(num_vertices, dtype=np.int64), "component": labels},
+                {"changed": float(changed)},
+                parent=it - 1 if it > 0 else None,
+            )
+        if changed == 0:
+            converged = True
+            break
+    return KernelResult(labels, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# Community label propagation (synchronous, neighbor mode, min-tie-break)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges_undirected: ray.data.Dataset,
+    num_vertices: int,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KernelResult:
+    """Synchronous LPA: new label = mode of neighbor labels, tie → min.
+
+    Message reduce uses an encode-max-decode trick so the round stays a
+    single built-in aggregate: per (dst, label) partial counts per batch,
+    ``groupby(dst,label).sum`` → key = cnt·M + (M-1-label) with M = V+1,
+    ``groupby(dst).max(key)`` decodes to (max count, min label). Valid while
+    cnt·M + M fits int64, i.e. V ≲ 3e9; beyond that switch the second
+    aggregate to groupby(dst).map_groups. Deterministic by construction
+    (exact-match vs oracle, FIXTURES.md F3).
+    """
+    eds = _prepare_edges(edges_undirected)
+    num_edges = eds.count()
+    M = num_vertices + 1
+    if M * (M + 1) >= np.iinfo(np.int64).max:
+        raise ValueError("V too large for int64 encode-max-decode; use map_groups")
+    labels = np.arange(num_vertices, dtype=np.int64)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="lpa",
+            fingerprint=edge_fingerprint(num_vertices, num_edges, "lpa"),
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                labels = ck.state["label"]
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("changed") == 0.0:
+                    return KernelResult(labels, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_rounds):
+        vec_ref = ray.put(labels)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vec = ray.get(vec_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            lab = vec[src]
+            pair = dst * M + lab  # (dst,label) composite key for the combine
+            u, inv = np.unique(pair, return_inverse=True)
+            cnt = np.bincount(inv)
+            return pa.table(
+                {
+                    "dst": pa.array((u // M).astype(np.int64)),
+                    "label": pa.array((u % M).astype(np.int64)),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        counts = (
+            eds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["dst", "label"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+            lab = batch["label"].to_numpy(zero_copy_only=False)
+            key = cnt * M + (M - 1 - lab)
+            return pa.table({"dst": batch["dst"], "key": pa.array(key)})
+
+        best = (
+            counts.map_batches(encode, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Max("key", alias_name="key"))
+        )
+        keys = dataset_to_dense_array(
+            best, "dst", "key", num_vertices, default=-1, dtype=np.int64
+        )
+        new_labels = labels.copy()
+        has_nbrs = keys >= 0
+        new_labels[has_nbrs] = M - 1 - (keys[has_nbrs] % M)
+        changed = int(np.count_nonzero(new_labels != labels))
+        labels = new_labels
+        history.append({"iteration": it, "changed": changed})
+        if mgr:
+            mgr.save(
+                it,
+                {"id": np.arange(num_vertices, dtype=np.int64), "label": labels},
+                {"changed": float(changed)},
+                parent=it - 1 if it > 0 else None,
+            )
+        if changed == 0:
+            converged = True
+            break
+    return KernelResult(labels, it + 1, converged, history)

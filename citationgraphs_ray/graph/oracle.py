@@ -1,0 +1,131 @@
+"""Single-process NumPy oracle for the four kernels (FIXTURES.md F3).
+
+Plays the role the reference's in-memory code plays: a trivially-correct
+implementation the distributed engine must match — PageRank allclose(1e-6),
+components / labels / triangle counts exactly. Semantics pinned here ARE the
+spec (the reference is nondeterministic — wall-clock RNG seed at
+CitationGraphs.go:35, map-order iteration — so SURVEY.md §7.4 fixes
+deterministic rules and both engine and oracle implement them):
+
+- PageRank: damping 0.85, dangling mass redistributed uniformly, uniform
+  init 1/V, stop at L-inf residual < tol.
+- Connected components: min-id label propagation over undirected edges;
+  component id = min member id.
+- LPA: synchronous, undirected; new label = most frequent neighbor label,
+  ties broken by min label; isolated vertices keep their label; fixed
+  max_rounds; stop early when no label changes.
+- Triangles: undirected, deduped, self-loops removed; per-vertex count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _clean_edges(edges: np.ndarray) -> np.ndarray:
+    """(E,2) int64 → dedup + drop self-loops (directed)."""
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    return np.unique(edges, axis=0)
+
+
+def _undirected(edges: np.ndarray) -> np.ndarray:
+    both = np.vstack([edges, edges[:, ::-1]])
+    return _clean_edges(both)
+
+
+def pagerank_oracle(
+    edges: np.ndarray,
+    num_vertices: int,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 200,
+) -> np.ndarray:
+    edges = _clean_edges(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = edges[:, 0], edges[:, 1]
+    out_deg = np.bincount(src, minlength=num_vertices).astype(np.float64)
+    ranks = np.full(num_vertices, 1.0 / num_vertices)
+    dangling = out_deg == 0
+    safe_deg = np.where(dangling, 1.0, out_deg)
+    for _ in range(max_iters):
+        contrib = ranks / safe_deg
+        sums = np.bincount(dst, weights=contrib[src], minlength=num_vertices)
+        dangling_mass = ranks[dangling].sum()
+        new_ranks = (1.0 - damping) / num_vertices + damping * (
+            sums + dangling_mass / num_vertices
+        )
+        if np.max(np.abs(new_ranks - ranks)) < tol:
+            ranks = new_ranks
+            break
+        ranks = new_ranks
+    return ranks
+
+
+def components_oracle(edges: np.ndarray, num_vertices: int) -> np.ndarray:
+    und = _undirected(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = und[:, 0], und[:, 1]
+    labels = np.arange(num_vertices, dtype=np.int64)
+    while True:
+        incoming = np.full(num_vertices, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(incoming, dst, labels[src])
+        new_labels = np.minimum(labels, incoming)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
+def lpa_oracle(
+    edges: np.ndarray, num_vertices: int, max_rounds: int = 50
+) -> np.ndarray:
+    und = _undirected(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = und[:, 0], und[:, 1]
+    labels = np.arange(num_vertices, dtype=np.int64)
+    for _ in range(max_rounds):
+        new_labels = labels.copy()
+        # per dst: mode of neighbor labels, min label on ties
+        nbr_lab = labels[src]
+        order = np.lexsort((nbr_lab, dst))
+        d_s, l_s = dst[order], nbr_lab[order]
+        # run-length encode (dst, label) pairs
+        boundary = np.ones(len(d_s), dtype=bool)
+        boundary[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(d_s)))
+        g_dst, g_lab = d_s[starts], l_s[starts]
+        # per dst group pick max count, tie -> min label (labels sorted asc
+        # within dst, so the FIRST max wins)
+        dst_boundary = np.ones(len(g_dst), dtype=bool)
+        dst_boundary[1:] = g_dst[1:] != g_dst[:-1]
+        grp_idx = np.cumsum(dst_boundary) - 1
+        best = {}
+        for gi, d, l, c in zip(grp_idx, g_dst, g_lab, counts):
+            cur = best.get(d)
+            if cur is None or c > cur[0]:
+                best[d] = (c, l)
+        for d, (_, l) in best.items():
+            new_labels[d] = l
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
+def triangles_oracle(edges: np.ndarray, num_vertices: int) -> np.ndarray:
+    und = _undirected(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    # unique undirected edges u < v
+    u = np.minimum(und[:, 0], und[:, 1])
+    v = np.maximum(und[:, 0], und[:, 1])
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    adj: list[set[int]] = [set() for _ in range(num_vertices)]
+    for a, b in uv:
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    counts = np.zeros(num_vertices, dtype=np.int64)
+    for a, b in uv:
+        common = adj[int(a)] & adj[int(b)]
+        for c in common:
+            if c > b:  # count each triangle once via its sorted form
+                counts[int(a)] += 1
+                counts[int(b)] += 1
+                counts[c] += 1
+    return counts

@@ -1,0 +1,94 @@
+"""F5: checkpoint/resume — interrupted run ≡ uninterrupted run, exactly."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from citationgraphs_ray.graph.engine import connected_components, pagerank
+from citationgraphs_ray.stages.edges import symmetrize_edges
+from citationgraphs_ray.state.checkpoints import CheckpointManager
+
+
+@pytest.fixture()
+def ckdir(tmp_path):
+    return str(tmp_path / "ck")
+
+
+def test_pagerank_resume_equals_uninterrupted(small_edges, ckdir):
+    edges, vids = small_edges
+    V = vids.count()
+    full = pagerank(edges, V, tol=1e-10)
+    # interrupted: run 3 supersteps, "kill", resume to convergence
+    pagerank(edges, V, tol=1e-10, max_iters=3, checkpoint_dir=ckdir)
+    resumed = pagerank(
+        edges, V, tol=1e-10, checkpoint_dir=ckdir, resume=True
+    )
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)  # bitwise: same op order
+
+
+def test_resume_ignores_incomplete_superstep(small_edges, ckdir):
+    edges, vids = small_edges
+    V = vids.count()
+    pagerank(edges, V, tol=1e-10, max_iters=3, checkpoint_dir=ckdir)
+    iters = sorted(d for d in os.listdir(ckdir) if d.startswith("iter_"))
+    # simulate a crash mid-write: newest superstep has state but no manifest
+    os.remove(os.path.join(ckdir, iters[-1], "MANIFEST.json"))
+    mgr = CheckpointManager(ckdir, "pagerank", _fp(ckdir))
+    ck = mgr.latest()
+    assert ck.iteration == int(iters[-2].split("_")[1])
+
+
+def test_manifest_contents(small_edges, ckdir):
+    edges, vids = small_edges
+    V = vids.count()
+    pagerank(edges, V, tol=1e-10, max_iters=2, checkpoint_dir=ckdir)
+    it0 = os.path.join(ckdir, "iter_000000")
+    with open(os.path.join(it0, "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["kernel"] == "pagerank"
+    assert m["parent"] is None
+    assert "linf_residual" in m["metric"]
+    assert len(m["parts"]) == m["num_partitions"]
+    assert sum(p["rows"] for p in m["parts"]) == V
+    # per-partition shard files exist (resumable, partitioned output)
+    for p in m["parts"]:
+        assert os.path.exists(os.path.join(it0, p["file"]))
+
+
+def test_fingerprint_mismatch_rejected(small_edges, ckdir):
+    edges, vids = small_edges
+    V = vids.count()
+    pagerank(edges, V, tol=1e-10, max_iters=1, checkpoint_dir=ckdir)
+    with pytest.raises(ValueError, match="different run"):
+        CheckpointManager(ckdir, "pagerank", "deadbeef00000000")
+
+
+def test_cc_resume(small_edges, ckdir):
+    edges, vids = small_edges
+    V = vids.count()
+    und = symmetrize_edges(edges).materialize()
+    full = connected_components(und, V)
+    connected_components(und, V, max_iters=2, checkpoint_dir=ckdir)
+    resumed = connected_components(und, V, checkpoint_dir=ckdir, resume=True)
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)
+
+
+def _fp(ckdir):
+    with open(os.path.join(ckdir, "run.json")) as f:
+        return json.load(f)["fingerprint"]
+
+
+def test_resume_after_convergence_is_noop(small_edges, ckdir):
+    """Resuming a converged run must not run extra supersteps (bitwise)."""
+    edges, vids = small_edges
+    V = vids.count()
+    full = pagerank(edges, V, tol=1e-10, checkpoint_dir=ckdir)
+    assert full.converged
+    again = pagerank(edges, V, tol=1e-10, checkpoint_dir=ckdir, resume=True)
+    assert np.array_equal(again.state, full.state)
+    assert again.iterations == full.iterations

@@ -1,0 +1,160 @@
+"""Kernel correctness vs the NumPy oracle on tiny + small fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.graph.engine import (
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from citationgraphs_ray.graph.oracle import (
+    components_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+from citationgraphs_ray.graph.triangles import triangle_counts
+from citationgraphs_ray.stages.edges import symmetrize_edges
+
+# FIXTURES.md F2 tiny graphs
+TINY = {
+    "line5": (np.array([[0, 1], [1, 2], [2, 3], [3, 4]]), 5),
+    "tri3": (np.array([[0, 1], [1, 0], [1, 2], [2, 1], [0, 2], [2, 0]]), 3),
+    "star_hub": (np.array([[i, 0] for i in range(1, 41)]), 41),
+    "two_islands": (
+        np.array(
+            [[a, b] for a in range(5) for b in range(5) if a != b]
+            + [[5, 6], [6, 7], [7, 8], [8, 9]]
+        ),
+        10,
+    ),
+    "dupes_loops": (
+        np.array([[0, 1], [0, 1], [1, 1], [1, 2], [2, 0], [2, 0], [3, 3]]),
+        4,
+    ),
+}
+
+
+def _edge_ds(edges: np.ndarray) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(edges[:, 0].astype(np.int64)),
+                "dst": pa.array(edges[:, 1].astype(np.int64)),
+            }
+        )
+    )
+
+
+def _clean_directed(edges: np.ndarray) -> np.ndarray:
+    e = edges[edges[:, 0] != edges[:, 1]]
+    return np.unique(e, axis=0)
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_pagerank_tiny(name):
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    res = pagerank(_edge_ds(edges), V, tol=1e-10)
+    exp = pagerank_oracle(edges, V, tol=1e-10)
+    assert np.allclose(res.state, exp, atol=1e-6)
+    assert abs(res.state.sum() - 1.0) < 1e-9  # Σ rank == 1 invariant
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_components_tiny(name):
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = connected_components(und, V)
+    exp = components_oracle(edges, V)
+    assert np.array_equal(res.state, exp)
+    assert res.converged
+
+
+def test_components_two_islands_labels():
+    raw, V = TINY["two_islands"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw)))
+    res = connected_components(und, V)
+    assert set(res.state[:5]) == {0} and set(res.state[5:]) == {5}
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_lpa_tiny(name):
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = label_propagation(und, V, max_rounds=50)
+    exp = lpa_oracle(edges, V, max_rounds=50)
+    assert np.array_equal(res.state, exp)
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_triangles_tiny(name):
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = triangle_counts(und, V)
+    exp = triangles_oracle(edges, V)
+    assert np.array_equal(res.state, exp)
+
+
+def test_triangles_tri3_exact():
+    raw, V = TINY["tri3"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw)))
+    assert np.array_equal(triangle_counts(und, V).state, np.array([1, 1, 1]))
+
+
+# ---- small corpus end-to-end (includes a mega-hub for skew) ---------------
+
+
+@pytest.fixture(scope="module")
+def small_graph(small_edges):
+    edges, vids = small_edges
+    V = vids.count()
+    df = edges.to_pandas()
+    earr = df[["src", "dst"]].to_numpy().astype(np.int64)
+    und = symmetrize_edges(edges).materialize()
+    return edges, und, earr, V
+
+
+def test_pagerank_small(small_graph):
+    edges, _, earr, V = small_graph
+    res = pagerank(edges, V, tol=1e-10)
+    exp = pagerank_oracle(earr, V, tol=1e-10)
+    assert np.allclose(res.state, exp, atol=1e-6)
+    assert res.converged
+
+
+def test_components_small(small_graph):
+    _, und, earr, V = small_graph
+    res = connected_components(und, V)
+    exp = components_oracle(earr, V)
+    assert np.array_equal(res.state, exp)
+
+
+def test_lpa_small(small_graph):
+    _, und, earr, V = small_graph
+    res = label_propagation(und, V, max_rounds=20)
+    exp = lpa_oracle(earr, V, max_rounds=20)
+    assert np.array_equal(res.state, exp)
+
+
+def test_triangles_small(small_graph):
+    _, und, earr, V = small_graph
+    res = triangle_counts(und, V)
+    exp = triangles_oracle(earr, V)
+    assert np.array_equal(res.state, exp)
+
+
+def test_triangle_relabel_invariance():
+    raw, V = TINY["two_islands"]
+    edges = _clean_directed(raw)
+    perm = np.random.default_rng(0).permutation(V)
+    rel = perm[edges]
+    a = triangles_oracle(edges, V)
+    b = triangles_oracle(rel, V)
+    assert np.array_equal(np.sort(a), np.sort(b))
