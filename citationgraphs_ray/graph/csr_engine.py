@@ -1,0 +1,262 @@
+"""CSR actor-pool engine: partition-local adjacency, BSP supersteps.
+
+The scale-out counterpart of the broadcast engine (engine.py). The broadcast
+engine ships the whole V-sized state vector to every task each superstep —
+exact, but the state must fit one object. Here (SURVEY.md §4.3):
+
+- The edge table is hash-partitioned ONCE by ``src % P`` and laid out as
+  partitioned Parquet (``part=<p>/``) — the resumable on-disk layout; P is
+  fixed per run and recorded in the checkpoint manifest.
+- P long-lived actors each read their shard once and build a CSR
+  (indptr/indices over local sources) in ``__init__``-equivalent ``build()``
+  — setup once per actor, supersteps stream only small message tables.
+- Superstep = BSP scatter/gather: each actor computes per-dst-partition
+  pre-aggregated messages from its local state (the combiner — a hub dst
+  receives ≤ P partial rows), peers fetch only their slice via per-pair
+  object refs (actor-to-actor plasma transfer, never through the driver),
+  reduce into their local state, and report a local convergence metric.
+  The driver only sequences barriers and sums P scalars.
+
+Rationale for raw actors: Ray Data's map_batches actor pools don't pin a
+stable partition→actor assignment across iterations, so per-partition
+mutable CSR state genuinely can't be expressed in the Dataset API — this is
+the documented escape hatch. Everything around it (partitioning, layout,
+message pre-aggregation) keeps the Dataset/groupby shapes.
+
+Kernels: PageRank and connected components (LPA slots into the same
+scatter/gather with the count-mode reduce). Results must equal the
+broadcast engine bitwise-or-allclose; tests enforce it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def partition_edges(
+    edges: ray.data.Dataset, out_dir: str, num_partitions: int
+) -> str:
+    """Hash-partition the edge table by src % P into partitioned Parquet."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((src % num_partitions).astype(np.int64))
+        )
+
+    (
+        edges.select_columns(["src", "dst"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["part"])
+    )
+    return out_dir
+
+
+@ray.remote
+class CsrPartition:
+    """Owns vertices {id : id % P == pid}: their out-edge CSR + state slice."""
+
+    def __init__(self, pid: int, num_partitions: int, num_vertices: int) -> None:
+        self.pid = pid
+        self.P = num_partitions
+        self.V = num_vertices
+        self.n_local = (num_vertices - pid + num_partitions - 1) // num_partitions
+        self.indptr: np.ndarray | None = None
+        self.indices: np.ndarray | None = None
+        self.out_deg: np.ndarray | None = None
+        self.state: np.ndarray | None = None
+        self.outbox: list[tuple[np.ndarray, np.ndarray]] | None = None
+
+    # -- setup (once per actor) --------------------------------------------
+    def build(self, edge_dir: str) -> int:
+        part_dir = os.path.join(edge_dir, f"part={self.pid}")
+        if os.path.isdir(part_dir):
+            tbl = pq.read_table(part_dir, columns=["src", "dst"])
+            src = tbl["src"].to_numpy().astype(np.int64)
+            dst = tbl["dst"].to_numpy().astype(np.int64)
+        else:  # partition with no edges
+            src = np.empty(0, dtype=np.int64)
+            dst = np.empty(0, dtype=np.int64)
+        local = src // self.P  # local dense index of each src
+        order = np.argsort(local, kind="stable")
+        local, self.indices = local[order], dst[order]
+        counts = np.bincount(local, minlength=self.n_local)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.out_deg = counts.astype(np.float64)
+        return len(src)
+
+    def local_ids(self) -> np.ndarray:
+        return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
+
+    # -- generic state access ----------------------------------------------
+    def set_state(self, values: np.ndarray) -> None:
+        self.state = values.astype(self.state.dtype if self.state is not None else values.dtype)
+
+    def get_state(self) -> np.ndarray:
+        return self.state
+
+    # -- PageRank -----------------------------------------------------------
+    def pr_init(self) -> float:
+        self.state = np.full(self.n_local, 1.0 / self.V)
+        return self.pr_dangling_mass()
+
+    def pr_dangling_mass(self) -> float:
+        return float(self.state[self.out_deg == 0].sum())
+
+    def pr_scatter(self) -> bool:
+        """Compute per-dst-partition (dst, partial_sum) messages."""
+        contrib = np.where(self.out_deg > 0, self.state / np.maximum(self.out_deg, 1), 0.0)
+        # expand contrib along edges via indptr run lengths
+        reps = np.diff(self.indptr)
+        vals = np.repeat(contrib, reps)
+        dst = self.indices
+        self.outbox = []
+        for q in range(self.P):
+            m = dst % self.P == q
+            dq = dst[m] // self.P
+            u, inv = np.unique(dq, return_inverse=True)
+            sums = np.bincount(inv, weights=vals[m])
+            self.outbox.append((u, sums))
+        return True
+
+    def take_msgs(self, q: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.outbox[q]
+
+    def pr_gather(
+        self, damping: float, dangling_mass: float,
+        *msgs: tuple[np.ndarray, np.ndarray],
+    ) -> tuple[float, float]:
+        # varargs: Ray resolves top-level ObjectRef args only, so each peer
+        # message must be its own argument for actor-to-actor transfer
+        sums = np.zeros(self.n_local)
+        for u, s in msgs:
+            np.add.at(sums, u, s)
+        new_state = (1.0 - damping) / self.V + damping * (
+            sums + dangling_mass / self.V
+        )
+        resid = float(np.max(np.abs(new_state - self.state))) if self.n_local else 0.0
+        self.state = new_state
+        return resid, self.pr_dangling_mass()
+
+    # -- Connected components ----------------------------------------------
+    def cc_init(self) -> bool:
+        self.state = self.local_ids().astype(np.int64)
+        return True
+
+    def cc_scatter(self) -> bool:
+        reps = np.diff(self.indptr)
+        vals = np.repeat(self.state, reps)
+        dst = self.indices
+        self.outbox = []
+        for q in range(self.P):
+            m = dst % self.P == q
+            dq = dst[m] // self.P
+            u, inv = np.unique(dq, return_inverse=True)
+            mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mins, inv, vals[m])
+            self.outbox.append((u, mins))
+        return True
+
+    def cc_gather(self, *msgs: tuple[np.ndarray, np.ndarray]) -> int:
+        incoming = np.full(self.n_local, np.iinfo(np.int64).max, dtype=np.int64)
+        for u, mn in msgs:
+            np.minimum.at(incoming, u, mn)
+        new_state = np.minimum(self.state, incoming)
+        changed = int(np.count_nonzero(new_state != self.state))
+        self.state = new_state
+        return changed
+
+
+class CsrEngine:
+    """Driver-side BSP orchestrator over P CsrPartition actors."""
+
+    def __init__(
+        self,
+        edges: ray.data.Dataset,
+        num_vertices: int,
+        num_partitions: int = 8,
+        workdir: str = "/tmp/csr_engine",
+        tag: str = "default",
+    ) -> None:
+        self.V = num_vertices
+        self.P = num_partitions
+        edge_dir = os.path.join(workdir, f"edges_{tag}_p{num_partitions}")
+        marker = os.path.join(edge_dir, "_SUCCESS")
+        if not os.path.exists(marker):  # partitioned layout is reusable
+            import shutil
+
+            shutil.rmtree(edge_dir, ignore_errors=True)
+            partition_edges(edges, edge_dir, num_partitions)
+            open(marker, "w").close()
+        self.actors = [
+            CsrPartition.remote(p, num_partitions, num_vertices)
+            for p in range(num_partitions)
+        ]
+        ray.get([a.build.remote(edge_dir) for a in self.actors])
+
+    def _exchange(self, scatter: str) -> list[list[ray.ObjectRef]]:
+        ray.get([getattr(a, scatter).remote() for a in self.actors])  # barrier
+        return [
+            [self.actors[p].take_msgs.remote(q) for p in range(self.P)]
+            for q in range(self.P)
+        ]
+
+    def _assemble(self) -> np.ndarray:
+        slices = ray.get([a.get_state.remote() for a in self.actors])
+        out = np.empty(self.V, dtype=slices[0].dtype if slices else np.float64)
+        for p, s in enumerate(slices):
+            out[p :: self.P] = s
+        return out
+
+    def pagerank(
+        self, damping: float = 0.85, tol: float = 1e-9, max_iters: int = 200
+    ) -> tuple[np.ndarray, int, bool]:
+        dangling = sum(ray.get([a.pr_init.remote() for a in self.actors]))
+        converged = False
+        it = 0
+        for it in range(max_iters):
+            inboxes = self._exchange("pr_scatter")
+            results = ray.get(
+                [
+                    self.actors[q].pr_gather.remote(damping, dangling, *inboxes[q])
+                    for q in range(self.P)
+                ]
+            )
+            resid = max(r for r, _ in results)
+            dangling = sum(d for _, d in results)
+            if resid < tol:
+                converged = True
+                break
+        return self._assemble(), it + 1, converged
+
+    def connected_components(
+        self, max_iters: int = 100
+    ) -> tuple[np.ndarray, int, bool]:
+        ray.get([a.cc_init.remote() for a in self.actors])
+        converged = False
+        it = 0
+        for it in range(max_iters):
+            inboxes = self._exchange("cc_scatter")
+            changed = sum(
+                ray.get(
+                    [
+                        self.actors[q].cc_gather.remote(*inboxes[q])
+                        for q in range(self.P)
+                    ]
+                )
+            )
+            if changed == 0:
+                converged = True
+                break
+        return self._assemble(), it + 1, converged
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
