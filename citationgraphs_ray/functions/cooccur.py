@@ -1,0 +1,238 @@
+"""Co-occurrence / document-frequency / TF-IDF / pair-lift analytics.
+
+Reference semantics (SURVEY.md §2.5): the Go library computes word-word
+co-occurrence with goroutine pools merging nested maps under a mutex
+(Corpus.GetConcurrences, CitationGraphs.go:568-648; doc-level variant
+GetDocConcurrences 835-928; doc freqs 3690-3737; lift-style pair filter
+findStronglyConnectedPhrases 3751-3780; TFIDF 2058-2102). Here every one is
+a pair-expansion inside ``map_batches`` (each document is one row, so the
+per-doc work never crosses a batch) followed by ONE ``groupby`` on the pair
+key — the canonical shuffle shape the north rule's triangle counting shares.
+
+Tokenization for these ops is ``lower().split()`` (whitespace) so the
+DuckDB oracle can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def explode_tokens(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Long table (doc_id, word) — one row per token occurrence."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        words: list[str] = []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for w in (t or "").lower().split():
+                ids.append(i)
+                words.append(w)
+        return pa.table({id_col: pa.array(ids, type=pa.int64()), "word": pa.array(words)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_frequencies(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(word, df) — number of docs containing the word (A12: per-doc
+    distinct inside the batch UDF, then one groupby count)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch[text_col].to_pylist():
+            words.extend(set((t or "").lower().split()))
+        return pa.table({"word": pa.array(words)})
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("word")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"word": t["word"], "df": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def doc_cooccurrence(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Document-level co-occurrence (A4): weight 1 per doc per unordered
+    distinct pair (w1 < w2 lexicographically). Returns (w1, w2, freq)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for t in batch[text_col].to_pylist():
+            uniq = sorted(set((t or "").lower().split()))
+            for a, b in combinations(uniq, 2):
+                w1s.append(a)
+                w2s.append(b)
+        return pa.table({"w1": pa.array(w1s), "w2": pa.array(w2s)})
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "w2": t["w2"], "freq": t["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def word_cooccurrence(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Count-weighted co-occurrence (A1): per doc, every unordered distinct
+    pair contributes count(w1)*count(w2). Returns (w1, w2, weight)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        w1s: list[str] = []
+        w2s: list[str] = []
+        wts: list[float] = []
+        for t in batch[text_col].to_pylist():
+            counts: dict[str, int] = {}
+            for w in (t or "").lower().split():
+                counts[w] = counts.get(w, 0) + 1
+            uniq = sorted(counts)
+            for a, b in combinations(uniq, 2):
+                w1s.append(a)
+                w2s.append(b)
+                wts.append(float(counts[a] * counts[b]))
+        return pa.table(
+            {"w1": pa.array(w1s), "w2": pa.array(w2s), "w": pa.array(wts)}
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("w", alias_name="weight"))
+    )
+
+
+def strongly_connected_pairs(
+    ds: ray.data.Dataset,
+    thres_freq: float = 2.0,
+    thres_ratio: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Lift-style pair filter (A13/A14, CitationGraphs.go:3751-3793).
+
+    Keep pairs with freq ≥ thres_freq AND freq ≥ thres_ratio · expected,
+    expected = df1/N · df2/N · N. Returns (w1, w2, actual, expected).
+    The df vector is broadcast (vocab-sized) into the filter stage.
+    """
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = pa.concat_tables(ray.get(doc_frequencies(ds, text_col, id_col).to_arrow_refs()))
+    dfs = dict(zip(df_tbl["word"].to_pylist(), df_tbl["df"].to_pylist()))
+    dfs_ref = ray.put(dfs)
+    pair_counts = doc_cooccurrence(ds, text_col, id_col)
+
+    class Filter:
+        def __init__(self) -> None:
+            self.dfs = ray.get(dfs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            w1 = batch["w1"].to_pylist()
+            w2 = batch["w2"].to_pylist()
+            freq = batch["freq"].to_numpy(zero_copy_only=False).astype(np.float64)
+            exp = np.array(
+                [self.dfs[a] * self.dfs[b] / n_docs for a, b in zip(w1, w2)],
+                dtype=np.float64,
+            )
+            keep = (freq >= thres_freq) & (freq >= thres_ratio * exp)
+            out = pa.table(
+                {
+                    "w1": batch["w1"],
+                    "w2": batch["w2"],
+                    "actual": pa.array(freq),
+                    "expected": pa.array(exp),
+                }
+            )
+            return out.filter(pa.array(keep))
+
+    return pair_counts.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def tfidf(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-(doc, word) TF-IDF (A9): tf = in-doc count, idf = ln(N/df).
+
+    TF is per-row (vectorized in the tokenize batch); IDF is the broadcast
+    small side (reference probes a global map, CitationGraphs.go:2091-2094).
+    Returns (doc_id, word, tf, idf, tfidf).
+    """
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = pa.concat_tables(
+        ray.get(doc_frequencies(ds, text_col, id_col).to_arrow_refs())
+    )
+    dfs = dict(zip(df_tbl["word"].to_pylist(), df_tbl["df"].to_pylist()))
+    dfs_ref = ray.put(dfs)
+
+    class Score:
+        def __init__(self) -> None:
+            self.dfs = ray.get(dfs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids: list[int] = []
+            words: list[str] = []
+            tfs: list[int] = []
+            idfs: list[float] = []
+            for i, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                counts: dict[str, int] = {}
+                for w in (t or "").lower().split():
+                    counts[w] = counts.get(w, 0) + 1
+                for w in sorted(counts):
+                    ids.append(i)
+                    words.append(w)
+                    tfs.append(counts[w])
+                    idfs.append(math.log(n_docs / self.dfs[w]))
+            tf = np.array(tfs, dtype=np.float64)
+            idf = np.array(idfs, dtype=np.float64)
+            return pa.table(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    "word": pa.array(words),
+                    "tf": pa.array(tf),
+                    "idf": pa.array(idf),
+                    "tfidf": pa.array(tf * idf),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def top_k_tfidf_per_doc(
+    scored: ray.data.Dataset, k: int = 5, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-doc top-k by tfidf desc, ties by word asc (the reference's greedy
+    per-doc ArgSort selection shape, CitationGraphs.go:2175-2191)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["tfidf", "word"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return scored.groupby(id_col).map_groups(pick, batch_format="pandas")

@@ -1,0 +1,198 @@
+"""Year-bucketed trend analytics (SURVEY.md A15-A18, T6-T7 shapes).
+
+Reference semantics: SortByYear groups titles per year
+(CitationGraphs.go:4084-4103); GetEmergingTrends keeps labels that were
+cold in a far window and hot recently (3870-3924); GetEmergingTopic/
+HotTopicPublications scan per-node in-citation year histograms
+(3931-4013, 4019-4075); Leap2Trend joins per-year similarity ranks and
+emits rank jumps (4237-4331). All are filters + grouped aggregations +
+joins over (key, year) tables — no iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def counts_by_year(
+    ds: ray.data.Dataset, key_col: str, year_col: str = "year"
+) -> ray.data.Dataset:
+    """(key, year, n) grouped counts — the A15/A16 base aggregation."""
+    return (
+        ds.groupby([key_col, year_col])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {key_col: t[key_col], year_col: t[year_col], "n": t["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def emerging_trends(
+    ds: ray.data.Dataset,
+    key_col: str,
+    year_col: str,
+    year_far_away: int,
+    year_today: int,
+    low_threshold: int,
+    high_threshold: int,
+) -> ray.data.Dataset:
+    """A16 cold-then-hot filter: keys with < low_threshold occurrences in
+    years ≤ year_far_away AND ≥ high_threshold in years > year_far_away
+    (window capped at year_today). Returns (key, far_count, recent_count)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        y = batch[year_col].to_numpy(zero_copy_only=False)
+        keep = y <= year_today
+        far = (y <= year_far_away) & keep
+        recent = (y > year_far_away) & keep
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "far": pa.array(far.astype(np.int64)),
+                "recent": pa.array(recent.astype(np.int64)),
+            }
+        ).filter(pa.array(keep))
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("far", alias_name="far_count"),
+            Sum("recent", alias_name="recent_count"),
+        )
+    )
+    return agg.filter(
+        expr=f"far_count < {low_threshold} and recent_count >= {high_threshold}"
+    )
+
+
+def citation_year_histogram(
+    edges: ray.data.Dataset,
+    node_years: ray.data.Dataset,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """G4: per (cited node, citing year) counts — ``edges ⋈ years ON
+    edges.src = years.id`` then groupby(dst, year). Returns
+    (id, year, n_citations)."""
+    j = edges.join(
+        node_years,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("id",),
+    )
+    return (
+        j.groupby(["dst", "year"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["dst"],
+                    "year": t["year"],
+                    "n_citations": t["count()"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def hot_topic_publications(
+    edges: ray.data.Dataset,
+    node_years: ray.data.Dataset,
+    high_threshold: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """A18: nodes with ≥ high_threshold citations arriving in their
+    publication year or the following year (citing-year < publication-year
+    rows are excluded, CitationGraphs.go:4044). Returns (id, early_citations).
+    """
+    hist = citation_year_histogram(edges, node_years, num_partitions)
+    j = hist.join(
+        node_years,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id",),
+        right_on=("id",),
+        left_suffix="_cite",
+        right_suffix="_pub",
+    )
+
+    def early(batch: pa.Table) -> pa.Table:
+        cy = batch["year_cite"].to_numpy(zero_copy_only=False)
+        py = batch["year_pub"].to_numpy(zero_copy_only=False)
+        n = batch["n_citations"].to_numpy(zero_copy_only=False)
+        keep = (cy >= py) & (cy <= py + 1)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "early": pa.array(np.where(keep, n, 0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        j.map_batches(early, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("early", alias_name="early_citations"))
+    )
+    return agg.filter(expr=f"early_citations >= {high_threshold}")
+
+
+def rank_jumps(
+    prev_ranks: ray.data.Dataset,
+    cur_ranks: ray.data.Dataset,
+    min_jump: int = 1,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """T7 core: join (phrase1, phrase2, rank) tables of two successive
+    years, jump = prev_rank − rank (rank improvements are positive), filter
+    jump ≥ min_jump, global sort desc (CitationGraphs.go:4306-4326)."""
+    j = cur_ranks.join(
+        prev_ranks,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("phrase1", "phrase2"),
+        left_suffix="_cur",
+        right_suffix="_prev",
+    )
+
+    def jump(batch: pa.Table) -> pa.Table:
+        cur = batch["rank_cur"].to_numpy(zero_copy_only=False)
+        prev = batch["rank_prev"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "phrase1": batch["phrase1"],
+                "phrase2": batch["phrase2"],
+                "jump": pa.array((prev - cur).astype(np.int64)),
+            }
+        )
+
+    return (
+        j.map_batches(jump, batch_format="pyarrow")
+        .filter(expr=f"jump >= {min_jump}")
+        .sort(["jump", "phrase1", "phrase2"], descending=[True, False, False])
+    )
+
+
+def neighbor_ranks(
+    sims: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """T6: per phrase1, rank neighbors by similarity desc (ties by phrase2
+    asc); emits (phrase1, phrase2, rank) with rank starting at 1."""
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "phrase2"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["phrase1", "phrase2", "rank"]]
+
+    return sims.groupby("phrase1").map_groups(rank_group, batch_format="pandas")

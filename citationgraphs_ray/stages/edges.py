@@ -186,11 +186,17 @@ def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     Reference analog: SaveCitationGraph's union of Refs and reversed Cites
     (CitationGraphs.go:2003-2026). Self-loops assumed already dropped.
     """
+    # normalize both branches to Arrow blocks: upstream pandas-block stages
+    # (map_groups) mixed with arrow blocks break union/materialize
+    fwd = edges.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow",
+    )
     rev = edges.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
         batch_format="pyarrow",
     )
-    return dedup_edges(edges.union(rev))
+    return dedup_edges(fwd.union(rev))
 
 
 def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with sidecar metadata
+columns; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages (decoder state loaded once per actor). The actual
+codec libraries are NOT in this container, so the decode step is stubbed
+(BASELINE round-1 instruction): pass ``decoder=None`` and the stage raises
+``NotImplementedError`` at setup; tests inject ``fake_png_decoder`` — a
+deterministic parser of the synthetic payload format — so the Ray-side
+plumbing (schema, batch size, actor signature, output layout) is real and
+tested end-to-end.
+
+Payload format for fixtures: ``b"FAKEIMG|<width>|<height>|<seed>"``.
+Scale notes: binary payloads dominate block size → these stages use small
+``batch_size`` and the payload column is dropped as soon as features are
+extracted (same project-the-blob-away rule as the corpus ``content``
+column, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def fake_png_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: parses the synthetic
+    header and generates a seeded (h, w, 3) uint8 array."""
+    parts = payload.split(b"|")
+    if len(parts) != 4 or parts[0] != b"FAKEIMG":
+        raise ValueError(f"not a FAKEIMG payload: {payload[:20]!r}")
+    w, h, seed = int(parts[1]), int(parts[2]), int(parts[3])
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class DecodeImages:
+    """Actor-pool stage: payload → decoded pixel stats + thumbnail features.
+
+    decoder: bytes → (h, w, 3) uint8. None → NotImplementedError at actor
+    setup (the stub contract: fails fast, before any batch).
+    Output drops the payload column and appends mean_r/g/b + thumbnail
+    (fixed 4x4 grayscale, list<float>) — the layout a real pipeline would
+    feed to an embedding model.
+    """
+
+    THUMB = 4
+
+    def __init__(self, decoder: Callable[[bytes], np.ndarray] | None = None) -> None:
+        if decoder is None:
+            raise NotImplementedError(
+                "no image codec in this environment; inject a decoder "
+                "(e.g. PIL-based) or use fake_png_decoder in tests"
+            )
+        self.decoder = decoder
+
+    def _thumb(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        gray = img.mean(axis=2)
+        ys = np.linspace(0, h, self.THUMB + 1).astype(int)
+        xs = np.linspace(0, w, self.THUMB + 1).astype(int)
+        out = np.empty((self.THUMB, self.THUMB))
+        for i in range(self.THUMB):
+            for j in range(self.THUMB):
+                out[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+        return out.ravel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means = np.zeros((batch.num_rows, 3))
+        thumbs: list[np.ndarray] = []
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            img = self.decoder(payload)
+            means[i] = img.reshape(-1, 3).mean(axis=0)
+            thumbs.append(self._thumb(img))
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name != "payload"  # blob projected away immediately
+        }
+        cols["mean_r"] = pa.array(means[:, 0])
+        cols["mean_g"] = pa.array(means[:, 1])
+        cols["mean_b"] = pa.array(means[:, 2])
+        cols["thumbnail"] = pa.array([t.tolist() for t in thumbs])
+        return pa.table(cols)
+
+
+class SampleFrames:
+    """Video-style frame sampling stage: one synthetic payload → n frame
+    rows (flat-map shape). Stub decoder contract identical to DecodeImages."""
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes], np.ndarray] | None = None,
+        every_n: int = 2,
+    ) -> None:
+        if decoder is None:
+            raise NotImplementedError("no video codec; inject a decoder")
+        self.decoder = decoder
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        frames: list[int] = []
+        means: list[float] = []
+        for item, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            img = self.decoder(payload)
+            # synthetic "video": rows of the image are frames
+            for f in range(0, img.shape[0], self.every_n):
+                ids.append(item)
+                frames.append(f)
+                means.append(float(img[f].mean()))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.int64()),
+                "frame_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
+def make_image_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic image table matching IMAGE_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(4, 32, size=n).astype(np.int32)
+    heights = rng.integers(4, 32, size=n).astype(np.int32)
+    payloads = [
+        b"FAKEIMG|%d|%d|%d" % (w, h, i) for i, (w, h) in enumerate(zip(widths, heights))
+    ]
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["image/fake"] * n),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+        }
+    )

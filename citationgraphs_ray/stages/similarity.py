@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k — normalized query matrix
+  broadcast once via ``ray.put``, per-batch numpy matmul + partial top-k,
+  global ``groupby(query_id)`` merge. The baseline and the verification
+  oracle for the approximate path.
+- ``ivf_topk``: IVF-style scale path — deterministic k-means (seeded
+  init, Lloyd iterations as map_batches partial-sum rounds), vectors
+  bucketed by nearest centroid, queries probe the ``nprobe`` closest
+  centroid buckets only.
+
+Reference analog: computePhraseSimilarities' chunked all-pairs cosine
+against a broadcast high-frequency matrix (CitationGraphs.go:4139-4205,
+T5) — the same broadcast-matrix block-matmul shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """(query_id, vec_id, score) — exact cosine top-k per query row.
+
+    Each batch computes Q @ Bᵀ (Q broadcast, B the batch) and keeps its
+    local top-k per query; the global merge re-ranks ≤ k·num_batches rows
+    per query in ``map_groups``. Ties broken by vec_id asc.
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)
+
+    class Score:
+        def __init__(self) -> None:
+            self.Q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = self.Q @ vecs.T  # (nq, B)
+            nq, B = sims.shape
+            kk = min(k, B)
+            # partial top-k per query inside the batch
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qids = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            vids = ids[part.ravel()]
+            scores = np.take_along_axis(sims, part, axis=1).ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(qids),
+                    id_col: pa.array(vids),
+                    "score": pa.array(scores),
+                }
+            )
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    num_clusters: int,
+    num_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means via map_batches partial sums.
+
+    Init: seeded sample of rows. Each iteration: per-batch assignment +
+    partial (sum, count) per centroid → driver reduce (k×d, tiny) →
+    recompute. Empty clusters keep their previous centroid.
+    """
+    sample = ds.random_sample(
+        min(1.0, (num_clusters * 20) / max(1, ds.count())), seed=seed
+    ).take(num_clusters * 20)
+    rng = np.random.default_rng(seed)
+    pts = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    centroids = pts[rng.choice(len(pts), size=num_clusters, replace=False)]
+
+    for _ in range(num_iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C = ray.get(c_ref)
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            d2 = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(C), dtype=np.int64)),
+                    "sum": pa.array(list(sums)),
+                    "count": pa.array(counts),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(num_clusters)
+        for _, r in parts.iterrows():
+            sums[int(r["cluster"])] += np.asarray(r["sum"])
+            counts[int(r["cluster"])] += r["count"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centroids
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    num_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: search only the nprobe nearest centroid
+    buckets per query. Same output schema as brute_force_topk."""
+    centroids = kmeans_fit(ds, num_clusters, num_iters, seed, vec_col)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    d2q = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(row.tolist()) for row in probe]
+    c_ref = ray.put(centroids)
+    q_ref = ray.put((Q, probe_sets))
+
+    class Score:
+        def __init__(self) -> None:
+            self.C = ray.get(c_ref)
+            self.Q, self.probe_sets = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d2 = ((raw[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            vecs = _normalize(raw)
+            sims = self.Q @ vecs.T
+            qids_out: list[np.ndarray] = []
+            vids_out: list[np.ndarray] = []
+            scores_out: list[np.ndarray] = []
+            for qi, pset in enumerate(self.probe_sets):
+                mask = np.isin(assign, list(pset))
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                vid = ids[mask]
+                kk = min(k, len(s))
+                part = np.argpartition(-s, kk - 1)[:kk]
+                qids_out.append(np.full(kk, qi, dtype=np.int64))
+                vids_out.append(vid[part])
+                scores_out.append(s[part])
+            if not qids_out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        id_col: pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(qids_out)),
+                    id_col: pa.array(np.concatenate(vids_out)),
+                    "score": pa.array(np.concatenate(scores_out)),
+                }
+            )
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,168 @@
+"""Dedup suite + similarity search + multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.stages.dedup import (
+    embedding_cosine_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+    simhash64,
+)
+from citationgraphs_ray.stages.multimodal import (
+    DecodeImages,
+    SampleFrames,
+    fake_png_decoder,
+    make_image_table,
+)
+from citationgraphs_ray.stages.similarity import brute_force_topk, ivf_topk
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different content about spark ray data engines and arrow tables"
+
+
+def test_exact_dedup():
+    ds = _docs([BASE, BASE, OTHER, BASE])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert list(out.is_representative) == [True, False, True, False]
+    assert out.content_hash.nunique() == 2
+
+
+def test_minhash_lsh_dedup():
+    ds = _docs([BASE, NEAR, OTHER, BASE])
+    out = minhash_lsh_dedup(ds, threshold=0.7).to_pandas().sort_values("id")
+    cl = list(out.cluster_id)
+    assert cl[0] == cl[1] == cl[3] == 0  # near-dups clustered, min-id rep
+    assert cl[2] == 2
+
+
+def test_simhash_properties_and_dedup():
+    assert simhash64(BASE) == simhash64(BASE)  # deterministic
+    assert bin(simhash64(BASE) ^ simhash64(NEAR)).count("1") <= 10
+    assert bin(simhash64(BASE) ^ simhash64(OTHER)).count("1") > 10
+    ds = _docs([BASE, NEAR, OTHER])
+    out = simhash_dedup(ds, max_hamming=10).to_pandas().sort_values("id")
+    assert out.cluster_id.iloc[0] == out.cluster_id.iloc[1]
+    assert out.cluster_id.iloc[2] != out.cluster_id.iloc[0]
+
+
+def test_ngram_jaccard_dedup():
+    ds = _docs([BASE, NEAR, OTHER])
+    out = ngram_jaccard_dedup(ds, threshold=0.5).to_pandas().sort_values("id")
+    assert out.cluster_id.iloc[0] == out.cluster_id.iloc[1] == 0
+    assert out.cluster_id.iloc[2] == 2
+
+
+def test_embedding_cosine_dedup():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    far = rng.standard_normal(16)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array([base.tolist(), near.tolist(), far.tolist()]),
+            }
+        )
+    )
+    out = embedding_cosine_dedup(ds, threshold=0.99).to_pandas().sort_values("id")
+    assert out.cluster_id.iloc[0] == out.cluster_id.iloc[1] == 0
+    assert out.cluster_id.iloc[2] == 2
+
+
+def test_brute_force_topk_matches_numpy():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tbl = emb.to_pandas()
+    mat = np.array(tbl.embedding.tolist(), dtype=np.float64)
+    ids = tbl.vec_id.to_numpy()
+    queries = mat[:3]
+    got = brute_force_topk(emb, queries, k=5).to_pandas()
+    N = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    Q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = Q @ N.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        exp_ids = ids[order]
+        g = got[got.query_id == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        assert list(g.vec_id) == list(exp_ids)
+        assert np.allclose(g.score.to_numpy(), sims[qi][order])
+
+
+def test_ivf_topk_recall():
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet").materialize()
+    tbl = emb.to_pandas()
+    mat = np.array(tbl.embedding.tolist(), dtype=np.float64)
+    queries = mat[:5]
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    approx = ivf_topk(emb, queries, k=10, num_clusters=8, nprobe=4).to_pandas()
+    # recall@10 vs exact should be high with half the buckets probed
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_multimodal_decode_plumbing():
+    tbl = make_image_table(24, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        DecodeImages,
+        fn_constructor_kwargs={"decoder": fake_png_decoder},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 24
+    assert "payload" not in out.columns  # blob projected away
+    assert {"mean_r", "mean_g", "mean_b", "thumbnail"} <= set(out.columns)
+    assert all(len(t) == 16 for t in out.thumbnail)
+    # determinism
+    img = fake_png_decoder(tbl["payload"][0].as_py())
+    assert abs(out.sort_values("item_id").mean_r.iloc[0] - img[:, :, 0].mean()) < 1e-9
+
+
+def test_multimodal_stub_contract():
+    ds = ray.data.from_arrow(make_image_table(4))
+    with pytest.raises(Exception) as ei:
+        ds.map_batches(
+            DecodeImages, batch_format="pyarrow", concurrency=1
+        ).materialize()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sampling():
+    ds = ray.data.from_arrow(make_image_table(6, seed=1))
+    out = ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"decoder": fake_png_decoder, "every_n": 3},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    heights = ds.to_pandas().set_index("item_id").height
+    exp = sum((int(h) + 2) // 3 for h in heights)
+    assert len(out) == exp
