@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ``ray.init``/``ray.shutdown`` — the
+driver owns the session. See citationgraphs_ray/pipelines/queries.py for
+the query registry and the Ray↔SQL parity conventions.
 """
 
 from __future__ import annotations
@@ -20,25 +17,48 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive the edge table
+    from lineitem, run PageRank to convergence, join in/out degrees —
+    returns a per-vertex analytics table (id, rank, out_degree, in_degree).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from citationgraphs_ray.graph.engine import pagerank
+    from citationgraphs_ray.pipelines.queries import GRAPH_MOD, derive_edges
+    from citationgraphs_ray.utils import dataset_to_dense_array
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = derive_edges(sf_dir).materialize()
+    res = pagerank(edges, GRAPH_MOD, tol=1e-9)
+    out_deg = dataset_to_dense_array(
+        edges.groupby("src").count(), "src", "count()", GRAPH_MOD, 0, np.int64
+    )
+    in_deg = dataset_to_dense_array(
+        edges.groupby("dst").count(), "dst", "count()", GRAPH_MOD, 0, np.int64
+    )
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    present = (out_deg > 0) | (in_deg > 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids[present]),
+                "rank": pa.array(res.state[present]),
+                "out_degree": pa.array(out_deg[present]),
+                "in_degree": pa.array(in_deg[present]),
+            }
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from citationgraphs_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from citationgraphs_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,879 @@
+"""Driver-facing query surface: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry in QUERIES is an operator/pipeline from SURVEY.md §2 instantiated
+over the driver's TPC-H-ish testdata tables; ORACLE_SQL holds the ANSI-SQL
+equivalent DuckDB runs on the same parquet (the driver compares row count +
+schema + order-insensitive value hash at sf0.01). Conventions for parity:
+
+- the graph for kernel queries is derived deterministically from lineitem:
+  ``src = l_orderkey % 1000, dst = l_partkey % 1000``, self-loops dropped,
+  exact-deduped — SQL-expressible, dense enough for triangles
+- aggregate/computed columns carry identical names in Ray and SQL
+- float columns are rounded (round6/round4) on BOTH sides; top-k outputs
+  carry integer ranks instead of raw scores (ordering verified stable)
+- iterative kernels PageRank/LPA and sketch-based dedups have no SQL
+  equivalent → no ORACLE_SQL entry (driver records rows-only; exactness is
+  covered by the in-repo NumPy-oracle pytest suite)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.cooccur import (
+    doc_cooccurrence,
+    doc_frequencies,
+    strongly_connected_pairs,
+    tfidf,
+    top_k_tfidf_per_doc,
+)
+from ..functions.metrics import compare_partitions, contingency_table
+from ..graph.engine import connected_components, label_propagation, pagerank
+from ..graph.triangles import triangle_counts
+from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+from ..stages.edges import dedup_edges, symmetrize_edges
+from ..stages.similarity import brute_force_topk
+from ..stages.text import LangIdHeuristic
+
+GRAPH_MOD = 1000
+
+_EN_STOP_SQL = "('the','a','of','and','to','in','is','for','on','with','that','it','as','at','by')"
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Graph derivation (shared)
+# ---------------------------------------------------------------------------
+
+
+def derive_edges(sf_dir: str) -> ray.data.Dataset:
+    """(src, dst) int64 edge table from lineitem — deduped, no self-loops."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    return dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+
+
+_EDGES_SQL = f"""
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+"""
+_EDGES_SYM_SQL = f"""
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
+"""
+_NODES_SQL = "SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)"
+
+
+def _with_graph_ctes(body: str) -> str:
+    return f"WITH edges AS ({_EDGES_SQL}), edges_sym AS ({_EDGES_SYM_SQL}), nodes AS ({_NODES_SQL}) {body}"
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_edge_table(sf_dir: str):
+    return derive_edges(sf_dir)
+
+
+def q_edge_symmetrize(sf_dir: str):
+    return symmetrize_edges(derive_edges(sf_dir))
+
+
+def q_degree_out(sf_dir: str):
+    return (
+        derive_edges(sf_dir)
+        .groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"id": t["src"], "out_degree": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_degree_in(sf_dir: str):
+    return (
+        derive_edges(sf_dir)
+        .groupby("dst")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"id": t["dst"], "in_degree": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_degree_histogram(sf_dir: str):
+    return (
+        q_degree_out(sf_dir)
+        .groupby("out_degree")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"out_degree": t["out_degree"], "n_vertices": t["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = triangle_counts(und, GRAPH_MOD)
+    # restrict to vertices present in the edge table (SQL `nodes` CTE)
+    present = np.zeros(GRAPH_MOD, dtype=bool)
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        present[b["src"].to_numpy(zero_copy_only=False)] = True
+        present[b["dst"].to_numpy(zero_copy_only=False)] = True
+    ids = np.flatnonzero(present).astype(np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "tri_count": pa.array(res.state[ids])}
+    )
+
+
+def q_triangle_total(sf_dir: str):
+    tbl = q_triangles_per_vertex(sf_dir)
+    total = int(np.sum(tbl["tri_count"].to_numpy()) // 3)
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+def q_connected_components(sf_dir: str):
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = connected_components(und, GRAPH_MOD)
+    present = np.zeros(GRAPH_MOD, dtype=bool)
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        present[b["src"].to_numpy(zero_copy_only=False)] = True
+        present[b["dst"].to_numpy(zero_copy_only=False)] = True
+    ids = np.flatnonzero(present).astype(np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "component": pa.array(res.state[ids])}
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative kernel — no SQL oracle (pytest NumPy oracle covers it)."""
+    edges = derive_edges(sf_dir).materialize()
+    res = pagerank(edges, GRAPH_MOD, tol=1e-10)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "rank": pa.array(_round6(res.state))}
+    )
+
+
+def q_label_propagation(sf_dir: str):
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = label_propagation(und, GRAPH_MOD, max_rounds=20)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table({"id": pa.array(ids), "label": pa.array(res.state)})
+
+
+def q_citation_year_histogram(sf_dir: str):
+    """G4 shape: edges ⋈ per-node year → groupby(dst, year).count().
+
+    node year = min order year per node id (o_orderkey % 1000)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def node_year(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        years = pd.to_datetime(t["o_orderdate"].to_pandas()).dt.year.to_numpy()
+        return pa.table(
+            {
+                "id": pa.array(ids.astype(np.int64)),
+                "year": pa.array(years.astype(np.int64)),
+            }
+        )
+
+    years = (
+        orders.map_batches(node_year, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("year", alias_name="year"))
+    )
+    from ..functions.trends import citation_year_histogram
+
+    return citation_year_histogram(derive_edges(sf_dir), years)
+
+
+# -- documents / text -------------------------------------------------------
+
+
+def q_doc_frequencies(sf_dir: str):
+    return doc_frequencies(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_cooccurrence(sf_dir: str):
+    return doc_cooccurrence(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_strong_pairs(sf_dir: str):
+    out = strongly_connected_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        thres_freq=20,
+        thres_ratio=1.05,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "actual": pa.array(
+                    _round6(t["actual"].to_numpy(zero_copy_only=False))
+                ),
+                "expected": pa.array(
+                    _round6(t["expected"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tfidf_top3(sf_dir: str):
+    scored = tfidf(_read(sf_dir, "documents", ["doc_id", "text"]))
+    top = top_k_tfidf_per_doc(scored, k=3)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "word"]].copy()
+        out["tfidf"] = _round6(df["tfidf"].to_numpy())
+        return out
+
+    return top.map_batches(clean, batch_format="pandas")
+
+
+def q_token_counts(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ws = np.fromiter(
+            (len((x or "").split(" ")) for x in t["text"].to_pylist()),
+            dtype=np.int64,
+        )
+        return pa.table({"doc_id": t["doc_id"], "ws_tokens": pa.array(ws)})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        stop = {
+            "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+            "that", "it", "as", "at", "by",
+        }
+        n = t.num_rows
+        n_chars = np.zeros(n, dtype=np.int64)
+        stop_ratio = np.zeros(n)
+        mean_wl = np.zeros(n)
+        for i, x in enumerate(t["text"].to_pylist()):
+            x = x or ""
+            n_chars[i] = len(x)
+            toks = x.split(" ") if x else []
+            if toks:
+                stop_ratio[i] = sum(1 for w in toks if w in stop) / len(toks)
+                mean_wl[i] = sum(len(w) for w in toks) / len(toks)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "stop_ratio": pa.array(_round6(stop_ratio)),
+                "mean_word_len": pa.array(_round6(mean_wl)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID — rows-only check (no SQL equivalent)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        LangIdHeuristic, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_lsh_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8
+    )
+
+
+def q_simhash_dedup(sf_dir: str):
+    return simhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+# -- embeddings -------------------------------------------------------------
+
+
+def q_knn_top5(sf_dir: str):
+    """Brute-force cosine top-5 for the first 3 vectors as queries; output
+    integer ranks (ordering verified stable vs float jitter)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    qdf = (
+        emb.filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array(qdf.embedding.tolist(), dtype=np.float64)
+    top = brute_force_topk(emb, Q, k=5)
+
+    def add_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        g["knn_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "knn_rank"]]
+
+    return top.groupby("query_id").map_groups(add_rank, batch_format="pandas")
+
+
+def q_membership_argmax(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        comm = np.array(
+            [
+                int(np.argmax(np.asarray(v, dtype=np.float32)))
+                for v in t["embedding"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table({"id": t["vec_id"], "community": pa.array(comm)})
+
+    return emb.map_batches(fn, batch_format="pyarrow")
+
+
+def q_partition_metrics(sf_dir: str):
+    """X3/X4/X6 scalars between the label partition and vec_id % 7."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def a1(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["vec_id"],
+                "community": pa.array(
+                    t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    def a2(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"id": t["vec_id"], "community": pa.array((v % 7).astype(np.int64))}
+        )
+
+    ct = contingency_table(
+        emb.map_batches(a1, batch_format="pyarrow"),
+        emb.map_batches(a2, batch_format="pyarrow"),
+    )
+    c = compare_partitions(ct)
+    return pa.table(
+        {
+            "ri": pa.array(_round6(np.array([c.ri]))),
+            "ari": pa.array(_round6(np.array([c.ari]))),
+            "nmi": pa.array(_round6(np.array([c.nmi]))),
+        }
+    )
+
+
+# -- events -----------------------------------------------------------------
+
+
+def q_events_by_day_type(sf_dir: str):
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day(t: pa.Table) -> pa.Table:
+        days = (
+            pd.to_datetime(t["ts"].to_pandas()).dt.strftime("%Y-%m-%d").to_numpy()
+        )
+        return pa.table({"day": pa.array(days), "event_type": t["event_type"]})
+
+    return (
+        ev.map_batches(day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "day": t["day"],
+                    "event_type": t["event_type"],
+                    "n": t["count()"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_windowed_user_stats(sf_dir: str):
+    """Tumbling 1-day window per user: (user_id, day, n_events, sum_value)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day(t: pa.Table) -> pa.Table:
+        days = (
+            pd.to_datetime(t["ts"].to_pandas()).dt.strftime("%Y-%m-%d").to_numpy()
+        )
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(days), "value": t["value"]}
+        )
+
+    agg = (
+        ev.map_batches(day, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    _round6(t["sum_value"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_emerging_users(sf_dir: str):
+    """A16 cold-then-hot over event days: users with < 33 events in days
+    1-15 and ≥ 31 in days 16-30 (thresholds straddle the per-user median so
+    the result is non-empty at every sf). Schema-stable when empty."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = pd.to_datetime(t["ts"].to_pandas())
+        far = (ts < pd.Timestamp("2024-01-16")).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "far": pa.array(far),
+                "recent": pa.array(1 - far),
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("far", alias_name="far_count"),
+            Sum("recent", alias_name="recent_count"),
+        )
+    )
+    def keep(t: pa.Table) -> pa.Table:
+        far = t["far_count"].to_numpy(zero_copy_only=False)
+        rec = t["recent_count"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((far < 33) & (rec >= 31)))
+
+    # arrow-level filter keeps the schema even for an empty result
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+# -- TPC-H-ish joins / top-k ------------------------------------------------
+
+
+def q_customer_nation_stats(sf_dir: str):
+    """Join shape (§2.7): customer ⋈ nation → per-nation count + balance."""
+    cust = _read(sf_dir, "customer")
+    nation = _read(sf_dir, "nation")
+    j = cust.join(
+        nation,
+        join_type="inner",
+        num_partitions=8,
+        on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    agg = j.groupby("n_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_customers": t["n_customers"],
+                "total_acctbal": pa.array(
+                    _round6(t["total_acctbal"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_parts_by_revenue(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"l_partkey": t["l_partkey"], "revenue": pa.array(r)})
+
+    agg = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort(["revenue", "l_partkey"], descending=[True, False])
+        .limit(20)
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "revenue": pa.array(
+                    np.floor(t["revenue"].to_numpy(zero_copy_only=False) * 1e4 + 0.5)
+                    / 1e4
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape — grouped aggregation with computed columns."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+                "disc_price": pa.array(price * (1.0 - disc)),
+            }
+        )
+
+    agg = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(
+                    _round6(t["sum_qty"].to_numpy(zero_copy_only=False))
+                ),
+                "sum_base_price": pa.array(
+                    np.floor(
+                        t["sum_base_price"].to_numpy(zero_copy_only=False) * 1e2 + 0.5
+                    )
+                    / 1e2
+                ),
+                "sum_disc_price": pa.array(
+                    np.floor(
+                        t["sum_disc_price"].to_numpy(zero_copy_only=False) * 1e2 + 0.5
+                    )
+                    / 1e2
+                ),
+                "count_order": t["count_order"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "edge_table": q_edge_table,
+    "edge_symmetrize": q_edge_symmetrize,
+    "degree_out": q_degree_out,
+    "degree_in": q_degree_in,
+    "degree_histogram": q_degree_histogram,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "triangle_total": q_triangle_total,
+    "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
+    "label_propagation": q_label_propagation,
+    "citation_year_histogram": q_citation_year_histogram,
+    "doc_frequencies": q_doc_frequencies,
+    "doc_cooccurrence": q_doc_cooccurrence,
+    "strong_pairs": q_strong_pairs,
+    "tfidf_top3": q_tfidf_top3,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "knn_top5": q_knn_top5,
+    "membership_argmax": q_membership_argmax,
+    "partition_metrics": q_partition_metrics,
+    "events_by_day_type": q_events_by_day_type,
+    "windowed_user_stats": q_windowed_user_stats,
+    "emerging_users": q_emerging_users,
+    "customer_nation_stats": q_customer_nation_stats,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+}
+
+_TOK = "unnest(string_split(lower(text), ' ')) AS word"
+
+ORACLE_SQL = {
+    "edge_table": _with_graph_ctes("SELECT src, dst FROM edges"),
+    "edge_symmetrize": _with_graph_ctes("SELECT src, dst FROM edges_sym"),
+    "degree_out": _with_graph_ctes(
+        "SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src"
+    ),
+    "degree_in": _with_graph_ctes(
+        "SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY dst"
+    ),
+    "degree_histogram": _with_graph_ctes(
+        """SELECT out_degree, count(*) AS n_vertices FROM (
+             SELECT src, count(*) AS out_degree FROM edges GROUP BY src)
+           GROUP BY out_degree"""
+    ),
+    "triangles_per_vertex": _with_graph_ctes(
+        """, deg AS (
+             SELECT id, count(*) AS d FROM (
+               SELECT src AS id FROM edges_sym) GROUP BY id),
+           uv AS (
+             SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+             FROM edges_sym GROUP BY 1, 2),
+           ork AS (SELECT id, d * 1001 + id AS r FROM deg),
+           oriented AS (
+             SELECT CASE WHEN ru.r < rv.r THEN u ELSE v END AS a,
+                    CASE WHEN ru.r < rv.r THEN v ELSE u END AS b
+             FROM uv JOIN ork ru ON uv.u = ru.id JOIN ork rv ON uv.v = rv.id),
+           tris AS (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM oriented e1
+             JOIN oriented e2 ON e1.b = e2.a
+             JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b),
+           pervert AS (
+             SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+             UNION ALL SELECT z FROM tris)
+           SELECT n.id, coalesce(t.c, 0) AS tri_count
+           FROM nodes n LEFT JOIN (
+             SELECT id, count(*) AS c FROM pervert GROUP BY id) t
+           ON n.id = t.id"""
+    ),
+    "triangle_total": _with_graph_ctes(
+        """, uv AS (
+             SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+             FROM edges_sym GROUP BY 1, 2),
+           deg AS (SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM uv UNION ALL SELECT v FROM uv) GROUP BY id),
+           ork AS (SELECT id, d * 1001 + id AS r FROM deg),
+           oriented AS (
+             SELECT CASE WHEN ru.r < rv.r THEN u ELSE v END AS a,
+                    CASE WHEN ru.r < rv.r THEN v ELSE u END AS b
+             FROM uv JOIN ork ru ON uv.u = ru.id JOIN ork rv ON uv.v = rv.id)
+           SELECT count(*) AS n_triangles
+           FROM oriented e1
+           JOIN oriented e2 ON e1.b = e2.a
+           JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b"""
+    ),
+    "connected_components": f"""
+        WITH RECURSIVE edges AS ({_EDGES_SQL}),
+        edges_sym AS ({_EDGES_SYM_SQL}),
+        nodes AS ({_NODES_SQL}),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM edges_sym e
+          JOIN reach ON e.src = reach.id)
+        SELECT id, min(r) AS component FROM reach GROUP BY id""",
+    "citation_year_histogram": _with_graph_ctes(
+        """, node_years AS (
+             SELECT o_orderkey % 1000 AS id,
+                    min(year(o_orderdate)) AS year
+             FROM orders GROUP BY 1)
+           SELECT e.dst AS id, y.year, count(*) AS n_citations
+           FROM edges e JOIN node_years y ON e.src = y.id
+           GROUP BY 1, 2"""
+    ),
+    "doc_frequencies": f"""
+        SELECT word, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, {_TOK} FROM documents)
+        GROUP BY word""",
+    "doc_cooccurrence": f"""
+        WITH words AS (
+          SELECT DISTINCT doc_id, {_TOK} FROM documents)
+        SELECT a.word AS w1, b.word AS w2, count(*) AS freq
+        FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2""",
+    "strong_pairs": f"""
+        WITH words AS (SELECT DISTINCT doc_id, {_TOK} FROM documents),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        df AS (SELECT word, count(*)::DOUBLE AS df FROM words GROUP BY word),
+        pairs AS (
+          SELECT a.word AS w1, b.word AS w2, count(*)::DOUBLE AS freq
+          FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.word < b.word
+          GROUP BY 1, 2)
+        SELECT w1, w2, round(freq, 6) AS actual,
+               round(d1.df * d2.df / n.n, 6) AS expected
+        FROM pairs JOIN df d1 ON pairs.w1 = d1.word
+        JOIN df d2 ON pairs.w2 = d2.word CROSS JOIN n
+        WHERE freq >= 20 AND freq >= 1.05 * (d1.df * d2.df / n.n)""",
+    "tfidf_top3": f"""
+        WITH tok AS (SELECT doc_id, {_TOK} FROM documents),
+        tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT word, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT doc_id, word, tf * ln(n.n / df.df) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tf * ln(n.n / df.df) DESC, word ASC
+                 ) AS rn
+          FROM tf JOIN df USING (word) CROSS JOIN n)
+        SELECT doc_id, word, round(tfidf, 6) AS tfidf
+        FROM scored WHERE rn <= 3""",
+    "token_counts": """
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens
+        FROM documents""",
+    "quality_scores": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        stats AS (
+          SELECT doc_id,
+                 avg(CASE WHEN word IN {_EN_STOP_SQL} THEN 1.0 ELSE 0.0 END) AS sr,
+                 avg(length(word)::DOUBLE) AS mwl
+          FROM tok GROUP BY doc_id)
+        SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+               round(s.sr, 6) AS stop_ratio,
+               round(s.mwl, 6) AS mean_word_len
+        FROM documents d JOIN stats s ON d.doc_id = s.doc_id""",
+    "exact_dedup": """
+        SELECT doc_id, sha256(text) AS content_hash,
+               doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+                 AS is_representative
+        FROM documents""",
+    "knn_top5": """
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS s
+          FROM q CROSS JOIN embeddings e),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS knn_rank
+          FROM scored)
+        SELECT query_id, vec_id, knn_rank FROM ranked WHERE knn_rank <= 5""",
+    "membership_argmax": """
+        SELECT vec_id AS id,
+               (list_position(embedding, list_max(embedding)) - 1)::BIGINT
+                 AS community
+        FROM embeddings""",
+    "partition_metrics": """
+        WITH ct AS (
+          SELECT label AS c1, vec_id % 7 AS c2, count(*)::DOUBLE AS nij
+          FROM embeddings GROUP BY 1, 2),
+        a AS (SELECT c1, sum(nij) AS ai FROM ct GROUP BY c1),
+        b AS (SELECT c2, sum(nij) AS bj FROM ct GROUP BY c2),
+        n AS (SELECT sum(nij) AS n FROM ct),
+        sums AS (
+          SELECT
+            (SELECT sum(nij * (nij - 1) / 2) FROM ct) AS sij,
+            (SELECT sum(ai * (ai - 1) / 2) FROM a) AS sa,
+            (SELECT sum(bj * (bj - 1) / 2) FROM b) AS sb,
+            (SELECT n * (n - 1) / 2 FROM n) AS tp,
+            (SELECT n FROM n) AS n),
+        ent AS (
+          SELECT
+            (SELECT -sum((ai / n.n) * ln(ai / n.n)) FROM a, n) AS h1,
+            (SELECT -sum((bj / n.n) * ln(bj / n.n)) FROM b, n) AS h2,
+            (SELECT sum((nij / n.n) * ln((nij / n.n) /
+                ((ai / n.n) * (bj / n.n))))
+             FROM ct JOIN a USING (c1) JOIN b USING (c2) CROSS JOIN n) AS mi)
+        SELECT
+          round((tp + 2 * sij - sa - sb) / tp, 6) AS ri,
+          round((sij - sa * sb / tp) / (0.5 * (sa + sb) - sa * sb / tp), 6) AS ari,
+          round(2 * mi / (h1 + h2), 6) AS nmi
+        FROM sums, ent""",
+    "events_by_day_type": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2""",
+    "windowed_user_stats": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "emerging_users": """
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT
+                 AS far_count,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT
+                 AS recent_count
+        FROM events GROUP BY user_id
+        HAVING far_count < 33 AND recent_count >= 31""",
+    "customer_nation_stats": """
+        SELECT n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 6) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "top_parts_by_revenue": """
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_partkey ASC
+        LIMIT 20""",
+    "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+}
