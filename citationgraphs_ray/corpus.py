@@ -41,7 +41,11 @@ def generate_corpus(
     seed: int = 42,
     mega_repo_files: int = 0,
     orgs_per_group: int = 10,
+    out_deg_base: int = 0,
 ) -> SyntheticCorpus:
+    """``out_deg_base`` shifts the Zipf out-degree up uniformly — used by the
+    bench harness to hit the FIXTURES.md bench edge density (~10 edges/file)
+    without changing the test-scale shape (default 0 keeps old behavior)."""
     rng = np.random.default_rng(seed)
 
     repos = [f"org{i // orgs_per_group}/repo{i}" for i in range(n_repos)]
@@ -65,7 +69,9 @@ def generate_corpus(
 
     for r_idx, (r, nf) in enumerate(zip(repos, n_files)):
         langs = rng.choice(len(LANGS), size=nf, p=[0.90, 0.05, 0.05])
-        out_deg = np.clip(rng.zipf(2.0, size=nf) - 1, 0, 50).astype(int)
+        out_deg = np.clip(
+            rng.zipf(2.0, size=nf) - 1 + out_deg_base, 0, 50 + out_deg_base
+        ).astype(int)
         for j in range(nf):
             path = f"src/m{j}.py"
             lang = LANGS[langs[j]]

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from ..utils import collect_table
 from ray.data.aggregate import Count, Sum
 
 
@@ -140,7 +142,7 @@ def strongly_connected_pairs(
     import ray
 
     n_docs = ds.count()
-    df_tbl = pa.concat_tables(ray.get(doc_frequencies(ds, text_col, id_col).to_arrow_refs()))
+    df_tbl = collect_table(doc_frequencies(ds, text_col, id_col))
     dfs = dict(zip(df_tbl["word"].to_pylist(), df_tbl["df"].to_pylist()))
     dfs_ref = ray.put(dfs)
     pair_counts = doc_cooccurrence(ds, text_col, id_col)
@@ -183,9 +185,7 @@ def tfidf(
     import ray
 
     n_docs = ds.count()
-    df_tbl = pa.concat_tables(
-        ray.get(doc_frequencies(ds, text_col, id_col).to_arrow_refs())
-    )
+    df_tbl = collect_table(doc_frequencies(ds, text_col, id_col))
     dfs = dict(zip(df_tbl["word"].to_pylist(), df_tbl["df"].to_pylist()))
     dfs_ref = ray.put(dfs)
 

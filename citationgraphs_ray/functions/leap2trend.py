@@ -1,0 +1,174 @@
+"""Per-year embedding pipeline + Leap2Trend (S5, T4-T7, lifecycle E3).
+
+Reference flow (CitationGraphs.go:3799-3866, 4105-4331): write cumulative
+per-year training text (English-gated), train CBOW word2vec per year
+(external ``wego`` lib — T4), then per year compute all-pairs cosine
+against the high-frequency vocabulary (T5), rank neighbors (T6), join with
+the previous year's ranks and emit rank jumps (T7).
+
+The trainer here is ``DeterministicEmbedder`` — a seeded, corpus-dependent
+stand-in for the external CBOW lib (same call boundary: year corpus →
+word→vector map). Real trainers (gensim etc.) plug in via the ``embedder``
+hook; they are not in this container. Vectors are base hash-gaussians
+blended with the mean of co-occurring words' bases, so neighborhoods —
+and therefore rank jumps — respond to corpus drift across years while
+staying fully deterministic.
+
+Cross-year state (previous year's ranks) is a Dataset carried by the driver
+loop, exactly the E3 checkpoint shape.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .trends import neighbor_ranks, rank_jumps
+
+
+def save_word2vec_training_data(
+    docs: ray.data.Dataset,
+    out_prefix: str,
+    year_start: int,
+    year_end: int,
+) -> list[str]:
+    """S5 (3799-3866): per year y in [start, end], write one text file with
+    all English docs of year ≤ y (cumulative windows) plus a parallel id
+    file. docs = (doc_id, year, is_english, tokens)."""
+    os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+    written: list[str] = []
+    base = docs.filter(expr="is_english == True")
+    for y in range(year_start, year_end + 1):
+        sub = base.filter(expr=f"year <= {y}").sort("doc_id")
+        txt = f"{out_prefix}-{y}.txt"
+        ids = f"{out_prefix}-{y}.ids"
+        with open(txt, "w") as ft, open(ids, "w") as fi:
+            for row in sub.iter_rows():
+                ft.write(" ".join(row["tokens"]) + "\n")
+                fi.write(f"{row['doc_id']}\n")
+        written.append(txt)
+    return written
+
+
+class DeterministicEmbedder:
+    """T4 stub: word → R^dim, seeded by word hash, blended with the mean
+    base vector of in-window co-occurring words (corpus-dependent)."""
+
+    def __init__(self, dim: int = 32, window: int = 5, blend: float = 0.5) -> None:
+        self.dim, self.window, self.blend = dim, window, blend
+
+    def _base(self, word: str) -> np.ndarray:
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.blake2b(word.encode(), digest_size=8).digest(), "little"
+        )
+        return np.random.default_rng(seed).standard_normal(self.dim)
+
+    def fit(self, token_lists: list[list[str]]) -> dict[str, np.ndarray]:
+        ctx_sum: dict[str, np.ndarray] = defaultdict(lambda: np.zeros(self.dim))
+        ctx_n: dict[str, int] = defaultdict(int)
+        bases: dict[str, np.ndarray] = {}
+        for toks in token_lists:
+            for i, w in enumerate(toks):
+                if w not in bases:
+                    bases[w] = self._base(w)
+            for i, w in enumerate(toks):
+                lo, hi = max(0, i - self.window), min(len(toks), i + self.window + 1)
+                for j in range(lo, hi):
+                    if j == i:
+                        continue
+                    ctx_sum[w] += bases[toks[j]]
+                    ctx_n[w] += 1
+        out: dict[str, np.ndarray] = {}
+        for w, b in bases.items():
+            v = b.copy()
+            if ctx_n[w]:
+                v = (1 - self.blend) * b + self.blend * (ctx_sum[w] / ctx_n[w])
+            out[w] = v
+        return out
+
+
+def phrase_similarities(
+    vectors: dict[str, np.ndarray],
+    high_freq: list[str],
+) -> ray.data.Dataset:
+    """T5 (computePhraseSimilarities, 4139-4205): cosine of every word
+    against the high-frequency set — the high-freq matrix is the broadcast
+    small side; word blocks stream through map_batches."""
+    hf = sorted(high_freq)
+    H = np.stack([vectors[w] for w in hf])
+    H = H / np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
+    hf_ref = ray.put((hf, H))
+    words = sorted(vectors)
+    W = np.stack([vectors[w] for w in words])
+    W = W / np.maximum(np.linalg.norm(W, axis=1, keepdims=True), 1e-12)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "phrase1": pa.array(words),
+                "vec": pa.array([row.tolist() for row in W]),
+            }
+        )
+    )
+
+    class Score:
+        def __init__(self) -> None:
+            self.hf, self.H = ray.get(hf_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = np.array(batch["vec"].to_pylist())
+            sims = V @ self.H.T  # (B, |hf|)
+            p1 = np.repeat(batch["phrase1"].to_pylist(), len(self.hf))
+            p2 = np.tile(self.hf, len(V))
+            keep = p1 != p2
+            return pa.table(
+                {
+                    "phrase1": pa.array(p1[keep]),
+                    "phrase2": pa.array(p2[keep]),
+                    "sim": pa.array(sims.ravel()[keep]),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def leap2trend(
+    docs_by_year: dict[int, list[list[str]]],
+    min_freq: int = 3,
+    min_jump: int = 1,
+    embedder: DeterministicEmbedder | None = None,
+) -> dict[int, ray.data.Dataset]:
+    """T7 (Leap2Trend, 4237-4331): per year — embed the cumulative corpus,
+    filter high-freq words, all-pairs cosine vs high-freq set (T5), rank
+    neighbors (T6), join against previous year's ranks → rank jumps sorted
+    desc. Returns {year: jumps dataset}; first year has no output."""
+    embedder = embedder or DeterministicEmbedder()
+    years = sorted(docs_by_year)
+    prev_ranks: ray.data.Dataset | None = None
+    out: dict[int, ray.data.Dataset] = {}
+    cumulative: list[list[str]] = []
+    for y in years:
+        cumulative = cumulative + docs_by_year[y]
+        vectors = embedder.fit(cumulative)
+        freqs: dict[str, int] = defaultdict(int)
+        for toks in cumulative:
+            for w in toks:
+                freqs[w] += 1
+        high = [w for w, f in freqs.items() if f >= min_freq]
+        if len(high) < 2:
+            continue
+        sims = phrase_similarities(vectors, high)
+        # reference ranks only high-freq phrases against each other (4291-4297)
+        hf_set = set(high)
+        sims = sims.filter(lambda r: r["phrase1"] in hf_set)
+        ranks = neighbor_ranks(sims).materialize()
+        if prev_ranks is not None:
+            out[y] = rank_jumps(prev_ranks, ranks, min_jump=min_jump)
+        prev_ranks = ranks
+    return out

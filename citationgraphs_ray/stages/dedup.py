@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..utils import collect_table
+
 from ..graph.engine import connected_components
 from .edges import symmetrize_edges
 
@@ -474,7 +476,7 @@ def embedding_cosine_dedup(
     )
 
     # normalized matrix broadcast for exact verification
-    tbl = pa.concat_tables(ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
+    tbl = collect_table(ds.select_columns([id_col, vec_col]))
     ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..utils import zip_with_index
+from ..utils import collect_table, zip_with_index
 
 # Regexes matching the synthetic corpus grammar (corpus.py): same-repo
 # ``import m<k>`` lines and cross-repo ``from org<A>/repo<B>.m<k> import``
@@ -131,8 +131,7 @@ def resolve_edges(
     At 10^12-file scale the vertex map no longer fits one object; swap this
     stage for ``Dataset.join`` on (repo, path) — semantics identical.
     """
-    vt = vertex_ids.to_arrow_refs()
-    vert_tbl = pa.concat_tables(ray.get(vt))
+    vert_tbl = collect_table(vertex_ids)
     keys = {
         (r, p): i
         for r, p, i in zip(
@@ -168,7 +167,7 @@ def resolve_edges(
                 {"src": pa.array(src[:n]), "dst": pa.array(dst[:n])}
             )
 
-    return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 8))
+    return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 24))
 
 
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -268,7 +267,7 @@ def extract_edge_table(
     """
     slim = corpus.select_columns(["repo", "path", "lang", "content"])
     raw = slim.map_batches(
-        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 8)
+        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 24)
     )
     vids = mint_vertex_ids(corpus)
     edges = dedup_edges(resolve_edges(raw, vids))

@@ -1,0 +1,291 @@
+"""Distributed topic models: LDA (collapsed Gibbs) and GSDMM.
+
+Reference (SURVEY.md T1/T2): the Go library runs collapsed Gibbs with
+goroutines resampling doc chunks against RACY shared counters, then a serial
+counter rebuild per iteration (CitationGraphs.go:1182-1261, 1747-1822).
+This is exactly the approximate-distributed-Gibbs scheme published as
+AD-LDA (Newman et al., JMLR 2009): partitions resample against a stale
+global snapshot, deltas merge at a barrier. Here:
+
+- P long-lived partition actors hold their docs' token arrays + topic
+  assignments (doc state NEVER moves; same pattern as graph/csr_engine.py).
+- Per superstep: broadcast the global word-topic count table (K×W ints) →
+  each actor resamples its docs with a seeded per-partition RNG and returns
+  its delta to the global table → driver reduces P deltas (the
+  groupby-equivalent merge) and broadcasts the new snapshot.
+- Convergence monitor: per-iteration topic-entropy (reference logs relative
+  entropy per iter, 1187/1260).
+
+Exact Gibbs chains are seed-path dependent, so (per SURVEY §2.6) tests
+assert distributional/convergence behavior — entropy decreasing, clustering
+of planted topics — not bitwise equality with the Go code.
+
+GSDMM (one topic per whole doc, Yin & Wang KDD'14) uses the same harness
+with a doc-level resample.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..utils import collect_table
+
+
+@ray.remote
+class _TopicPartition:
+    """Holds a stable partition of docs: token ids + current assignments."""
+
+    def __init__(self, pid: int, num_topics: int, vocab_size: int, seed: int) -> None:
+        self.pid = pid
+        self.K = num_topics
+        self.W = vocab_size
+        self.rng = np.random.default_rng(seed * 10007 + pid)
+        self.doc_ids: np.ndarray | None = None
+        self.docs: list[np.ndarray] = []
+        # LDA: per-token topic; GSDMM: per-doc topic
+        self.z: list[np.ndarray] | np.ndarray | None = None
+        self.doc_topic: np.ndarray | None = None  # LDA per-doc topic counts
+
+    def load(self, doc_ids: np.ndarray, docs: list[np.ndarray]) -> int:
+        self.doc_ids = doc_ids
+        self.docs = [np.asarray(d, dtype=np.int64) for d in docs]
+        return len(docs)
+
+    # ---- LDA --------------------------------------------------------------
+    def lda_init(self) -> np.ndarray:
+        """Random topic per token; returns this partition's word-topic delta
+        (K×W) plus doc-topic kept locally."""
+        wt = np.zeros((self.K, self.W), dtype=np.int64)
+        self.z = []
+        self.doc_topic = np.zeros((len(self.docs), self.K), dtype=np.int64)
+        for d, toks in enumerate(self.docs):
+            z = self.rng.integers(0, self.K, size=len(toks))
+            self.z.append(z)
+            np.add.at(wt, (z, toks), 1)
+            np.add.at(self.doc_topic[d], z, 1)
+        return wt
+
+    def lda_resample(
+        self, word_topic: np.ndarray, topic_sum: np.ndarray, alpha: float, beta: float
+    ) -> np.ndarray:
+        """One sweep against the (stale) global snapshot; returns delta."""
+        delta = np.zeros_like(word_topic)
+        for d, toks in enumerate(self.docs):
+            z = self.z[d]
+            dt = self.doc_topic[d]
+            for i in range(len(toks)):
+                w, old = toks[i], z[i]
+                dt[old] -= 1
+                # collapsed Gibbs conditional (stale global counts)
+                p = (dt + alpha) * (word_topic[:, w] + beta) / (
+                    topic_sum + beta * self.W
+                )
+                new = int(self.rng.choice(self.K, p=p / p.sum()))
+                z[i] = new
+                dt[new] += 1
+                delta[old, w] -= 1
+                delta[new, w] += 1
+        return delta
+
+    def lda_doc_topics(self, alpha: float) -> tuple[np.ndarray, np.ndarray]:
+        theta = (self.doc_topic + alpha).astype(np.float64)
+        theta /= theta.sum(axis=1, keepdims=True)
+        return self.doc_ids, theta
+
+    # ---- GSDMM ------------------------------------------------------------
+    def gsdmm_init(self) -> tuple[np.ndarray, np.ndarray]:
+        self.z = self.rng.integers(0, self.K, size=len(self.docs))
+        wt = np.zeros((self.K, self.W), dtype=np.int64)
+        dc = np.zeros(self.K, dtype=np.int64)
+        for d, toks in enumerate(self.docs):
+            np.add.at(wt[self.z[d]], toks, 1)
+            dc[self.z[d]] += 1
+        return wt, dc
+
+    def gsdmm_resample(
+        self,
+        word_topic: np.ndarray,
+        topic_word_sum: np.ndarray,
+        topic_doc_count: np.ndarray,
+        n_docs: int,
+        alpha: float,
+        beta: float,
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        delta_wt = np.zeros_like(word_topic)
+        delta_dc = np.zeros(self.K, dtype=np.int64)
+        changed = 0
+        for d, toks in enumerate(self.docs):
+            old = int(self.z[d])
+            # log-space score per topic (Yin & Wang-style, stale counts):
+            # log(dc_k+α) + Σ_w cnt_w·log(wt[k,w]+β) − |doc|·log(Σ_w wt[k]+βW)
+            lp = np.log(topic_doc_count + alpha)
+            cnt = np.bincount(toks, minlength=self.W)
+            wz = np.flatnonzero(cnt)
+            lp = lp + (
+                cnt[wz][None, :] * np.log(word_topic[:, wz] + beta)
+            ).sum(axis=1)
+            lp = lp - len(toks) * np.log(topic_word_sum + beta * self.W)
+            lp -= lp.max()
+            p = np.exp(lp)
+            new = int(self.rng.choice(self.K, p=p / p.sum()))
+            if new != old:
+                changed += 1
+                np.add.at(delta_wt[old], toks, -1)
+                np.add.at(delta_wt[new], toks, 1)
+                delta_dc[old] -= 1
+                delta_dc[new] += 1
+                self.z[d] = new
+        return delta_wt, delta_dc, changed
+
+    def gsdmm_assignments(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.doc_ids, np.asarray(self.z, dtype=np.int64)
+
+
+def _load_partitions(
+    encoded: ray.data.Dataset, actors: list, num_partitions: int
+) -> None:
+    """Ship each doc to its hash partition once (docs never move again)."""
+    tbl = collect_table(encoded)
+    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    token_lists = tbl["word_ids"].to_pylist()
+    refs = []
+    for p in range(num_partitions):
+        mask = doc_ids % num_partitions == p
+        ids_p = doc_ids[mask]
+        docs_p = [np.asarray(token_lists[i], dtype=np.int64) for i in np.flatnonzero(mask)]
+        refs.append(actors[p].load.remote(ids_p, docs_p))
+    ray.get(refs)
+
+
+def _entropy(counts: np.ndarray) -> float:
+    p = counts.sum(axis=1).astype(np.float64)
+    p = p / max(p.sum(), 1.0)
+    nz = p > 0
+    return float(-np.sum(p[nz] * np.log(p[nz])))
+
+
+class LdaEngine:
+    """AD-LDA over P partition actors. encoded = (doc_id, word_ids)."""
+
+    def __init__(
+        self,
+        encoded: ray.data.Dataset,
+        num_topics: int,
+        vocab_size: int,
+        alpha: float = 0.1,
+        beta: float = 0.01,
+        num_partitions: int = 4,
+        seed: int = 42,
+    ) -> None:
+        if num_topics <= 0:
+            raise ValueError("numTopics must be positive")  # ref guard 2799
+        self.K, self.W = num_topics, vocab_size
+        self.alpha, self.beta = alpha, beta
+        self.P = num_partitions
+        self.actors = [
+            _TopicPartition.remote(p, num_topics, vocab_size, seed)
+            for p in range(num_partitions)
+        ]
+        _load_partitions(encoded, self.actors, num_partitions)
+        deltas = ray.get([a.lda_init.remote() for a in self.actors])
+        self.word_topic = np.sum(deltas, axis=0)
+        self.entropy_history: list[float] = []
+
+    def train(self, num_iters: int = 20) -> "LdaEngine":
+        for _ in range(num_iters):
+            wt_ref = ray.put(self.word_topic)
+            ts_ref = ray.put(self.word_topic.sum(axis=1))
+            deltas = ray.get(
+                [
+                    a.lda_resample.remote(wt_ref, ts_ref, self.alpha, self.beta)
+                    for a in self.actors
+                ]
+            )
+            self.word_topic = self.word_topic + np.sum(deltas, axis=0)
+            self.entropy_history.append(_entropy(self.word_topic))
+        return self
+
+    def memberships(self) -> ray.data.Dataset:
+        parts = ray.get([a.lda_doc_topics.remote(self.alpha) for a in self.actors])
+        ids = np.concatenate([p[0] for p in parts])
+        thetas = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids[order]),
+                    "membership": pa.array([row.tolist() for row in thetas[order]]),
+                }
+            )
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+
+
+class GsdmmEngine:
+    """GSDMM (one topic per doc) over the same partition-actor harness."""
+
+    def __init__(
+        self,
+        encoded: ray.data.Dataset,
+        num_topics: int,
+        vocab_size: int,
+        alpha: float = 0.1,
+        beta: float = 0.1,
+        num_partitions: int = 4,
+        seed: int = 42,
+    ) -> None:
+        if num_topics <= 0:
+            raise ValueError("numTopics must be positive")  # ref guard 3048
+        self.K, self.W = num_topics, vocab_size
+        self.alpha, self.beta = alpha, beta
+        self.P = num_partitions
+        self.actors = [
+            _TopicPartition.remote(p, num_topics, vocab_size, seed)
+            for p in range(num_partitions)
+        ]
+        _load_partitions(encoded, self.actors, num_partitions)
+        inits = ray.get([a.gsdmm_init.remote() for a in self.actors])
+        self.word_topic = np.sum([i[0] for i in inits], axis=0)
+        self.topic_doc = np.sum([i[1] for i in inits], axis=0)
+        self.n_docs = int(self.topic_doc.sum())
+        self.changed_history: list[int] = []
+
+    def train(self, num_iters: int = 15) -> "GsdmmEngine":
+        for _ in range(num_iters):
+            wt_ref = ray.put(self.word_topic)
+            ws_ref = ray.put(self.word_topic.sum(axis=1))
+            dc_ref = ray.put(self.topic_doc)
+            outs = ray.get(
+                [
+                    a.gsdmm_resample.remote(
+                        wt_ref, ws_ref, dc_ref, self.n_docs, self.alpha, self.beta
+                    )
+                    for a in self.actors
+                ]
+            )
+            self.word_topic = self.word_topic + np.sum([o[0] for o in outs], axis=0)
+            self.topic_doc = self.topic_doc + np.sum([o[1] for o in outs], axis=0)
+            changed = int(sum(o[2] for o in outs))
+            self.changed_history.append(changed)
+            if changed == 0:
+                break
+        return self
+
+    def assignments(self) -> ray.data.Dataset:
+        parts = ray.get([a.gsdmm_assignments.remote() for a in self.actors])
+        ids = np.concatenate([p[0] for p in parts])
+        z = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array(ids[order]), "topic": pa.array(z[order])})
+        )
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)

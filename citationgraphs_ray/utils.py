@@ -85,3 +85,13 @@ def stable_hash64(strings: np.ndarray | list[str]) -> np.ndarray:
             h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
         out[i] = h
     return out
+
+
+def collect_table(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a small Dataset to one Arrow table, skipping the empty
+    zero-column blocks Ray emits for fully-filtered partitions (they break
+    pa.concat_tables with a schema mismatch)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)

@@ -1,0 +1,156 @@
+"""CSV conformance round-trip (F4), memberships I/O, leap2trend pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.functions.leap2trend import (
+    DeterministicEmbedder,
+    leap2trend,
+    phrase_similarities,
+    save_word2vec_training_data,
+)
+from citationgraphs_ray.sources.csv_conformance import (
+    CitationGraphTables,
+    load_citation_graph,
+    load_memberships_json,
+    save_citation_graph,
+    save_memberships_json,
+)
+
+
+def _fixture_graph():
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], type=pa.int64()),
+                "is_main": pa.array([True, False, True]),
+                "year": pa.array([2001, 2002, 2003], type=pa.int64()),
+                "title": pa.array(
+                    [
+                        "Learning, Fast and Slow",  # comma → [comma] escaping
+                        "Graphs &amp; Matrices",  # HTML entity
+                        "Caf&//x00e9; Networks",  # unicode escape
+                    ]
+                ),
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 2, 3], type=pa.int64()),  # dup (1,2)
+                "dst": pa.array([2, 2, 1, 1], type=pa.int64()),  # + reverse
+            }
+        )
+    )
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 1, 3], type=pa.int64()),
+                "label": pa.array(["ml", "graphs", "nets"]),
+            }
+        )
+    )
+    return CitationGraphTables(nodes, edges, labels)
+
+
+def test_csv_roundtrip_fixpoint(tmp_path):
+    g = _fixture_graph()
+    p = str(tmp_path)
+    save_citation_graph(p, "ijcai", g)
+    loaded = load_citation_graph(p, "ijcai")
+    ndf = loaded.nodes.to_pandas().sort_values("id")
+    # [comma] escaping round-trips; entities/escapes tidied on load
+    assert ndf.title.iloc[0] == "Learning, Fast and Slow"
+    assert ndf.title.iloc[1] == "Graphs & Matrices"
+    assert "é" in ndf.title.iloc[2]
+    assert list(ndf.is_main) == [True, False, True]
+    # edges deduped + symmetrized to unique undirected pairs
+    edf = loaded.edges.to_pandas().sort_values(["src", "dst"])
+    assert list(map(tuple, edf.to_numpy())) == [(1, 2), (1, 3)]
+    # second save → identical files (fixpoint)
+    p2 = str(tmp_path / "again")
+    save_citation_graph(p2, "ijcai", loaded)
+    for f in ["nodes", "edges", "labels"]:
+        a = open(f"{p}/ijcai-citation-graph-{f}.csv").read()
+        b = open(f"{p2}/ijcai-citation-graph-{f}.csv").read()
+        assert a == b, f
+
+
+def test_csv_malformed_header_raises(tmp_path):
+    g = _fixture_graph()
+    save_citation_graph(str(tmp_path), "x", g)
+    f = tmp_path / "x-citation-graph-nodes.csv"
+    content = f.read_text().splitlines()
+    content[0] = "#id, wrong, year, title"
+    f.write_text("\n".join(content) + "\n")
+    with pytest.raises(ValueError, match="Incorrect file format"):
+        load_citation_graph(str(tmp_path), "x")
+
+
+def test_malformed_numeric_zero_valued(tmp_path):
+    save_citation_graph(str(tmp_path), "z", _fixture_graph())
+    f = tmp_path / "z-citation-graph-nodes.csv"
+    lines = f.read_text().splitlines()
+    lines.append("oops, true, notayear, Broken Row")
+    f.write_text("\n".join(lines) + "\n")
+    loaded = load_citation_graph(str(tmp_path), "z")
+    row = loaded.nodes.to_pandas().set_index("title").loc["Broken Row"]
+    assert row.id == 0 and row.year == 0  # strconv-discard semantics
+
+
+def test_memberships_json_roundtrip(tmp_path):
+    ms = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([5, 2], type=pa.int64()),
+                "membership": pa.array([[0.5, 0.5], [0.9, 0.1]]),
+            }
+        )
+    )
+    f = str(tmp_path / "m.json")
+    save_memberships_json(ms, f)
+    back = load_memberships_json(f).to_pandas().sort_values("id")
+    assert list(back.id) == [2, 5]
+    assert list(back.membership.iloc[0]) == [0.9, 0.1]
+
+
+def test_save_w2v_training_data(tmp_path):
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "year": 2000, "is_english": True, "tokens": ["a", "b"]},
+            {"doc_id": 1, "year": 2001, "is_english": True, "tokens": ["c"]},
+            {"doc_id": 2, "year": 2001, "is_english": False, "tokens": ["x"]},
+        ]
+    )
+    prefix = str(tmp_path / "w2v")
+    files = save_word2vec_training_data(docs, prefix, 2000, 2001)
+    assert open(files[0]).read() == "a b\n"  # year 2000: only doc 0
+    assert open(files[1]).read() == "a b\nc\n"  # cumulative; non-english gated
+    assert open(prefix + "-2001.ids").read() == "0\n1\n"
+
+
+def test_embedder_deterministic_and_corpus_sensitive():
+    e = DeterministicEmbedder(dim=16)
+    v1 = e.fit([["alpha", "beta"], ["alpha", "gamma"]])
+    v2 = e.fit([["alpha", "beta"], ["alpha", "gamma"]])
+    assert np.allclose(v1["alpha"], v2["alpha"])
+    v3 = e.fit([["alpha", "delta"], ["alpha", "delta"]])
+    assert not np.allclose(v1["alpha"], v3["alpha"])  # context shifts vector
+
+
+def test_leap2trend_emits_jumps():
+    docs_by_year = {
+        2000: [["spark", "engine", "data"] * 3, ["ray", "engine", "cloud"] * 3],
+        2001: [["ray", "data", "engine"] * 5] * 3,
+        2002: [["spark", "cloud", "cloud"] * 4] * 3,
+    }
+    out = leap2trend(docs_by_year, min_freq=3, min_jump=1)
+    assert set(out) <= {2001, 2002} and out  # first year never emits
+    for y, ds in out.items():
+        df = ds.to_pandas()
+        assert list(df.columns) == ["phrase1", "phrase2", "jump"]
+        if len(df) > 1:
+            assert (np.diff(df.jump.to_numpy()) <= 0).all()  # sorted desc

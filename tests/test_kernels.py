@@ -158,3 +158,17 @@ def test_triangle_relabel_invariance():
     a = triangles_oracle(edges, V)
     b = triangles_oracle(rel, V)
     assert np.array_equal(np.sort(a), np.sort(b))
+
+
+def test_reduce_strategies_agree(small_graph):
+    """driver-reduce and groupby-reduce must be numerically identical paths."""
+    edges, und, earr, V = small_graph
+    a = pagerank(edges, V, tol=1e-10, reduce="driver")
+    b = pagerank(edges, V, tol=1e-10, reduce="groupby")
+    assert np.allclose(a.state, b.state, atol=1e-12)
+    ca = connected_components(und, V, reduce="driver")
+    cb = connected_components(und, V, reduce="groupby")
+    assert np.array_equal(ca.state, cb.state)
+    la = label_propagation(und, V, max_rounds=10, reduce="driver")
+    lb = label_propagation(und, V, max_rounds=10, reduce="groupby")
+    assert np.array_equal(la.state, lb.state)

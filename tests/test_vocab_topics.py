@@ -1,0 +1,124 @@
+"""Vocab/encoding, Word2Phrase, and topic-model behavior tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.functions.vocab import (
+    build_vocab,
+    encode_docs,
+    tokenize_docs,
+    translate_vocab,
+    vocab_dict,
+    word2phrase,
+    word2phrase_ex,
+)
+from citationgraphs_ray.stages.topics import GsdmmEngine, LdaEngine
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def test_vocab_deterministic_sorted():
+    ds = tokenize_docs(_docs(["b a c", "a a d"]))
+    v = build_vocab(ds).to_pandas().sort_values("word_id")
+    assert list(v.word) == ["a", "b", "c", "d"]  # sorted rank, not first-seen
+    assert list(v.word_id) == [0, 1, 2, 3]
+    assert v.set_index("word").freq["a"] == 3
+
+
+def test_encode_order_preserving():
+    ds = tokenize_docs(_docs(["b a c", "a a d"]))
+    vd = vocab_dict(build_vocab(ds))
+    enc = encode_docs(ds, vd).to_pandas().sort_values("doc_id")
+    assert list(enc.word_ids.iloc[0]) == [vd["b"], vd["a"], vd["c"]]
+    assert list(enc.word_ids.iloc[1]) == [vd["a"], vd["a"], vd["d"]]
+
+
+def test_translate_vocab():
+    sub = {"a": 0, "b": 1}
+    sup = {"a": 5, "b": 7, "c": 9}
+    assert translate_vocab(sub, sup) == {0: 5, 1: 7}
+    with pytest.raises(KeyError):
+        translate_vocab({"zz": 0}, sup)
+
+
+def test_word2phrase_promotes_frequent_bigram():
+    texts = ["new york is big", "i love new york", "new york city"] * 5 + [
+        "the new day",
+        "york shire",
+    ]
+    ds = tokenize_docs(_docs(texts))
+    out = word2phrase(ds, num_iters=1, min_freq=5, min_score=1e-5).to_pandas()
+    joined = [" ".join(t) for t in out.sort_values("doc_id").tokens]
+    assert "new_york" in joined[0]
+    assert "the new day" in joined  # below-threshold bigram untouched
+    out2 = word2phrase_ex(ds, num_iters=1, min_freq=5, min_score=1.2).to_pandas()
+    assert any("new_york" in " ".join(t) for t in out2.tokens)
+
+
+def _planted_corpus(n_per_topic=30, seed=0):
+    """Two disjoint vocabularies → trivially separable topics."""
+    rng = np.random.default_rng(seed)
+    t0 = ["alpha beta gamma delta epsilon"] * n_per_topic
+    t1 = ["one two three four five"] * n_per_topic
+    texts = []
+    truth = []
+    for i in range(n_per_topic):
+        texts.append(" ".join(rng.permutation(t0[i].split())))
+        truth.append(0)
+        texts.append(" ".join(rng.permutation(t1[i].split())))
+        truth.append(1)
+    return texts, np.array(truth)
+
+
+def test_lda_separates_planted_topics():
+    texts, truth = _planted_corpus()
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+    eng = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=2, seed=1)
+    eng.train(num_iters=15)
+    ms = eng.memberships().to_pandas().sort_values("id")
+    pred = np.array([int(np.argmax(m)) for m in ms.membership])
+    eng.shutdown()
+    # purity: every doc of one ground-truth topic gets the same label
+    agree = max(
+        (pred == truth).mean(), (pred == 1 - truth).mean()
+    )
+    assert agree == 1.0
+    # entropy monitor recorded per iteration
+    assert len(eng.entropy_history) == 15
+
+
+def test_gsdmm_separates_planted_topics():
+    texts, truth = _planted_corpus()
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+    eng = GsdmmEngine(enc, num_topics=4, vocab_size=W, num_partitions=2, seed=3)
+    eng.train(num_iters=15)
+    asg = eng.assignments().to_pandas().sort_values("id")
+    eng.shutdown()
+    pred = asg.topic.to_numpy()
+    # purity: no label is shared between the two planted topics (GSDMM may
+    # keep >1 pure cluster per topic — a valid stationary state)
+    labels0 = set(pred[truth == 0])
+    labels1 = set(pred[truth == 1])
+    assert labels0.isdisjoint(labels1)
+
+
+def test_lda_param_guard():
+    with pytest.raises(ValueError):
+        LdaEngine(None, num_topics=0, vocab_size=5)
