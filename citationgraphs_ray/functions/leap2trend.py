@@ -172,3 +172,34 @@ def leap2trend(
             out[y] = rank_jumps(prev_ranks, ranks, min_jump=min_jump)
         prev_ranks = ranks
     return out
+
+
+def write_vec_file(vectors: dict[str, np.ndarray], file_name: str) -> None:
+    """S6: word2vec-text ``.vec`` format — header ``<n> <dim>``, then one
+    ``word v1 v2 ...`` line per word (CitationGraphs.go:4128-4136 writes,
+    4252-4266 reads). Words sorted for determinism."""
+    words = sorted(vectors)
+    dim = len(next(iter(vectors.values()))) if words else 0
+    with open(file_name, "w") as f:
+        f.write(f"{len(words)} {dim}\n")
+        for w in words:
+            f.write(w + " " + " ".join(f"{x:.6f}" for x in vectors[w]) + "\n")
+
+
+def read_vec_file(file_name: str) -> dict[str, np.ndarray]:
+    """S7: parse a ``.vec`` file back to word → vector."""
+    out: dict[str, np.ndarray] = {}
+    with open(file_name) as f:
+        header = f.readline().split()
+        dim = int(header[1]) if len(header) == 2 else None
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) < 2:
+                continue
+            vec = np.array([float(x) for x in parts[1:]], dtype=np.float64)
+            if dim is not None and len(vec) != dim:
+                raise ValueError(
+                    f"vector for {parts[0]!r} has dim {len(vec)} != {dim}"
+                )
+            out[parts[0]] = vec
+    return out

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..utils import broadcast_merge
+
 
 def counts_by_year(
     ds: ray.data.Dataset, key_col: str, year_col: str = "year"
@@ -81,14 +83,8 @@ def citation_year_histogram(
 ) -> ray.data.Dataset:
     """G4: per (cited node, citing year) counts — ``edges ⋈ years ON
     edges.src = years.id`` then groupby(dst, year). Returns
-    (id, year, n_citations)."""
-    j = edges.join(
-        node_years,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("src",),
-        right_on=("id",),
-    )
+    (id, year, n_citations). node_years is the broadcast small side."""
+    j = broadcast_merge(edges, node_years, left_on="src", right_on="id")
     return (
         j.groupby(["dst", "year"])
         .count()
@@ -116,14 +112,8 @@ def hot_topic_publications(
     rows are excluded, CitationGraphs.go:4044). Returns (id, early_citations).
     """
     hist = citation_year_histogram(edges, node_years, num_partitions)
-    j = hist.join(
-        node_years,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("id",),
-        right_on=("id",),
-        left_suffix="_cite",
-        right_suffix="_pub",
+    j = broadcast_merge(
+        hist, node_years, left_on="id", right_on="id", suffixes=("_cite", "_pub")
     )
 
     def early(batch: pa.Table) -> pa.Table:
@@ -196,3 +186,78 @@ def neighbor_ranks(
         return g[["phrase1", "phrase2", "rank"]]
 
     return sims.groupby("phrase1").map_groups(rank_group, batch_format="pandas")
+
+
+def titles_by_year(
+    ds: ray.data.Dataset, title_col: str = "title", year_col: str = "year"
+) -> ray.data.Dataset:
+    """A15 (SortByYear, 4084-4103): (year, titles: list<string>) — grouped
+    collect, titles sorted within year for determinism."""
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                year_col: [g[year_col].iloc[0]],
+                "titles": [sorted(g[title_col].tolist())],
+            }
+        )
+
+    return ds.groupby(year_col).map_groups(collect, batch_format="pandas")
+
+
+def emerging_topic_publications(
+    edges: ray.data.Dataset,
+    node_years: ray.data.Dataset,
+    year_far_away: int,
+    low_threshold: int,
+    high_threshold: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """A17 (GetEmergingTopicPublications, 3931-4013): nodes whose
+    in-citation history is cold early then breaks out — fewer than
+    ``low_threshold`` citations in years ≤ year_far_away AND a mean of
+    ≥ ``high_threshold`` citations/year after. Returns
+    (id, cold_citations, hot_mean)."""
+    hist = citation_year_histogram(edges, node_years, num_partitions)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        y = batch["year"].to_numpy(zero_copy_only=False)
+        n = batch["n_citations"].to_numpy(zero_copy_only=False)
+        cold = np.where(y <= year_far_away, n, 0).astype(np.int64)
+        hot_n = np.where(y > year_far_away, n, 0).astype(np.int64)
+        hot_years = (y > year_far_away).astype(np.int64)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "cold": pa.array(cold),
+                "hot_n": pa.array(hot_n),
+                "hot_years": pa.array(hot_years),
+            }
+        )
+
+    agg = (
+        hist.map_batches(bucket, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(
+            Sum("cold", alias_name="cold_citations"),
+            Sum("hot_n", alias_name="hot_total"),
+            Sum("hot_years", alias_name="hot_year_count"),
+        )
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        cold = t["cold_citations"].to_numpy(zero_copy_only=False)
+        tot = t["hot_total"].to_numpy(zero_copy_only=False)
+        ny = t["hot_year_count"].to_numpy(zero_copy_only=False)
+        mean = np.where(ny > 0, tot / np.maximum(ny, 1), 0.0)
+        mask = (cold < low_threshold) & (mean >= high_threshold)
+        out = pa.table(
+            {
+                "id": t["id"],
+                "cold_citations": pa.array(cold),
+                "hot_mean": pa.array(mean),
+            }
+        )
+        return out.filter(pa.array(mask))
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -877,3 +877,369 @@ ORACLE_SQL = {
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 }
+
+
+# -- round-2 additions: bigrams, A17/A18 graph trends, word2phrase, topics --
+
+
+def _node_years(sf_dir: str) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def node_year(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        years = pd.to_datetime(t["o_orderdate"].to_pandas()).dt.year.to_numpy()
+        return pa.table(
+            {
+                "id": pa.array(ids.astype(np.int64)),
+                "year": pa.array(years.astype(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(node_year, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("year", alias_name="year"))
+    )
+
+
+def q_bigram_counts(sf_dir: str):
+    """A6 bigram counting over documents: (w1, w2, n)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bi(t: pa.Table) -> pa.Table:
+        w1: list[str] = []
+        w2: list[str] = []
+        for x in t["text"].to_pylist():
+            toks = (x or "").lower().split()
+            for a, b in zip(toks, toks[1:]):
+                w1.append(a)
+                w2.append(b)
+        return pa.table({"w1": pa.array(w1), "w2": pa.array(w2)})
+
+    return (
+        docs.map_batches(bi, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "w2": t["w2"], "n": t["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_word2phrase_accepted(sf_dir: str):
+    """A7 accepted-bigram table: freq ≥ 5 and (freq-5)/(f1·f2) ≥ 1e-4."""
+    from ..functions.vocab import _bigram_tables, tokenize_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni_df, bi_df = _bigram_tables(tokenize_docs(docs).materialize())
+    freqs = dict(zip(uni_df["w"], uni_df["count()"]))
+    rows = [
+        (w1, w2, int(f))
+        for w1, w2, f in zip(bi_df["w1"], bi_df["w2"], bi_df["count()"])
+        if f >= 5 and (f - 5) / (freqs[w1] * freqs[w2]) >= 1e-4
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "w1": pa.array([r[0] for r in rows]),
+            "w2": pa.array([r[1] for r in rows]),
+            "n": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _node_years_mod(sf_dir: str) -> ray.data.Dataset:
+    """Synthetic per-node year = 1995 + id % 7 over the derived graph's
+    vertices — deterministic, SQL-expressible, spreads years so the A17/A18
+    cold/hot windows are non-degenerate (orders' min-year collapses to the
+    first year for nearly every node)."""
+    edges = derive_edges(sf_dir)
+
+    def ids(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u = np.unique(both)
+        return pa.table({"id": pa.array(u)})
+
+    verts = (
+        edges.map_batches(ids, batch_format="pyarrow")
+        .groupby("id")
+        .count()
+        .select_columns(["id"])
+    )
+    return verts.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "year": pa.array(
+                    1995 + t["id"].to_numpy(zero_copy_only=False) % 7
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_hot_vertices(sf_dir: str):
+    """A18 over the derived graph: ≥ 20 citations in pub year or next."""
+    from ..functions.trends import hot_topic_publications
+
+    return hot_topic_publications(
+        derive_edges(sf_dir), _node_years_mod(sf_dir), high_threshold=20
+    )
+
+
+def q_emerging_vertices(sf_dir: str):
+    """A17 over the derived graph: cold ≤1997 (<24), then mean ≥ 9/yr."""
+    from ..functions.trends import emerging_topic_publications
+
+    out = emerging_topic_publications(
+        derive_edges(sf_dir),
+        _node_years_mod(sf_dir),
+        year_far_away=1997,
+        low_threshold=24,
+        high_threshold=9,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "cold_citations": t["cold_citations"],
+                "hot_mean": pa.array(
+                    _round6(t["hot_mean"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lda_topics(sf_dir: str):
+    """T1 AD-LDA memberships over documents — rows-only (stochastic model,
+    deterministic per seed; exactness covered by pytest behavior tests)."""
+    from ..functions.vocab import build_vocab, encode_docs, tokenize_docs
+    from ..stages.topics import LdaEngine
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = tokenize_docs(docs).materialize()
+    vocab = build_vocab(tok)
+    enc = encode_docs(tok, vocab).materialize()
+    eng = LdaEngine(
+        enc, num_topics=5, vocab_size=vocab.count(), num_partitions=4, seed=42
+    ).train(10)
+    out = eng.memberships()
+    res = out.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "top_topic": pa.array(
+                    np.array(
+                        [int(np.argmax(m)) for m in t["membership"].to_pylist()],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    eng.shutdown()
+    return res
+
+
+def q_gsdmm_topics(sf_dir: str):
+    from ..functions.vocab import build_vocab, encode_docs, tokenize_docs
+    from ..stages.topics import GsdmmEngine
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = tokenize_docs(docs).materialize()
+    vocab = build_vocab(tok)
+    enc = encode_docs(tok, vocab).materialize()
+    eng = GsdmmEngine(
+        enc, num_topics=8, vocab_size=vocab.count(), num_partitions=4, seed=42
+    ).train(10)
+    res = eng.assignments().to_pandas()
+    eng.shutdown()
+    return res
+
+
+def q_ngram_dedup(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8
+    )
+
+
+def q_embedding_dedup(sf_dir: str):
+    from ..stages.dedup import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.99
+    )
+
+
+def q_ivf_knn_top5(sf_dir: str):
+    """IVF approximate top-5 — rows-only (approximate by design)."""
+    from ..stages.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    Q = np.array(qdf.embedding.tolist(), dtype=np.float64)
+    out = ivf_topk(emb, Q, k=5, num_clusters=8, nprobe=4)
+    return out.map_batches(
+        lambda df: df[["query_id", "vec_id"]], batch_format="pandas"
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    from ..stages.text import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: fingerprint_batch(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_modularity_cpm(sf_dir: str):
+    """X1/X2 scalars over embedding memberships — rows-only (no SQL)."""
+    from ..functions.metrics import (
+        communities_from_memberships,
+        cpm,
+        soft_modularity,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ms = emb.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["vec_id"],
+                "membership": pa.array(
+                    [list(map(float, v)) for v in t["embedding"].to_pylist()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    comms = communities_from_memberships(ms).materialize()
+    return pa.table(
+        {
+            "modularity": pa.array(_round6(np.array([soft_modularity(ms, comms)]))),
+            "cpm": pa.array(_round6(np.array([cpm(ms, comms, gamma=0.5)]))),
+        }
+    )
+
+
+def q_sim_tfidf_top3(sf_dir: str):
+    """A10 SimTFIDF with co-occurrence-derived similarity — rows-only."""
+    from ..functions.cooccur import doc_cooccurrence
+    from ..functions.phrases import (
+        phrase_similarity_from_cooccurrence,
+        sim_tfidf,
+        top_k_per_doc_non_overlapping,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    pair_counts = doc_cooccurrence(docs).filter(expr="freq >= 50")
+    sims = phrase_similarity_from_cooccurrence(pair_counts)
+    scored = sim_tfidf(docs, sims)
+    top = top_k_per_doc_non_overlapping(scored, k=3, score_col="sim_tfidf")
+    return top.map_batches(
+        lambda df: df[["doc_id", "word"]], batch_format="pandas"
+    )
+
+
+QUERIES.update(
+    {
+        "bigram_counts": q_bigram_counts,
+        "word2phrase_accepted": q_word2phrase_accepted,
+        "hot_vertices": q_hot_vertices,
+        "emerging_vertices": q_emerging_vertices,
+        "lda_topics": q_lda_topics,
+        "gsdmm_topics": q_gsdmm_topics,
+        "ngram_dedup": q_ngram_dedup,
+        "embedding_dedup": q_embedding_dedup,
+        "ivf_knn_top5": q_ivf_knn_top5,
+        "fingerprints": q_fingerprints,
+        "modularity_cpm": q_modularity_cpm,
+        "sim_tfidf_top3": q_sim_tfidf_top3,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bigram_counts": """
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(words) AS w,
+                     generate_subscripts(words, 1) AS p
+              FROM tok)
+            SELECT a.w AS w1, b.w AS w2, count(*) AS n
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            GROUP BY 1, 2""",
+        "word2phrase_accepted": """
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(words) AS w,
+                     generate_subscripts(words, 1) AS p
+              FROM tok),
+            uni AS (SELECT w, count(*)::DOUBLE AS f FROM pos GROUP BY w),
+            bi AS (
+              SELECT a.w AS w1, b.w AS w2, count(*)::DOUBLE AS f
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+              GROUP BY 1, 2)
+            SELECT bi.w1, bi.w2, bi.f::BIGINT AS n
+            FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+            WHERE bi.f >= 5 AND (bi.f - 5) / (u1.f * u2.f) >= 1e-4""",
+        "hot_vertices": _with_graph_ctes(
+            """, node_years AS (
+                 SELECT id, 1995 + id % 7 AS year FROM nodes),
+               hist AS (
+                 SELECT e.dst AS id, y.year, count(*) AS n
+                 FROM edges e JOIN node_years y ON e.src = y.id
+                 GROUP BY 1, 2)
+               SELECT h.id,
+                      sum(CASE WHEN h.year >= p.year AND h.year <= p.year + 1
+                               THEN h.n ELSE 0 END)::BIGINT AS early_citations
+               FROM hist h JOIN node_years p ON h.id = p.id
+               GROUP BY h.id
+               HAVING early_citations >= 20"""
+        ),
+        "emerging_vertices": _with_graph_ctes(
+            """, node_years AS (
+                 SELECT id, 1995 + id % 7 AS year FROM nodes),
+               hist AS (
+                 SELECT e.dst AS id, y.year, count(*) AS n
+                 FROM edges e JOIN node_years y ON e.src = y.id
+                 GROUP BY 1, 2),
+               agg AS (
+                 SELECT id,
+                        sum(CASE WHEN year <= 1997 THEN n ELSE 0 END)::BIGINT
+                          AS cold_citations,
+                        sum(CASE WHEN year > 1997 THEN n ELSE 0 END)::DOUBLE
+                          AS hot_total,
+                        sum(CASE WHEN year > 1997 THEN 1 ELSE 0 END)::DOUBLE
+                          AS hot_years
+                 FROM hist GROUP BY id)
+               SELECT id, cold_citations,
+                      round(CASE WHEN hot_years > 0
+                                 THEN hot_total / hot_years ELSE 0 END, 6)
+                        AS hot_mean
+               FROM agg
+               WHERE cold_citations < 24
+                 AND (CASE WHEN hot_years > 0 THEN hot_total / hot_years
+                           ELSE 0 END) >= 9"""
+        ),
+    }
+)

@@ -95,3 +95,37 @@ def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
+
+
+def broadcast_merge(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Map-side (broadcast) hash join: the small right side is collected
+    once, ``ray.put`` once, and pandas-merged into every batch — the
+    SURVEY.md §2.7 pattern for dimension-table joins. Avoids the all-to-all
+    shuffle (and Ray's hash-join empty-partition schema loss on tiny
+    inputs). Right side must fit in one object."""
+    import pandas as pd
+
+    right_df = collect_table(right).to_pandas()
+    ref = ray.put(right_df)
+
+    class Merge:
+        def __init__(self) -> None:
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: "pd.DataFrame") -> "pd.DataFrame":
+            return batch.merge(
+                self.right,
+                how=how,
+                left_on=left_on,
+                right_on=right_on,
+                suffixes=suffixes,
+            )
+
+    return left.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
