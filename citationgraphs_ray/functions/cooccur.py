@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..utils import collect_table
+from ..utils import collect_table, fast_distinct, fast_grouped_agg
 from ray.data.aggregate import Count, Sum
 
 
@@ -56,14 +56,8 @@ def doc_frequencies(
             words.extend(set((t or "").lower().split()))
         return pa.table({"word": pa.array(words)})
 
-    return (
-        ds.map_batches(fn, batch_format="pyarrow")
-        .groupby("word")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"word": t["word"], "df": t["count()"]}),
-            batch_format="pyarrow",
-        )
+    return fast_grouped_agg(
+        ds.map_batches(fn, batch_format="pyarrow"), ["word"], count_as="df"
     )
 
 
@@ -83,16 +77,10 @@ def doc_cooccurrence(
                 w2s.append(b)
         return pa.table({"w1": pa.array(w1s), "w2": pa.array(w2s)})
 
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"w1": t["w1"], "w2": t["w2"], "freq": t["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
+    return fast_grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["w1", "w2"],
+        count_as="freq",
     )
 
 
@@ -119,10 +107,10 @@ def word_cooccurrence(
             {"w1": pa.array(w1s), "w2": pa.array(w2s), "w": pa.array(wts)}
         )
 
-    return (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("w", alias_name="weight"))
+    return fast_grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"weight": ("w", "sum")},
     )
 
 

@@ -18,23 +18,14 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..utils import broadcast_merge
+from ..utils import broadcast_merge, fast_grouped_agg
 
 
 def counts_by_year(
     ds: ray.data.Dataset, key_col: str, year_col: str = "year"
 ) -> ray.data.Dataset:
     """(key, year, n) grouped counts — the A15/A16 base aggregation."""
-    return (
-        ds.groupby([key_col, year_col])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {key_col: t[key_col], year_col: t[year_col], "n": t["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    return fast_grouped_agg(ds, [key_col, year_col], count_as="n")
 
 
 def emerging_trends(
@@ -63,17 +54,18 @@ def emerging_trends(
             }
         ).filter(pa.array(keep))
 
-    agg = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(
-            Sum("far", alias_name="far_count"),
-            Sum("recent", alias_name="recent_count"),
-        )
+    agg = fast_grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        [key_col],
+        {"far_count": ("far", "sum"), "recent_count": ("recent", "sum")},
     )
-    return agg.filter(
-        expr=f"far_count < {low_threshold} and recent_count >= {high_threshold}"
-    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        far = t["far_count"].to_numpy(zero_copy_only=False)
+        rec = t["recent_count"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((far < low_threshold) & (rec >= high_threshold)))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
 
 
 def citation_year_histogram(
@@ -85,19 +77,12 @@ def citation_year_histogram(
     edges.src = years.id`` then groupby(dst, year). Returns
     (id, year, n_citations). node_years is the broadcast small side."""
     j = broadcast_merge(edges, node_years, left_on="src", right_on="id")
-    return (
-        j.groupby(["dst", "year"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "id": t["dst"],
-                    "year": t["year"],
-                    "n_citations": t["count()"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    agg = fast_grouped_agg(j, ["dst", "year"], count_as="n_citations")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"id": t["dst"], "year": t["year"], "n_citations": t["n_citations"]}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -128,12 +113,17 @@ def hot_topic_publications(
             }
         )
 
-    agg = (
-        j.map_batches(early, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("early", alias_name="early_citations"))
+    agg = fast_grouped_agg(
+        j.map_batches(early, batch_format="pyarrow"),
+        ["id"],
+        {"early_citations": ("early", "sum")},
     )
-    return agg.filter(expr=f"early_citations >= {high_threshold}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        e = t["early_citations"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(e >= high_threshold))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
 
 
 def rank_jumps(
@@ -235,14 +225,14 @@ def emerging_topic_publications(
             }
         )
 
-    agg = (
-        hist.map_batches(bucket, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(
-            Sum("cold", alias_name="cold_citations"),
-            Sum("hot_n", alias_name="hot_total"),
-            Sum("hot_years", alias_name="hot_year_count"),
-        )
+    agg = fast_grouped_agg(
+        hist.map_batches(bucket, batch_format="pyarrow"),
+        ["id"],
+        {
+            "cold_citations": ("cold", "sum"),
+            "hot_total": ("hot_n", "sum"),
+            "hot_year_count": ("hot_years", "sum"),
+        },
     )
 
     def keep(t: pa.Table) -> pa.Table:

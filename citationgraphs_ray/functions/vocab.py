@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..utils import collect_table, zip_with_index
+from ..utils import collect_table, fast_grouped_agg, zip_with_index
 
 
 def tokenize_docs(
@@ -49,12 +49,10 @@ def build_vocab(tokenized: ray.data.Dataset) -> ray.data.Dataset:
             words.extend(toks)
         return pa.table({"word": pa.array(words, type=pa.string())})
 
-    counts = tokenized.map_batches(explode, batch_format="pyarrow").groupby(
-        "word"
-    ).count()
-    counts = counts.map_batches(
-        lambda t: pa.table({"word": t["word"], "freq": t["count()"]}),
-        batch_format="pyarrow",
+    counts = fast_grouped_agg(
+        tokenized.map_batches(explode, batch_format="pyarrow"),
+        ["word"],
+        count_as="freq",
     ).sort("word")
     return zip_with_index(counts, col="word_id")
 
@@ -132,13 +130,13 @@ def _bigram_tables(
             {"w1": pa.array(w1, type=pa.string()), "w2": pa.array(w2, type=pa.string())}
         )
 
-    uni_df = (
-        tokenized.map_batches(uni, batch_format="pyarrow").groupby("w").count()
+    uni_df = fast_grouped_agg(
+        tokenized.map_batches(uni, batch_format="pyarrow"), ["w"], count_as="count()"
     ).to_pandas()
-    bi_df = (
-        tokenized.map_batches(bi, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .count()
+    bi_df = fast_grouped_agg(
+        tokenized.map_batches(bi, batch_format="pyarrow"),
+        ["w1", "w2"],
+        count_as="count()",
     ).to_pandas()
     return uni_df, bi_df
 

@@ -39,6 +39,7 @@ from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
 from ..stages.edges import dedup_edges, symmetrize_edges
 from ..stages.similarity import brute_force_topk
 from ..stages.text import LangIdHeuristic
+from ..utils import fast_distinct, fast_grouped_agg
 
 GRAPH_MOD = 1000
 
@@ -105,40 +106,24 @@ def q_edge_symmetrize(sf_dir: str):
 
 
 def q_degree_out(sf_dir: str):
-    return (
-        derive_edges(sf_dir)
-        .groupby("src")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"id": t["src"], "out_degree": t["count()"]}),
-            batch_format="pyarrow",
-        )
+    agg = fast_grouped_agg(derive_edges(sf_dir), ["src"], count_as="out_degree")
+    return agg.map_batches(
+        lambda t: pa.table({"id": t["src"], "out_degree": t["out_degree"]}),
+        batch_format="pyarrow",
     )
 
 
 def q_degree_in(sf_dir: str):
-    return (
-        derive_edges(sf_dir)
-        .groupby("dst")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"id": t["dst"], "in_degree": t["count()"]}),
-            batch_format="pyarrow",
-        )
+    agg = fast_grouped_agg(derive_edges(sf_dir), ["dst"], count_as="in_degree")
+    return agg.map_batches(
+        lambda t: pa.table({"id": t["dst"], "in_degree": t["in_degree"]}),
+        batch_format="pyarrow",
     )
 
 
 def q_degree_histogram(sf_dir: str):
-    return (
-        q_degree_out(sf_dir)
-        .groupby("out_degree")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"out_degree": t["out_degree"], "n_vertices": t["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
+    return fast_grouped_agg(
+        q_degree_out(sf_dir), ["out_degree"], count_as="n_vertices"
     )
 
 
@@ -211,10 +196,10 @@ def q_citation_year_histogram(sf_dir: str):
             }
         )
 
-    years = (
-        orders.map_batches(node_year, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Min("year", alias_name="year"))
+    years = fast_grouped_agg(
+        orders.map_batches(node_year, batch_format="pyarrow"),
+        ["id"],
+        {"year": ("year", "min")},
     )
     from ..functions.trends import citation_year_histogram
 
@@ -422,20 +407,10 @@ def q_events_by_day_type(sf_dir: str):
         )
         return pa.table({"day": pa.array(days), "event_type": t["event_type"]})
 
-    return (
-        ev.map_batches(day, batch_format="pyarrow")
-        .groupby(["day", "event_type"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "day": t["day"],
-                    "event_type": t["event_type"],
-                    "n": t["count()"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    return fast_grouped_agg(
+        ev.map_batches(day, batch_format="pyarrow"),
+        ["day", "event_type"],
+        count_as="n",
     )
 
 
@@ -451,10 +426,11 @@ def q_windowed_user_stats(sf_dir: str):
             {"user_id": t["user_id"], "day": pa.array(days), "value": t["value"]}
         )
 
-    agg = (
-        ev.map_batches(day, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    agg = fast_grouped_agg(
+        ev.map_batches(day, batch_format="pyarrow"),
+        ["user_id", "day"],
+        {"sum_value": ("value", "sum")},
+        count_as="n_events",
     )
     return agg.map_batches(
         lambda t: pa.table(
@@ -488,13 +464,10 @@ def q_emerging_users(sf_dir: str):
             }
         )
 
-    agg = (
-        ev.map_batches(bucket, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Sum("far", alias_name="far_count"),
-            Sum("recent", alias_name="recent_count"),
-        )
+    agg = fast_grouped_agg(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        ["user_id"],
+        {"far_count": ("far", "sum"), "recent_count": ("recent", "sum")},
     )
     def keep(t: pa.Table) -> pa.Table:
         far = t["far_count"].to_numpy(zero_copy_only=False)
@@ -519,8 +492,8 @@ def q_customer_nation_stats(sf_dir: str):
         on=("c_nationkey",),
         right_on=("n_nationkey",),
     )
-    agg = j.groupby("n_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    agg = fast_grouped_agg(
+        j, ["n_name"], {"total_acctbal": ("c_acctbal", "sum")}, count_as="n_customers"
     )
     return agg.map_batches(
         lambda t: pa.table(
@@ -546,9 +519,11 @@ def q_top_parts_by_revenue(sf_dir: str):
         return pa.table({"l_partkey": t["l_partkey"], "revenue": pa.array(r)})
 
     agg = (
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        fast_grouped_agg(
+            li.map_batches(rev, batch_format="pyarrow"),
+            ["l_partkey"],
+            {"revenue": ("revenue", "sum")},
+        )
         .sort(["revenue", "l_partkey"], descending=[True, False])
         .limit(20)
     )
@@ -593,15 +568,15 @@ def q_lineitem_pricing_summary(sf_dir: str):
             }
         )
 
-    agg = (
-        li.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    agg = fast_grouped_agg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_base_price": ("price", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+        },
+        count_as="count_order",
     )
     return agg.map_batches(
         lambda t: pa.table(
@@ -895,10 +870,10 @@ def _node_years(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        orders.map_batches(node_year, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Min("year", alias_name="year"))
+    return fast_grouped_agg(
+        orders.map_batches(node_year, batch_format="pyarrow"),
+        ["id"],
+        {"year": ("year", "min")},
     )
 
 
@@ -916,16 +891,8 @@ def q_bigram_counts(sf_dir: str):
                 w2.append(b)
         return pa.table({"w1": pa.array(w1), "w2": pa.array(w2)})
 
-    return (
-        docs.map_batches(bi, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"w1": t["w1"], "w2": t["w2"], "n": t["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
+    return fast_grouped_agg(
+        docs.map_batches(bi, batch_format="pyarrow"), ["w1", "w2"], count_as="n"
     )
 
 
@@ -968,12 +935,7 @@ def _node_years_mod(sf_dir: str) -> ray.data.Dataset:
         u = np.unique(both)
         return pa.table({"id": pa.array(u)})
 
-    verts = (
-        edges.map_batches(ids, batch_format="pyarrow")
-        .groupby("id")
-        .count()
-        .select_columns(["id"])
-    )
+    verts = fast_distinct(edges.map_batches(ids, batch_format="pyarrow"), ["id"])
     return verts.map_batches(
         lambda t: pa.table(
             {

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..utils import collect_table
+from ..utils import collect_table, fast_distinct
 
 from ..graph.engine import connected_components
 from .edges import symmetrize_edges
@@ -219,12 +219,11 @@ def minhash_lsh_dedup(
         src, dst = zip(*combinations(ids, 2))
         return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
-    cand = (
-        sigs.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+    cand = fast_distinct(
+        sigs.groupby(["band", "bucket"]).map_groups(
+            bucket_pairs, batch_format="pandas"
+        ),
+        ["src", "dst"],
     )
 
     # exact-Jaccard verification with broadcast shingle sets
@@ -326,12 +325,11 @@ def simhash_dedup(
         s, d, h1, h2 = zip(*out)
         return pd.DataFrame({"src": s, "dst": d, "h1": h1, "h2": h2}).astype(np.int64)
 
-    verified = (
-        sigs.groupby(["band", "value"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+    verified = fast_distinct(
+        sigs.groupby(["band", "value"]).map_groups(
+            bucket_pairs, batch_format="pandas"
+        ),
+        ["src", "dst"],
     )
     return resolve_dup_clusters(verified, num_ids)
 
@@ -379,12 +377,9 @@ def ngram_jaccard_dedup(
         src, dst = zip(*combinations(ids, 2))
         return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
-    cand = (
-        rows.groupby("shingle")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+    cand = fast_distinct(
+        rows.groupby("shingle").map_groups(bucket_pairs, batch_format="pandas"),
+        ["src", "dst"],
     )
     sh_map = {
         row[id_col]: _token_shingles(row[text_col], shingle_k)
@@ -467,12 +462,11 @@ def embedding_cosine_dedup(
         src, dst = zip(*combinations(ids, 2))
         return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
-    cand = (
-        sigs.groupby(["table", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+    cand = fast_distinct(
+        sigs.groupby(["table", "key"]).map_groups(
+            bucket_pairs, batch_format="pandas"
+        ),
+        ["src", "dst"],
     )
 
     # normalized matrix broadcast for exact verification

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..utils import collect_table, zip_with_index
+from ..utils import collect_table, fast_distinct, fast_grouped_agg, zip_with_index
 
 # Regexes matching the synthetic corpus grammar (corpus.py): same-repo
 # ``import m<k>`` lines and cross-repo ``from org<A>/repo<B>.m<k> import``
@@ -114,8 +114,9 @@ def mint_vertex_ids(corpus: ray.data.Dataset) -> ray.data.Dataset:
     order). Returns ``(repo, path, id)``. The sort + rank runs over the
     (small, blob-free) vertex table only.
     """
-    verts = corpus.select_columns(["repo", "path"]).groupby(["repo", "path"]).count()
-    verts = verts.select_columns(["repo", "path"]).sort(["repo", "path"])
+    verts = fast_distinct(
+        corpus.select_columns(["repo", "path"]), ["repo", "path"]
+    ).sort(["repo", "path"])
     return zip_with_index(verts, col="id")
 
 
@@ -176,7 +177,7 @@ def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     Reference analog: nested-set dedup on save (CitationGraphs.go:2003-2026).
     groupby is the shuffle; the count column is projected away.
     """
-    return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return fast_distinct(edges, ["src", "dst"])
 
 
 def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -200,26 +201,20 @@ def symmetrize_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 def out_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(id, out_degree) via groupby(src).count() — adjacency is derived."""
-    return (
-        edges.groupby("src")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"id": t["src"], "out_degree": t["count()"]}),
-            batch_format="pyarrow",
-        )
+    out = fast_grouped_agg(edges, ["src"], count_as="out_degree")
+    return out.map_batches(
+        lambda t: pa.table({"id": t["src"], "out_degree": t["out_degree"]}),
+        batch_format="pyarrow",
     )
 
 
 def in_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(id, in_degree) via groupby(dst).count() — the reference's in-citation
     count shape (CitationGraphs.go:3947-3961)."""
-    return (
-        edges.groupby("dst")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"id": t["dst"], "in_degree": t["count()"]}),
-            batch_format="pyarrow",
-        )
+    out = fast_grouped_agg(edges, ["dst"], count_as="in_degree")
+    return out.map_batches(
+        lambda t: pa.table({"id": t["dst"], "in_degree": t["in_degree"]}),
+        batch_format="pyarrow",
     )
 
 

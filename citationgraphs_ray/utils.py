@@ -90,11 +90,18 @@ def stable_hash64(strings: np.ndarray | list[str]) -> np.ndarray:
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a small Dataset to one Arrow table, skipping the empty
     zero-column blocks Ray emits for fully-filtered partitions (they break
-    pa.concat_tables with a schema mismatch)."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    pa.concat_tables with a schema mismatch). Pandas blocks (from upstream
+    map_groups stages) are converted."""
+    raw = ray.get(ds.to_arrow_refs())
+    tables = []
+    for t in raw:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns > 0:
+            tables.append(t)
     if not tables:
         return pa.table({})
-    return pa.concat_tables(tables)
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def broadcast_merge(
@@ -129,3 +136,89 @@ def broadcast_merge(
             )
 
     return left.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+
+
+_AGG_PARTIAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def fast_grouped_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    count_as: str | None = None,
+) -> "ray.data.Dataset":
+    """Two-level grouped aggregate on pyarrow's C++ group_by.
+
+    Ray's built-in ``groupby().aggregate()`` finalizes per group in Python
+    (measured 34s for 1.7M rows / 200k groups vs 0.4s in a C++ engine);
+    this helper does the combiner pattern instead: each block partial-
+    aggregates via ``pa.Table.group_by`` (stage 1, parallel, vectorized),
+    partials are concatenated and final-merged once (stage 2 — driver-side
+    here; on a multi-node cluster stage 2 becomes a hash shuffle of the
+    already-tiny partials — ≤ one row per key per block either way).
+
+    aggs: {out_col: (in_col, fn)} with fn in sum|min|max.
+    count_as: also emit a row count per group under this name.
+    """
+    aggs = aggs or {}
+    part_aggs = [(c, fn) for _, (c, fn) in aggs.items()]
+    if count_as:
+        part_aggs.append(([keys[0]], "count"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spec = [(c, fn) for c, fn in part_aggs if not isinstance(c, list)]
+        gb = batch.group_by(keys)
+        cols = spec + ([(keys[0], "count")] if count_as else [])
+        out = gb.aggregate(cols)
+        # pyarrow names outputs <col>_<fn>; rename to requested names
+        names = list(out.column_names)
+        rename = {}
+        for out_col, (c, fn) in aggs.items():
+            rename[f"{c}_{fn}"] = f"__p_{out_col}"
+        if count_as:
+            rename[f"{keys[0]}_count"] = f"__p_{count_as}"
+        new_names = [rename.get(n, n) for n in names]
+        return out.rename_columns(new_names)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    tbl = collect_table(parts)
+    if tbl.num_rows == 0 and tbl.num_columns == 0:
+        cols = {k: pa.array([], type=pa.string()) for k in keys}
+        for out_col in aggs:
+            cols[out_col] = pa.array([], type=pa.float64())
+        if count_as:
+            cols[count_as] = pa.array([], type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    final_spec = []
+    for out_col, (c, fn) in aggs.items():
+        final_spec.append((f"__p_{out_col}", _AGG_PARTIAL[fn]))
+    if count_as:
+        final_spec.append((f"__p_{count_as}", "sum"))
+    out = tbl.group_by(keys).aggregate(final_spec)
+    rename = {}
+    for out_col, (c, fn) in aggs.items():
+        rename[f"__p_{out_col}_{_AGG_PARTIAL[fn]}"] = out_col
+    if count_as:
+        rename[f"__p_{count_as}_sum"] = count_as
+    out = out.rename_columns([rename.get(n, n) for n in out.column_names])
+    if count_as:
+        i = out.schema.get_field_index(count_as)
+        out = out.set_column(
+            i, count_as, out[count_as].cast(pa.int64())
+        )
+    return ray.data.from_arrow(out)
+
+
+def fast_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    """Exact distinct on key columns: per-block C++ distinct, then one
+    final distinct over the concatenated partials (same combiner shape as
+    fast_grouped_agg)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    tbl = collect_table(parts)
+    if tbl.num_columns == 0:
+        return ray.data.from_arrow(tbl)
+    return ray.data.from_arrow(tbl.group_by(keys).aggregate([]))

@@ -172,3 +172,10 @@ def test_reduce_strategies_agree(small_graph):
     la = label_propagation(und, V, max_rounds=10, reduce="driver")
     lb = label_propagation(und, V, max_rounds=10, reduce="groupby")
     assert np.array_equal(la.state, lb.state)
+
+
+def test_triangle_strategies_agree(small_graph):
+    _, und, earr, V = small_graph
+    a = triangle_counts(und, V, strategy="broadcast")
+    b = triangle_counts(und, V, strategy="shuffle")
+    assert np.array_equal(a.state, b.state)
