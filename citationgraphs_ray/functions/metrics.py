@@ -226,3 +226,35 @@ def check_communities(communities: ray.data.Dataset, expected_n: int) -> None:
         raise ValueError(
             f"communities cover {len(distinct)}/{n} ids, expected {expected_n}"
         )
+
+
+def memb_cos(a: np.ndarray | list[float], b: np.ndarray | list[float]) -> float:
+    """M10 (membCos, CitationGraphs.go:3114-3131): cosine similarity of two
+    membership vectors; 0 if either is a zero vector."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return 0.0
+    return float(a @ b / (na * nb))
+
+
+def community_ids_from_communities(
+    communities: list[set[int]],
+) -> ray.data.Dataset:
+    """X10 (getCommunityIDsFromCommunities, 3263-3271): invert a list of
+    member-sets into the (id, community) assignment table."""
+    ids: list[int] = []
+    comms: list[int] = []
+    for c, members in enumerate(communities):
+        for m in sorted(members):
+            ids.append(m)
+            comms.append(c)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "community": pa.array(comms, type=pa.int64()),
+            }
+        )
+    )
