@@ -38,6 +38,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..state.checkpoints import CheckpointManager
+
 
 def partition_edges(
     edges: ray.data.Dataset, out_dir: str, num_partitions: int
@@ -196,6 +198,65 @@ class CsrPartition:
         self.state = new_state
         return changed
 
+    # -- Label propagation (synchronous, neighbor mode, min-tie-break) ------
+    def lpa_init(self) -> bool:
+        self.state = self.local_ids().astype(np.int64)
+        return True
+
+    def lpa_scatter(self) -> list[ray.ObjectRef]:
+        """Messages are (composite key = local_dst·M + label, count) pairs —
+        keys change every round (labels move), so unlike PR/CC the key
+        arrays ship with the counts."""
+        M = self.V + 1
+        out = []
+        for srcidx, inv, dq in self.route:
+            if len(srcidx) == 0:
+                out.append(ray.put((np.empty(0, np.int64), np.empty(0, np.int64))))
+                continue
+            labels = self.state[srcidx]
+            comp = dq[inv] * M + labels
+            u, counts = np.unique(comp, return_counts=True)
+            out.append(ray.put((u, counts.astype(np.int64))))
+        return out
+
+    def lpa_gather(self, *msgs: tuple[np.ndarray, np.ndarray]) -> int:
+        M = self.V + 1
+        keys = [m[0] for m in msgs if len(m[0])]
+        cnts = [m[1] for m in msgs if len(m[0])]
+        new_state = self.state.copy()
+        if keys:
+            comp = np.concatenate(keys)
+            cnt = np.concatenate(cnts)
+            u, inv2 = np.unique(comp, return_inverse=True)
+            tot = np.bincount(inv2, weights=cnt).astype(np.int64)
+            d_u = u // M
+            lab = u % M
+            enc = tot * M + (M - 1 - lab)  # max count, then min label
+            best = np.full(self.n_local, -1, dtype=np.int64)
+            np.maximum.at(best, d_u, enc)
+            has = best >= 0
+            new_state[has] = M - 1 - (best[has] % M)
+        changed = int(np.count_nonzero(new_state != self.state))
+        self.state = new_state
+        return changed
+
+    # -- checkpoint shards (each partition writes/reads its own file) -------
+    def write_shard(self, it_dir: str, col: str) -> dict:
+        fname = f"state-{self.pid:05d}.parquet"
+        tbl = pa.table(
+            {"id": pa.array(self.local_ids()), col: pa.array(self.state)}
+        )
+        pq.write_table(tbl, os.path.join(it_dir, fname))
+        return {"part": self.pid, "file": fname, "rows": tbl.num_rows}
+
+    def load_shard(self, it_dir: str, col: str) -> bool:
+        tbl = pq.read_table(os.path.join(it_dir, f"state-{self.pid:05d}.parquet"))
+        ids = tbl["id"].to_numpy().astype(np.int64)
+        vals = tbl[col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        self.state = np.asarray(vals[order])
+        return True
+
 
 class CsrEngine:
     """Driver-side BSP orchestrator over P CsrPartition actors."""
@@ -246,13 +307,51 @@ class CsrEngine:
             out[p :: self.P] = s
         return out
 
+    def _checkpoint(self, mgr, it, col, metric, parent):
+        # every partition writes its own shard; manifest written LAST
+        parts = ray.get(
+            [a.write_shard.remote(mgr.iter_dir(it), col) for a in self.actors]
+        )
+        mgr.save_manifest(it, metric, parent, parts)
+
+    def _resume(self, mgr, col):
+        ck = mgr.latest()
+        if ck is None:
+            return None
+        it_dir = mgr.iter_dir(ck.iteration)
+        ray.get([a.load_shard.remote(it_dir, col) for a in self.actors])
+        return ck
+
     def pagerank(
-        self, damping: float = 0.85, tol: float = 1e-9, max_iters: int = 200
+        self,
+        damping: float = 0.85,
+        tol: float = 1e-9,
+        max_iters: int = 200,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        checkpoint_every: int = 1,
     ) -> tuple[np.ndarray, int, bool]:
         dangling = sum(ray.get([a.pr_init.remote() for a in self.actors]))
+        start = 0
+        mgr = None
+        if checkpoint_dir:
+            mgr = CheckpointManager(
+                checkpoint_dir,
+                kernel="pagerank",
+                fingerprint=f"csr-p{self.P}-v{self.V}",
+                params={"damping": damping, "tol": tol},
+                num_partitions=self.P,
+            )
+            if resume:
+                ck = self._resume(mgr, "rank")
+                if ck is not None:
+                    if ck.manifest["metric"].get("converged"):
+                        return self._assemble(), ck.iteration + 1, True
+                    start = ck.iteration + 1
+                    dangling = ck.manifest["metric"]["dangling_mass"]
         converged = False
-        it = 0
-        for it in range(max_iters):
+        it = start
+        for it in range(start, max_iters):
             inboxes = self._exchange("pr_scatter")
             results = ray.get(
                 [
@@ -262,7 +361,42 @@ class CsrEngine:
             )
             resid = max(r for r, _ in results)
             dangling = sum(d for _, d in results)
-            if resid < tol:
+            converged = resid < tol
+            if mgr and (it % checkpoint_every == 0 or converged):
+                self._checkpoint(
+                    mgr,
+                    it,
+                    "rank",
+                    {
+                        "linf_residual": resid,
+                        "dangling_mass": dangling,
+                        "converged": converged,
+                    },
+                    parent=it - 1 if it > start or start > 0 else None,
+                )
+            if converged:
+                break
+        return self._assemble(), it + 1, converged
+
+    def label_propagation(
+        self, max_rounds: int = 50
+    ) -> tuple[np.ndarray, int, bool]:
+        """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
+        harness; semantics identical to engine.label_propagation/oracle."""
+        ray.get([a.lpa_init.remote() for a in self.actors])
+        converged = False
+        it = 0
+        for it in range(max_rounds):
+            inboxes = self._exchange("lpa_scatter")
+            changed = sum(
+                ray.get(
+                    [
+                        self.actors[q].lpa_gather.remote(*inboxes[q])
+                        for q in range(self.P)
+                    ]
+                )
+            )
+            if changed == 0:
                 converged = True
                 break
         return self._assemble(), it + 1, converged

@@ -111,6 +111,34 @@ class CheckpointManager:
         }
         _atomic_write_json(os.path.join(it_dir, "MANIFEST.json"), manifest)
 
+    def save_manifest(
+        self,
+        iteration: int,
+        metric: dict[str, float],
+        parent: int | None,
+        parts: list[dict],
+    ) -> None:
+        """Manifest-only save for engines whose partitions write their own
+        shards (CSR actor engine): the manifest stays the completion marker,
+        written strictly after every shard."""
+        it_dir = os.path.join(self.root, f"iter_{iteration:06d}")
+        os.makedirs(it_dir, exist_ok=True)
+        manifest = {
+            "kernel": self.kernel,
+            "iteration": iteration,
+            "parent": parent,
+            "fingerprint": self.fingerprint,
+            "num_partitions": self.num_partitions,
+            "metric": metric,
+            "parts": parts,
+        }
+        _atomic_write_json(os.path.join(it_dir, "MANIFEST.json"), manifest)
+
+    def iter_dir(self, iteration: int) -> str:
+        d = os.path.join(self.root, f"iter_{iteration:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
     # -- load ---------------------------------------------------------------
     def latest(self) -> LoadedCheckpoint | None:
         best = -1

@@ -53,3 +53,40 @@ def test_partitioned_layout_on_disk(engines, tmp_path_factory):
     assert found
     parts = {os.path.basename(p) for p in glob.glob(found[0] + "/part=*")}
     assert parts == {f"part={p}" for p in range(4)}
+
+
+def test_csr_lpa_matches_oracle(engines):
+    from citationgraphs_ray.graph.oracle import lpa_oracle
+
+    edges, V, _, und_eng = engines
+    earr = edges.to_pandas()[["src", "dst"]].to_numpy()
+    state, iters, converged = und_eng.label_propagation(max_rounds=50)
+    exp = lpa_oracle(earr, V, max_rounds=50)
+    assert np.array_equal(state, exp)
+
+
+def test_csr_checkpoint_resume(engines, tmp_path):
+    edges, V, dir_eng, _ = engines
+    ck = str(tmp_path / "csr_ck")
+    full, it_full, conv = dir_eng.pagerank(tol=1e-10, checkpoint_dir=ck)
+    assert conv
+    # resume from the converged checkpoint: bitwise no-op
+    again, it2, conv2 = dir_eng.pagerank(
+        tol=1e-10, checkpoint_dir=ck, resume=True
+    )
+    assert conv2 and np.array_equal(again, full)
+    # interrupted run resumes and matches
+    import shutil
+
+    ck2 = str(tmp_path / "csr_ck2")
+    dir_eng.pagerank(tol=1e-10, max_iters=3, checkpoint_dir=ck2)
+    resumed, _, conv3 = dir_eng.pagerank(
+        tol=1e-10, checkpoint_dir=ck2, resume=True
+    )
+    assert conv3 and np.array_equal(resumed, full)
+    # per-partition shards exist
+    import glob
+    import os
+
+    shards = glob.glob(os.path.join(ck2, "iter_000000", "state-*.parquet"))
+    assert len(shards) == dir_eng.P
