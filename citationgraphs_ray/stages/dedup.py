@@ -136,44 +136,54 @@ class MinHashSigs:
     ) -> None:
         assert num_perms % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perms, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perms, dtype=np.int64)
+        # uint64 wraparound family h_i(x) = a_i·x + b_i mod 2^64 (a odd) —
+        # fully vectorizable; adequate min-wise mixing for LSH bucketing
+        self.a = (
+            rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) | np.uint64(1)
+        )
+        self.b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
         self.num_perms, self.bands = num_perms, bands
         self.rows_per_band = num_perms // bands
         self.shingle_k = shingle_k
         self.text_col, self.id_col = text_col, id_col
+        self._mix = np.uint64(0x9E3779B97F4A7C15)
 
     def signature(self, text: str) -> np.ndarray:
         sh = _token_shingles(text, self.shingle_k)
         if not sh:
-            return np.full(self.num_perms, _MERSENNE, dtype=np.int64)
-        base = np.array([_hash64(s) % _MERSENNE for s in sh], dtype=np.int64)
-        # (P, S) universal hashes, min over shingles — vectorized
-        vals = (
-            self.a[:, None].astype(object) * base[None, :].astype(object)
-            + self.b[:, None].astype(object)
-        ) % _MERSENNE
-        return np.min(np.asarray(vals, dtype=np.int64), axis=1)
+            return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+        base = np.fromiter(
+            (_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)
+        )
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * base[None, :] + self.b[:, None]
+        return np.min(vals, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        bands: list[int] = []
-        buckets: list[int] = []
-        for i, t in zip(
-            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = self.signature(t or "")
-            for b in range(self.bands):
-                row = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                key = _hash64(",".join(map(str, row)), seed=b)
-                ids.append(i)
-                bands.append(b)
-                buckets.append(key % (1 << 62))
+        docs = batch[self.text_col].to_pylist()
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(t or "") for t in docs]) if docs else np.zeros(
+            (0, self.num_perms), dtype=np.uint64
+        )
+        # band keys: xor-multiply fold across the band's rows, vectorized
+        # over (docs, bands)
+        R = self.rows_per_band
+        with np.errstate(over="ignore"):
+            sb = sigs.reshape(len(docs), self.bands, R) if docs else sigs.reshape(
+                0, self.bands, R
+            )
+            keys = np.zeros((len(docs), self.bands), dtype=np.uint64)
+            for r in range(R):
+                keys = (keys ^ sb[:, :, r]) * self._mix
+            keys ^= np.arange(self.bands, dtype=np.uint64)[None, :] * self._mix
+        ids = np.repeat(doc_ids.astype(np.int64), self.bands)
+        bands = np.tile(np.arange(self.bands, dtype=np.int64), len(docs))
+        buckets = (keys.ravel() >> np.uint64(2)).astype(np.int64)
         return pa.table(
             {
-                self.id_col: pa.array(ids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int64()),
-                "bucket": pa.array(buckets, type=pa.int64()),
+                self.id_col: pa.array(ids),
+                "band": pa.array(bands),
+                "bucket": pa.array(buckets),
             }
         )
 
