@@ -64,6 +64,32 @@ def edge_fingerprint(num_vertices: int, num_edges: int, tag: str = "") -> str:
     ]
 
 
+def edge_checksum(eds: ray.data.Dataset) -> int:
+    """Order-independent edge-set checksum (sum of per-edge mixes mod 2^61)
+    — distinguishes different edge sets with identical (V, E) so a resume
+    cannot silently load another graph's checkpoint. One extra pass; only
+    computed when checkpointing is enabled."""
+    mod = (1 << 61) - 1
+
+    def part(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (src * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                dst * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        return pa.table(
+            {"c": pa.array([int(np.sum(mix % np.uint64(mod))) % mod])}
+        )
+
+    total = 0
+    for b in eds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total = (total + int(np.sum(b["c"].to_numpy()))) % mod
+    return total
+
+
 def _prepare_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Project to (src, dst) and pin blocks in the object store once."""
     return edges.select_columns(["src", "dst"]).materialize()
@@ -128,7 +154,9 @@ def pagerank(
         mgr = CheckpointManager(
             checkpoint_dir,
             kernel="pagerank",
-            fingerprint=edge_fingerprint(num_vertices, num_edges, "pr"),
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"pr|{edge_checksum(eds)}"
+            ),
             params={"damping": damping, "tol": tol},
         )
         if resume:
@@ -219,7 +247,9 @@ def connected_components(
         mgr = CheckpointManager(
             checkpoint_dir,
             kernel="cc",
-            fingerprint=edge_fingerprint(num_vertices, num_edges, "cc"),
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"cc|{edge_checksum(eds)}"
+            ),
         )
         if resume:
             ck = mgr.latest()
@@ -311,7 +341,9 @@ def label_propagation(
         mgr = CheckpointManager(
             checkpoint_dir,
             kernel="lpa",
-            fingerprint=edge_fingerprint(num_vertices, num_edges, "lpa"),
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"lpa|{edge_checksum(eds)}"
+            ),
         )
         if resume:
             ck = mgr.latest()

@@ -897,7 +897,8 @@ def q_bigram_counts(sf_dir: str):
 
 
 def q_word2phrase_accepted(sf_dir: str):
-    """A7 accepted-bigram table: freq ≥ 5 and (freq-5)/(f1·f2) ≥ 1e-4."""
+    """A7 accepted-bigram table: freq ≥ 10 and (freq-10)/(f1·f2) ≥ 3e-5
+    (thresholds chosen to be non-empty on the short-doc testdata)."""
     from ..functions.vocab import _bigram_tables, tokenize_docs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -906,7 +907,7 @@ def q_word2phrase_accepted(sf_dir: str):
     rows = [
         (w1, w2, int(f))
         for w1, w2, f in zip(bi_df["w1"], bi_df["w2"], bi_df["count()"])
-        if f >= 5 and (f - 5) / (freqs[w1] * freqs[w2]) >= 1e-4
+        if f >= 10 and (f - 10) / (freqs[w1] * freqs[w2]) >= 3e-5
     ]
     rows.sort()
     return pa.table(
@@ -1163,7 +1164,7 @@ ORACLE_SQL.update(
               GROUP BY 1, 2)
             SELECT bi.w1, bi.w2, bi.f::BIGINT AS n
             FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
-            WHERE bi.f >= 5 AND (bi.f - 5) / (u1.f * u2.f) >= 1e-4""",
+            WHERE bi.f >= 10 AND (bi.f - 10) / (u1.f * u2.f) >= 3e-5""",
         "hot_vertices": _with_graph_ctes(
             """, node_years AS (
                  SELECT id, 1995 + id % 7 AS year FROM nodes),

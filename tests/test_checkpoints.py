@@ -92,3 +92,23 @@ def test_resume_after_convergence_is_noop(small_edges, ckdir):
     again = pagerank(edges, V, tol=1e-10, checkpoint_dir=ckdir, resume=True)
     assert np.array_equal(again.state, full.state)
     assert again.iterations == full.iterations
+
+
+def test_different_graph_same_shape_rejected(small_edges, ckdir):
+    """A graph with identical (V, E) but different edges must not resume
+    from another graph's checkpoint (edge checksum in the fingerprint)."""
+    import pyarrow as pa
+    import ray.data
+
+    edges, vids = small_edges
+    V = vids.count()
+    pagerank(edges, V, tol=1e-10, max_iters=1, checkpoint_dir=ckdir)
+    df = edges.to_pandas()
+    df2 = df.copy()
+    # swap one edge endpoint → same row count, different edge set
+    df2.loc[df2.index[0], "dst"] = (df2.iloc[0]["dst"] + 1) % V
+    if ((df2.iloc[0]["src"] == df2.iloc[0]["dst"])):
+        df2.loc[df2.index[0], "dst"] = (df2.iloc[0]["dst"] + 1) % V
+    other = ray.data.from_pandas(df2)
+    with pytest.raises(ValueError, match="different run"):
+        pagerank(other, V, tol=1e-10, max_iters=1, checkpoint_dir=ckdir)
