@@ -1,21 +1,35 @@
-"""CSR actor-pool engine: partition-local adjacency, BSP supersteps.
+"""CSR actor-pool engine: fixed partitions hosted by a sized worker pool.
 
-The scale-out counterpart of the broadcast engine (engine.py). The broadcast
-engine ships the whole V-sized state vector to every task each superstep —
-exact, but the state must fit one object. Here (SURVEY.md §4.3):
+The scale-out counterpart of the broadcast engine (engine.py). Design
+(SURVEY.md §4.3, BASELINE.json north_rule):
 
-- The edge table is hash-partitioned ONCE by ``src % P`` and laid out as
-  partitioned Parquet (``part=<p>/``) — the resumable on-disk layout; P is
-  fixed per run and recorded in the checkpoint manifest.
-- P long-lived actors each read their shard once and build a CSR
-  (indptr/indices over local sources) in ``__init__``-equivalent ``build()``
-  — setup once per actor, supersteps stream only small message tables.
-- Superstep = BSP scatter/gather: each actor computes per-dst-partition
-  pre-aggregated messages from its local state (the combiner — a hub dst
-  receives ≤ P partial rows), peers fetch only their slice via per-pair
-  object refs (actor-to-actor plasma transfer, never through the driver),
-  reduce into their local state, and report a local convergence metric.
-  The driver only sequences barriers and sums P scalars.
+- The edge table is hash-partitioned ONCE by ``src % P`` into partitioned
+  Parquet (``part=<p>/``) — the resumable on-disk layout. **P is a property
+  of the run** (recorded in every checkpoint manifest), not of the cluster.
+- **W worker actors** (default ``min(session CPUs, P)``) each own the
+  partitions ``{p : p % W == wid}`` — exactly
+  how a fixed partitioned layout maps onto an N- vs 4N-node cluster. This
+  sizing is load-bearing for scaling measurements: a *running* Ray actor
+  reserves zero CPUs, so one-actor-per-partition would execute all P
+  actors concurrently regardless of ``ray.init(num_cpus=...)`` and an
+  8-vs-32-CPU experiment would silently measure the full host twice
+  (observed: identical throughput at both "cluster sizes"). W sized to the
+  session's CPU count restores a real parallelism limit — W
+  single-threaded worker processes.
+- Per owned partition, a worker builds once: CSR out-degrees plus static
+  per-destination routing — ``srcidx`` (local src index per edge, grouped
+  by destination partition; the per-superstep gather ``contrib[srcidx]``
+  reads a small cache-resident vector), ``inv`` (compacted dst bincount
+  bins) and ``dq`` (compacted local dst ids). The ``dq`` arrays are
+  exchanged to the destination partition's owner ONCE; supersteps ship
+  **values only** (sums / mins / keyed counts).
+- Superstep = BSP scatter/gather: scatter returns one plasma ref per
+  (src-partition, dst-partition) pair so receivers fetch exactly their
+  slice actor-to-actor; the driver only routes refs and sums W scalars.
+- Checkpoints are **per partition** (not per worker): each worker writes
+  shards for its owned partitions, the manifest (completion marker) is
+  written last — so a run checkpointed at one cluster size resumes at
+  another.
 
 Rationale for raw actors: Ray Data's map_batches actor pools don't pin a
 stable partition→actor assignment across iterations, so per-partition
@@ -23,9 +37,8 @@ mutable CSR state genuinely can't be expressed in the Dataset API — this is
 the documented escape hatch. Everything around it (partitioning, layout,
 message pre-aggregation) keeps the Dataset/groupby shapes.
 
-Kernels: PageRank and connected components (LPA slots into the same
-scatter/gather with the count-mode reduce). Results must equal the
-broadcast engine bitwise-or-allclose; tests enforce it.
+Kernels: PageRank, connected components, label propagation — all
+equivalence-tested against the broadcast engine and the NumPy oracle.
 """
 
 from __future__ import annotations
@@ -39,6 +52,18 @@ import ray
 import ray.data
 
 from ..state.checkpoints import CheckpointManager
+
+_I64MAX = np.iinfo(np.int64).max
+
+
+def _sum_by_partition(dicts: list[dict[int, float]]) -> float:
+    """Sum per-partition scalars in ascending partition order — float
+    summation order (hence the global bit pattern) stays independent of how
+    partitions are grouped onto workers."""
+    merged: dict[int, float] = {}
+    for d in dicts:
+        merged.update(d)
+    return sum(merged[p] for p in sorted(merged))
 
 
 def partition_edges(
@@ -60,33 +85,23 @@ def partition_edges(
     return out_dir
 
 
-@ray.remote
-class CsrPartition:
-    """Owns vertices {id : id % P == pid}: their out-edge CSR + state slice."""
+class _Partition:
+    """Worker-local state of one hash partition (plain object, not an actor)."""
 
-    def __init__(self, pid: int, num_partitions: int, num_vertices: int) -> None:
+    def __init__(self, pid: int, P: int, V: int) -> None:
         self.pid = pid
-        self.P = num_partitions
-        self.V = num_vertices
-        self.n_local = (num_vertices - pid + num_partitions - 1) // num_partitions
-        self.indptr: np.ndarray | None = None
-        self.indices: np.ndarray | None = None
+        self.P = P
+        self.V = V
+        self.n_local = (V - pid + P - 1) // P
         self.out_deg: np.ndarray | None = None
         self.state: np.ndarray | None = None
-        # per-dst-partition precomputed routing (built once; edges are
-        # static): for destination partition q —
-        #   srcidx[q]: local src index of each edge to q (contiguous array →
-        #              the per-superstep gather contrib[srcidx] reads a
-        #              small cache-resident vector sequentially)
-        #   inv[q]:    compacted dst index of each edge (bincount bins)
-        #   dq[q]:     compacted local dst ids in q — STATIC, exchanged to
-        #              peer q ONCE at build; supersteps ship sums only
-        # Makes a superstep O(E/P) per actor with sequential streams, and
-        # halves message bytes vs re-sending dst ids every round.
+        # per-destination-partition routing: (srcidx, inv, dq) per q
         self.route: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        self.in_dq: list[np.ndarray] = []  # peer p's dq targeting me
+        self.in_dq: dict[int, np.ndarray] = {}  # src partition p -> dq
 
-    # -- setup (once per actor) --------------------------------------------
+    def local_ids(self) -> np.ndarray:
+        return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
+
     def build(self, edge_dir: str) -> int:
         part_dir = os.path.join(edge_dir, f"part={self.pid}")
         if os.path.isdir(part_dir):
@@ -96,170 +111,219 @@ class CsrPartition:
         else:  # partition with no edges
             src = np.empty(0, dtype=np.int64)
             dst = np.empty(0, dtype=np.int64)
-        local = src // self.P  # local dense index of each src
+        local = src // self.P
         order = np.argsort(local, kind="stable")
-        local, self.indices = local[order], dst[order]
+        local, dst = local[order], dst[order]
         counts = np.bincount(local, minlength=self.n_local)
-        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.out_deg = counts.astype(np.float64)
-        dst_part = self.indices % self.P
-        src_of_edge = np.repeat(
-            np.arange(self.n_local, dtype=np.int64), np.diff(self.indptr)
-        )
+        src_of_edge = np.repeat(np.arange(self.n_local, dtype=np.int64), counts)
+        dst_part = dst % self.P
         order_q = np.argsort(dst_part, kind="stable")
         bounds = np.searchsorted(dst_part[order_q], np.arange(self.P + 1))
         for q in range(self.P):
             sel = order_q[bounds[q] : bounds[q + 1]]
-            dq, inv = np.unique(self.indices[sel] // self.P, return_inverse=True)
+            dq, inv = np.unique(dst[sel] // self.P, return_inverse=True)
             self.route.append((src_of_edge[sel], inv.astype(np.int64), dq))
         return len(src)
 
-    def route_dq(self) -> list[ray.ObjectRef]:
-        """One-time routing exchange: my static dq arrays, one ref per peer."""
-        return [ray.put(dq) for _, _, dq in self.route]
 
-    def set_incoming_dq(self, *dqs: np.ndarray) -> bool:
-        self.in_dq = list(dqs)
+@ray.remote(num_cpus=0)
+class CsrWorker:
+    """Owns partitions {p : p % W == wid}; single-threaded numpy inside.
+
+    num_cpus=0: the TRUE parallelism limit is the worker count W (that many
+    single-threaded processes exist, period); holding scheduler CPU slots
+    for the actors' lifetime would starve any Ray Data stage sharing the
+    session (measured deadlock under pytest's 4-CPU session)."""
+
+    def __init__(self, wid: int, num_workers: int, P: int, V: int) -> None:
+        self.wid = wid
+        self.W = num_workers
+        self.P = P
+        self.V = V
+        self.parts = {
+            p: _Partition(p, P, V) for p in range(P) if p % num_workers == wid
+        }
+
+    # -- setup --------------------------------------------------------------
+    def build(self, edge_dir: str) -> int:
+        return sum(pt.build(edge_dir) for pt in self.parts.values())
+
+    def route_dq(self) -> dict:
+        """One-time routing exchange: {(p, q): ref(dq)} for owned p."""
+        out = {}
+        for p, pt in self.parts.items():
+            for q in range(self.P):
+                out[(p, q)] = ray.put(pt.route[q][2])
+        return out
+
+    def set_incoming_dq(self, keys: list, *dqs: np.ndarray) -> bool:
+        for (p, q), dq in zip(keys, dqs):
+            self.parts[q].in_dq[p] = dq
         return True
 
-    def local_ids(self) -> np.ndarray:
-        return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
-
-    # -- generic state access ----------------------------------------------
-    def set_state(self, values: np.ndarray) -> None:
-        self.state = values.astype(self.state.dtype if self.state is not None else values.dtype)
-
-    def get_state(self) -> np.ndarray:
-        return self.state
+    def get_states(self) -> dict[int, np.ndarray]:
+        return {p: pt.state for p, pt in self.parts.items()}
 
     # -- PageRank -----------------------------------------------------------
-    def pr_init(self) -> float:
-        self.state = np.full(self.n_local, 1.0 / self.V)
-        return self.pr_dangling_mass()
+    def pr_init(self) -> dict[int, float]:
+        out = {}
+        for p, pt in self.parts.items():
+            pt.state = np.full(pt.n_local, 1.0 / self.V)
+            out[p] = float(pt.state[pt.out_deg == 0].sum())
+        return out
 
-    def pr_dangling_mass(self) -> float:
-        return float(self.state[self.out_deg == 0].sum())
-
-    def pr_scatter(self) -> list[ray.ObjectRef]:
-        """Per-dst-partition (dst, partial_sum) messages, one plasma object
-        per destination so peers fetch exactly their slice (returned as a
-        list of P refs — a single scatter RPC instead of P² take calls)."""
-        contrib = np.where(self.out_deg > 0, self.state / np.maximum(self.out_deg, 1), 0.0)
-        out = []
-        for srcidx, inv, dq in self.route:
-            sums = (
-                np.bincount(inv, weights=contrib[srcidx], minlength=len(dq))
-                if len(dq)
-                else np.zeros(0)
+    def pr_scatter(self) -> dict:
+        out = {}
+        for p, pt in self.parts.items():
+            contrib = np.where(
+                pt.out_deg > 0, pt.state / np.maximum(pt.out_deg, 1), 0.0
             )
-            out.append(ray.put(sums))
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                sums = (
+                    np.bincount(inv, weights=contrib[srcidx], minlength=len(dq))
+                    if len(dq)
+                    else np.zeros(0)
+                )
+                out[(p, q)] = ray.put(sums)
         return out
 
     def pr_gather(
-        self, damping: float, dangling_mass: float,
+        self,
+        damping: float,
+        dangling_mass: float,
+        keys: list,
         *msgs: np.ndarray,
     ) -> tuple[float, float]:
-        # varargs: Ray resolves top-level ObjectRef args only, so each peer
-        # message must be its own argument for actor-to-actor transfer.
-        # Messages are sums-only; the target ids are the static in_dq
-        # exchanged at build.
-        sums = np.zeros(self.n_local)
-        for u, s in zip(self.in_dq, msgs):
+        # varargs: Ray resolves ObjectRefs only as top-level args.
+        # Process in (q, p) order so float summation order — and therefore
+        # the result bit pattern — is independent of the worker count W.
+        sums = {p: np.zeros(pt.n_local) for p, pt in self.parts.items()}
+        for (p, q), m in sorted(zip(keys, msgs), key=lambda km: (km[0][1], km[0][0])):
+            u = self.parts[q].in_dq[p]
             if len(u):
-                sums += np.bincount(u, weights=s, minlength=self.n_local)
-        new_state = (1.0 - damping) / self.V + damping * (
-            sums + dangling_mass / self.V
-        )
-        resid = float(np.max(np.abs(new_state - self.state))) if self.n_local else 0.0
-        self.state = new_state
-        return resid, self.pr_dangling_mass()
+                sums[q] += np.bincount(
+                    u, weights=m, minlength=self.parts[q].n_local
+                )
+        resid = 0.0
+        dangling = {}
+        for q, pt in self.parts.items():
+            new_state = (1.0 - damping) / self.V + damping * (
+                sums[q] + dangling_mass / self.V
+            )
+            if pt.n_local:
+                resid = max(resid, float(np.max(np.abs(new_state - pt.state))))
+            pt.state = new_state
+            # per-partition dangling so the driver can sum in partition
+            # order — keeps results bitwise independent of worker count W
+            dangling[q] = float(pt.state[pt.out_deg == 0].sum())
+        return resid, dangling
 
     # -- Connected components ----------------------------------------------
     def cc_init(self) -> bool:
-        self.state = self.local_ids().astype(np.int64)
+        for pt in self.parts.values():
+            pt.state = pt.local_ids().astype(np.int64)
         return True
 
-    def cc_scatter(self) -> list[ray.ObjectRef]:
-        out = []
-        for srcidx, inv, dq in self.route:
-            mins = np.full(len(dq), np.iinfo(np.int64).max, dtype=np.int64)
-            if len(srcidx):
-                np.minimum.at(mins, inv, self.state[srcidx])
-            out.append(ray.put(mins))
+    def cc_scatter(self) -> dict:
+        out = {}
+        for p, pt in self.parts.items():
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                mins = np.full(len(dq), _I64MAX, dtype=np.int64)
+                if len(srcidx):
+                    np.minimum.at(mins, inv, pt.state[srcidx])
+                out[(p, q)] = ray.put(mins)
         return out
 
-    def cc_gather(self, *msgs: np.ndarray) -> int:
-        incoming = np.full(self.n_local, np.iinfo(np.int64).max, dtype=np.int64)
-        for u, mn in zip(self.in_dq, msgs):
+    def cc_gather(self, keys: list, *msgs: np.ndarray) -> int:
+        incoming = {
+            p: np.full(pt.n_local, _I64MAX, dtype=np.int64)
+            for p, pt in self.parts.items()
+        }
+        for (p, q), m in sorted(zip(keys, msgs), key=lambda km: (km[0][1], km[0][0])):
+            u = self.parts[q].in_dq[p]
             if len(u):
-                np.minimum.at(incoming, u, mn)
-        new_state = np.minimum(self.state, incoming)
-        changed = int(np.count_nonzero(new_state != self.state))
-        self.state = new_state
+                np.minimum.at(incoming[q], u, m)
+        changed = 0
+        for q, pt in self.parts.items():
+            new_state = np.minimum(pt.state, incoming[q])
+            changed += int(np.count_nonzero(new_state != pt.state))
+            pt.state = new_state
         return changed
 
-    # -- Label propagation (synchronous, neighbor mode, min-tie-break) ------
+    # -- Label propagation ---------------------------------------------------
     def lpa_init(self) -> bool:
-        self.state = self.local_ids().astype(np.int64)
+        for pt in self.parts.values():
+            pt.state = pt.local_ids().astype(np.int64)
         return True
 
-    def lpa_scatter(self) -> list[ray.ObjectRef]:
+    def lpa_scatter(self) -> dict:
         """Messages are (composite key = local_dst·M + label, count) pairs —
-        keys change every round (labels move), so unlike PR/CC the key
-        arrays ship with the counts."""
+        label keys change every round, so they ship with the counts."""
         M = self.V + 1
-        out = []
-        for srcidx, inv, dq in self.route:
-            if len(srcidx) == 0:
-                out.append(ray.put((np.empty(0, np.int64), np.empty(0, np.int64))))
-                continue
-            labels = self.state[srcidx]
-            comp = dq[inv] * M + labels
-            u, counts = np.unique(comp, return_counts=True)
-            out.append(ray.put((u, counts.astype(np.int64))))
+        out = {}
+        for p, pt in self.parts.items():
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                if len(srcidx) == 0:
+                    out[(p, q)] = ray.put(
+                        (np.empty(0, np.int64), np.empty(0, np.int64))
+                    )
+                    continue
+                labels = pt.state[srcidx]
+                comp = dq[inv] * M + labels
+                u, counts = np.unique(comp, return_counts=True)
+                out[(p, q)] = ray.put((u, counts.astype(np.int64)))
         return out
 
-    def lpa_gather(self, *msgs: tuple[np.ndarray, np.ndarray]) -> int:
+    def lpa_gather(self, keys: list, *msgs) -> int:
         M = self.V + 1
-        keys = [m[0] for m in msgs if len(m[0])]
-        cnts = [m[1] for m in msgs if len(m[0])]
-        new_state = self.state.copy()
-        if keys:
-            comp = np.concatenate(keys)
-            cnt = np.concatenate(cnts)
-            u, inv2 = np.unique(comp, return_inverse=True)
-            tot = np.bincount(inv2, weights=cnt).astype(np.int64)
-            d_u = u // M
-            lab = u % M
-            enc = tot * M + (M - 1 - lab)  # max count, then min label
-            best = np.full(self.n_local, -1, dtype=np.int64)
-            np.maximum.at(best, d_u, enc)
-            has = best >= 0
-            new_state[has] = M - 1 - (best[has] % M)
-        changed = int(np.count_nonzero(new_state != self.state))
-        self.state = new_state
+        per_q: dict[int, list] = {q: [] for q in self.parts}
+        for (p, q), m in sorted(zip(keys, msgs), key=lambda km: (km[0][1], km[0][0])):
+            if len(m[0]):
+                per_q[q].append(m)
+        changed = 0
+        for q, pt in self.parts.items():
+            new_state = pt.state.copy()
+            if per_q[q]:
+                comp = np.concatenate([m[0] for m in per_q[q]])
+                cnt = np.concatenate([m[1] for m in per_q[q]])
+                u, inv2 = np.unique(comp, return_inverse=True)
+                tot = np.bincount(inv2, weights=cnt).astype(np.int64)
+                d_u = u // M
+                lab = u % M
+                enc = tot * M + (M - 1 - lab)  # max count, then min label
+                best = np.full(pt.n_local, -1, dtype=np.int64)
+                np.maximum.at(best, d_u, enc)
+                has = best >= 0
+                new_state[has] = M - 1 - (best[has] % M)
+            changed += int(np.count_nonzero(new_state != pt.state))
+            pt.state = new_state
         return changed
 
-    # -- checkpoint shards (each partition writes/reads its own file) -------
-    def write_shard(self, it_dir: str, col: str) -> dict:
-        fname = f"state-{self.pid:05d}.parquet"
-        tbl = pa.table(
-            {"id": pa.array(self.local_ids()), col: pa.array(self.state)}
-        )
-        pq.write_table(tbl, os.path.join(it_dir, fname))
-        return {"part": self.pid, "file": fname, "rows": tbl.num_rows}
+    # -- checkpoint shards (per PARTITION, so resume is W-independent) -------
+    def write_shards(self, it_dir: str, col: str) -> list[dict]:
+        out = []
+        for p, pt in self.parts.items():
+            fname = f"state-{p:05d}.parquet"
+            tbl = pa.table(
+                {"id": pa.array(pt.local_ids()), col: pa.array(pt.state)}
+            )
+            pq.write_table(tbl, os.path.join(it_dir, fname))
+            out.append({"part": p, "file": fname, "rows": tbl.num_rows})
+        return out
 
-    def load_shard(self, it_dir: str, col: str) -> bool:
-        tbl = pq.read_table(os.path.join(it_dir, f"state-{self.pid:05d}.parquet"))
-        ids = tbl["id"].to_numpy().astype(np.int64)
-        vals = tbl[col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        self.state = np.asarray(vals[order])
+    def load_shards(self, it_dir: str, col: str) -> bool:
+        for p, pt in self.parts.items():
+            tbl = pq.read_table(os.path.join(it_dir, f"state-{p:05d}.parquet"))
+            ids = tbl["id"].to_numpy().astype(np.int64)
+            vals = tbl[col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            pt.state = np.asarray(vals[order])
         return True
 
 
 class CsrEngine:
-    """Driver-side BSP orchestrator over P CsrPartition actors."""
+    """Driver-side BSP orchestrator over W CsrWorker actors (P partitions)."""
 
     def __init__(
         self,
@@ -268,9 +332,15 @@ class CsrEngine:
         num_partitions: int = 8,
         workdir: str = "/tmp/csr_engine",
         tag: str = "default",
+        num_workers: int | None = None,
     ) -> None:
         self.V = num_vertices
         self.P = num_partitions
+        if num_workers is None:
+            session_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+            num_workers = max(1, min(session_cpus, num_partitions))
+        self.W = num_workers
+        self.owner = [p % self.W for p in range(self.P)]
         edge_dir = os.path.join(workdir, f"edges_{tag}_p{num_partitions}")
         marker = os.path.join(edge_dir, "_SUCCESS")
         if not os.path.exists(marker):  # partitioned layout is reusable
@@ -279,47 +349,59 @@ class CsrEngine:
             shutil.rmtree(edge_dir, ignore_errors=True)
             partition_edges(edges, edge_dir, num_partitions)
             open(marker, "w").close()
-        self.actors = [
-            CsrPartition.remote(p, num_partitions, num_vertices)
-            for p in range(num_partitions)
+        self.workers = [
+            CsrWorker.remote(w, self.W, num_partitions, num_vertices)
+            for w in range(self.W)
         ]
-        ray.get([a.build.remote(edge_dir) for a in self.actors])
+        ray.get([a.build.remote(edge_dir) for a in self.workers])
         # one-time static routing exchange (dq arrays, actor-to-actor)
-        dq_refs = ray.get([a.route_dq.remote() for a in self.actors])
+        dq_maps = ray.get([a.route_dq.remote() for a in self.workers])
+        inbox: list[tuple[list, list]] = [([], []) for _ in range(self.W)]
+        for dq_map in dq_maps:
+            for (p, q), ref in dq_map.items():
+                keys, refs = inbox[self.owner[q]]
+                keys.append((p, q))
+                refs.append(ref)
         ray.get(
             [
-                self.actors[q].set_incoming_dq.remote(
-                    *[dq_refs[p][q] for p in range(self.P)]
-                )
-                for q in range(self.P)
+                self.workers[w].set_incoming_dq.remote(inbox[w][0], *inbox[w][1])
+                for w in range(self.W)
             ]
         )
 
-    def _exchange(self, scatter: str) -> list[list[ray.ObjectRef]]:
-        # one RPC per actor; each returns P message refs (its outbox)
-        outboxes = ray.get([getattr(a, scatter).remote() for a in self.actors])
-        return [[outboxes[p][q] for p in range(self.P)] for q in range(self.P)]
+    def _exchange(self, scatter: str) -> list[tuple[list, list]]:
+        """Run scatter on all workers; route each (p, q) ref to q's owner."""
+        outboxes = ray.get([getattr(a, scatter).remote() for a in self.workers])
+        inbox: list[tuple[list, list]] = [([], []) for _ in range(self.W)]
+        for ob in outboxes:
+            for (p, q), ref in ob.items():
+                keys, refs = inbox[self.owner[q]]
+                keys.append((p, q))
+                refs.append(ref)
+        return inbox
 
     def _assemble(self) -> np.ndarray:
-        slices = ray.get([a.get_state.remote() for a in self.actors])
-        out = np.empty(self.V, dtype=slices[0].dtype if slices else np.float64)
-        for p, s in enumerate(slices):
-            out[p :: self.P] = s
+        state_maps = ray.get([a.get_states.remote() for a in self.workers])
+        first = next(iter(state_maps[0].values()))
+        out = np.empty(self.V, dtype=first.dtype)
+        for sm in state_maps:
+            for p, s in sm.items():
+                out[p :: self.P] = s
         return out
 
     def _checkpoint(self, mgr, it, col, metric, parent):
-        # every partition writes its own shard; manifest written LAST
         parts = ray.get(
-            [a.write_shard.remote(mgr.iter_dir(it), col) for a in self.actors]
+            [a.write_shards.remote(mgr.iter_dir(it), col) for a in self.workers]
         )
-        mgr.save_manifest(it, metric, parent, parts)
+        flat = sorted((m for sub in parts for m in sub), key=lambda m: m["part"])
+        mgr.save_manifest(it, metric, parent, flat)
 
     def _resume(self, mgr, col):
         ck = mgr.latest()
         if ck is None:
             return None
         it_dir = mgr.iter_dir(ck.iteration)
-        ray.get([a.load_shard.remote(it_dir, col) for a in self.actors])
+        ray.get([a.load_shards.remote(it_dir, col) for a in self.workers])
         return ck
 
     def pagerank(
@@ -331,7 +413,8 @@ class CsrEngine:
         resume: bool = False,
         checkpoint_every: int = 1,
     ) -> tuple[np.ndarray, int, bool]:
-        dangling = sum(ray.get([a.pr_init.remote() for a in self.actors]))
+        dmaps = ray.get([a.pr_init.remote() for a in self.workers])
+        dangling = _sum_by_partition(dmaps)
         start = 0
         mgr = None
         if checkpoint_dir:
@@ -352,15 +435,17 @@ class CsrEngine:
         converged = False
         it = start
         for it in range(start, max_iters):
-            inboxes = self._exchange("pr_scatter")
+            inbox = self._exchange("pr_scatter")
             results = ray.get(
                 [
-                    self.actors[q].pr_gather.remote(damping, dangling, *inboxes[q])
-                    for q in range(self.P)
+                    self.workers[w].pr_gather.remote(
+                        damping, dangling, inbox[w][0], *inbox[w][1]
+                    )
+                    for w in range(self.W)
                 ]
             )
             resid = max(r for r, _ in results)
-            dangling = sum(d for _, d in results)
+            dangling = _sum_by_partition([d for _, d in results])
             converged = resid < tol
             if mgr and (it % checkpoint_every == 0 or converged):
                 self._checkpoint(
@@ -378,21 +463,19 @@ class CsrEngine:
                 break
         return self._assemble(), it + 1, converged
 
-    def label_propagation(
-        self, max_rounds: int = 50
+    def connected_components(
+        self, max_iters: int = 100
     ) -> tuple[np.ndarray, int, bool]:
-        """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
-        harness; semantics identical to engine.label_propagation/oracle."""
-        ray.get([a.lpa_init.remote() for a in self.actors])
+        ray.get([a.cc_init.remote() for a in self.workers])
         converged = False
         it = 0
-        for it in range(max_rounds):
-            inboxes = self._exchange("lpa_scatter")
+        for it in range(max_iters):
+            inbox = self._exchange("cc_scatter")
             changed = sum(
                 ray.get(
                     [
-                        self.actors[q].lpa_gather.remote(*inboxes[q])
-                        for q in range(self.P)
+                        self.workers[w].cc_gather.remote(inbox[w][0], *inbox[w][1])
+                        for w in range(self.W)
                     ]
                 )
             )
@@ -401,19 +484,21 @@ class CsrEngine:
                 break
         return self._assemble(), it + 1, converged
 
-    def connected_components(
-        self, max_iters: int = 100
+    def label_propagation(
+        self, max_rounds: int = 50
     ) -> tuple[np.ndarray, int, bool]:
-        ray.get([a.cc_init.remote() for a in self.actors])
+        """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
+        harness; semantics identical to engine.label_propagation/oracle."""
+        ray.get([a.lpa_init.remote() for a in self.workers])
         converged = False
         it = 0
-        for it in range(max_iters):
-            inboxes = self._exchange("cc_scatter")
+        for it in range(max_rounds):
+            inbox = self._exchange("lpa_scatter")
             changed = sum(
                 ray.get(
                     [
-                        self.actors[q].cc_gather.remote(*inboxes[q])
-                        for q in range(self.P)
+                        self.workers[w].lpa_gather.remote(inbox[w][0], *inbox[w][1])
+                        for w in range(self.W)
                     ]
                 )
             )
@@ -423,6 +508,6 @@ class CsrEngine:
         return self._assemble(), it + 1, converged
 
     def shutdown(self) -> None:
-        for a in self.actors:
+        for a in self.workers:
             ray.kill(a)
-        self.actors = []
+        self.workers = []

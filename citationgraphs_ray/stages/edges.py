@@ -168,7 +168,7 @@ def resolve_edges(
                 {"src": pa.array(src[:n]), "dst": pa.array(dst[:n])}
             )
 
-    return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 24))
+    return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 32))
 
 
 def dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -262,7 +262,7 @@ def extract_edge_table(
     """
     slim = corpus.select_columns(["repo", "path", "lang", "content"])
     raw = slim.map_batches(
-        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 24)
+        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
     )
     vids = mint_vertex_ids(corpus)
     edges = dedup_edges(resolve_edges(raw, vids))

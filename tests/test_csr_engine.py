@@ -90,3 +90,22 @@ def test_csr_checkpoint_resume(engines, tmp_path):
 
     shards = glob.glob(os.path.join(ck2, "iter_000000", "state-*.parquet"))
     assert len(shards) == dir_eng.P
+
+
+def test_csr_checkpoint_worker_count_independent(small_edges, tmp_path):
+    """Checkpoint written with W=2 workers resumes under W=4 (shards are
+    per partition, not per worker)."""
+    edges, vids = small_edges
+    V = vids.count()
+    wd = str(tmp_path / "wt")
+    ck = str(tmp_path / "ck")
+    e2 = CsrEngine(edges, V, num_partitions=4, workdir=wd, tag="w", num_workers=2)
+    full, _, _ = e2.pagerank(tol=1e-10, checkpoint_dir=ck)
+    e2.pagerank(tol=1e-10, max_iters=3, checkpoint_dir=str(tmp_path / "ck2"))
+    e2.shutdown()
+    e4 = CsrEngine(edges, V, num_partitions=4, workdir=wd, tag="w", num_workers=4)
+    resumed, _, conv = e4.pagerank(
+        tol=1e-10, checkpoint_dir=str(tmp_path / "ck2"), resume=True
+    )
+    e4.shutdown()
+    assert conv and np.array_equal(resumed, full)
