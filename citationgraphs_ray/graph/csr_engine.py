@@ -464,46 +464,79 @@ class CsrEngine:
         return self._assemble(), it + 1, converged
 
     def connected_components(
-        self, max_iters: int = 100
+        self,
+        max_iters: int = 100,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
     ) -> tuple[np.ndarray, int, bool]:
-        ray.get([a.cc_init.remote() for a in self.workers])
-        converged = False
-        it = 0
-        for it in range(max_iters):
-            inbox = self._exchange("cc_scatter")
-            changed = sum(
-                ray.get(
-                    [
-                        self.workers[w].cc_gather.remote(inbox[w][0], *inbox[w][1])
-                        for w in range(self.W)
-                    ]
-                )
-            )
-            if changed == 0:
-                converged = True
-                break
-        return self._assemble(), it + 1, converged
+        return self._label_kernel(
+            "cc", "component", max_iters, checkpoint_dir, resume
+        )
 
     def label_propagation(
-        self, max_rounds: int = 50
+        self,
+        max_rounds: int = 50,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
     ) -> tuple[np.ndarray, int, bool]:
         """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
         harness; semantics identical to engine.label_propagation/oracle."""
-        ray.get([a.lpa_init.remote() for a in self.workers])
+        return self._label_kernel(
+            "lpa", "label", max_rounds, checkpoint_dir, resume
+        )
+
+    def _label_kernel(
+        self,
+        kernel: str,
+        col: str,
+        max_iters: int,
+        checkpoint_dir: str | None,
+        resume: bool,
+    ) -> tuple[np.ndarray, int, bool]:
+        """Shared min-label / mode-label superstep loop (CC and LPA) with
+        per-partition checkpointing identical to pagerank's."""
+        ray.get(
+            [getattr(a, f"{kernel}_init").remote() for a in self.workers]
+        )
+        start = 0
+        mgr = None
+        if checkpoint_dir:
+            mgr = CheckpointManager(
+                checkpoint_dir,
+                kernel=kernel,
+                fingerprint=f"csr-p{self.P}-v{self.V}",
+                num_partitions=self.P,
+            )
+            if resume:
+                ck = self._resume(mgr, col)
+                if ck is not None:
+                    if ck.manifest["metric"].get("changed") == 0.0:
+                        return self._assemble(), ck.iteration + 1, True
+                    start = ck.iteration + 1
         converged = False
-        it = 0
-        for it in range(max_rounds):
-            inbox = self._exchange("lpa_scatter")
+        it = start
+        for it in range(start, max_iters):
+            inbox = self._exchange(f"{kernel}_scatter")
             changed = sum(
                 ray.get(
                     [
-                        self.workers[w].lpa_gather.remote(inbox[w][0], *inbox[w][1])
+                        getattr(self.workers[w], f"{kernel}_gather").remote(
+                            inbox[w][0], *inbox[w][1]
+                        )
                         for w in range(self.W)
                     ]
                 )
             )
-            if changed == 0:
-                converged = True
+            converged = changed == 0
+            if mgr:
+                self._checkpoint(
+                    mgr,
+                    it,
+                    col,
+                    {"changed": float(changed)},
+                    parent=it - 1 if it > start or start > 0 else None,
+                )
+            if converged:
                 break
         return self._assemble(), it + 1, converged
 

@@ -109,3 +109,14 @@ def test_csr_checkpoint_worker_count_independent(small_edges, tmp_path):
     )
     e4.shutdown()
     assert conv and np.array_equal(resumed, full)
+
+
+def test_csr_cc_checkpoint_resume(engines, tmp_path):
+    edges, V, _, und_eng = engines
+    full, _, _ = und_eng.connected_components()
+    ck = str(tmp_path / "cc_ck")
+    und_eng.connected_components(max_iters=2, checkpoint_dir=ck)
+    resumed, _, conv = und_eng.connected_components(
+        checkpoint_dir=ck, resume=True
+    )
+    assert conv and np.array_equal(resumed, full)
