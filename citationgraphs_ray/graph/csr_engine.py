@@ -52,6 +52,7 @@ import ray
 import ray.data
 
 from ..state.checkpoints import CheckpointManager
+from .engine import edge_checksum
 
 _I64MAX = np.iinfo(np.int64).max
 
@@ -341,7 +342,18 @@ class CsrEngine:
             num_workers = max(1, min(session_cpus, num_partitions))
         self.W = num_workers
         self.owner = [p % self.W for p in range(self.P)]
-        edge_dir = os.path.join(workdir, f"edges_{tag}_p{num_partitions}")
+        # Edge identity: an order-independent content checksum keys BOTH the
+        # cached partitioned layout and every checkpoint fingerprint, so a
+        # different edge set can neither reuse a stale layout (same
+        # workdir/tag/P) nor resume another graph's checkpoints (same P, V).
+        # One extra column-pruned pass over (src, dst).
+        self.checksum = edge_checksum(edges)
+        self.fingerprint = (
+            f"csr-p{self.P}-v{self.V}-e{self.checksum:016x}"
+        )
+        edge_dir = os.path.join(
+            workdir, f"edges_{tag}_p{num_partitions}_c{self.checksum:016x}"
+        )
         marker = os.path.join(edge_dir, "_SUCCESS")
         if not os.path.exists(marker):  # partitioned layout is reusable
             import shutil
@@ -421,7 +433,7 @@ class CsrEngine:
             mgr = CheckpointManager(
                 checkpoint_dir,
                 kernel="pagerank",
-                fingerprint=f"csr-p{self.P}-v{self.V}",
+                fingerprint=self.fingerprint,
                 params={"damping": damping, "tol": tol},
                 num_partitions=self.P,
             )
@@ -504,7 +516,7 @@ class CsrEngine:
             mgr = CheckpointManager(
                 checkpoint_dir,
                 kernel=kernel,
-                fingerprint=f"csr-p{self.P}-v{self.V}",
+                fingerprint=self.fingerprint,
                 num_partitions=self.P,
             )
             if resume:

@@ -154,18 +154,12 @@ def save_citation_graph(
             title = tidy_title(str(r.title)).replace(",", "[comma]")
             f.write(f"{r.id}, {str(bool(r.is_main)).lower()}, {r.year}, {title}\n")
 
-    # dedup + symmetrize (2003-2026): union both directions, unique pairs,
-    # then emit each undirected pair once in (min, max) orientation
-    def canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"src": pa.array(np.minimum(s, d)), "dst": pa.array(np.maximum(s, d))}
-        )
-
-    und = dedup_edges(
-        graph.edges.map_batches(canon, batch_format="pyarrow")
-    ).sort(["src", "dst"]).to_pandas()
+    # dedup (2003-2026): the reference's nested edgeSet unions each node's
+    # Refs (id→refID) with each citer's reversed Cites (citeID→id) — both are
+    # the DIRECTED citer→cited edge, so the result is the deduplicated
+    # directed edge set, never re-oriented. Direction must survive a
+    # round-trip (Refs/Cites are rebuilt from row direction on load).
+    und = dedup_edges(graph.edges).sort(["src", "dst"]).to_pandas()
     with open(
         os.path.join(path, f"{prefix}-citation-graph-edges.csv"), "w"
     ) as f:

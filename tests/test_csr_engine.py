@@ -48,7 +48,7 @@ def test_partitioned_layout_on_disk(engines, tmp_path_factory):
 
     _, _, dir_eng, _ = engines
     # one directory per hash partition + completion marker (resumable layout)
-    roots = glob.glob("/tmp/pytest*/**/edges_dir_p4", recursive=True)
+    roots = glob.glob("/tmp/pytest*/**/edges_dir_p4_c*", recursive=True)
     found = [r for r in roots if os.path.exists(os.path.join(r, "_SUCCESS"))]
     assert found
     parts = {os.path.basename(p) for p in glob.glob(found[0] + "/part=*")}
@@ -109,6 +109,58 @@ def test_csr_checkpoint_worker_count_independent(small_edges, tmp_path):
     )
     e4.shutdown()
     assert conv and np.array_equal(resumed, full)
+
+
+def _perturbed(edges, V):
+    """Same (V, E) but one edge endpoint moved — a different graph."""
+    import ray.data
+
+    df = edges.to_pandas()
+    i = df.index[0]
+    for _ in range(2):
+        df.loc[i, "dst"] = int(df.loc[i, "dst"] + 1) % V
+        if df.loc[i, "src"] != df.loc[i, "dst"]:
+            break
+    return ray.data.from_pandas(df)
+
+
+def test_csr_different_graph_same_shape_rejected(small_edges, tmp_path):
+    """CSR fingerprint carries the edge checksum: a graph with identical
+    (P, V, E) must not resume another graph's checkpoints."""
+    edges, vids = small_edges
+    V = vids.count()
+    ck = str(tmp_path / "ck")
+    e1 = CsrEngine(edges, V, num_partitions=4, workdir=str(tmp_path / "w1"))
+    e1.pagerank(tol=1e-10, max_iters=1, checkpoint_dir=ck)
+    e1.shutdown()
+    e2 = CsrEngine(
+        _perturbed(edges, V), V, num_partitions=4, workdir=str(tmp_path / "w2")
+    )
+    try:
+        with pytest.raises(ValueError, match="different run"):
+            e2.pagerank(tol=1e-10, max_iters=1, checkpoint_dir=ck)
+    finally:
+        e2.shutdown()
+
+
+def test_csr_layout_cache_keyed_on_edge_content(small_edges, tmp_path):
+    """Same workdir/tag/P but a different edge Dataset must NOT reuse the
+    cached partitioned layout (dir key includes the edge checksum)."""
+    edges, vids = small_edges
+    V = vids.count()
+    wd = str(tmp_path / "shared")
+    e1 = CsrEngine(edges, V, num_partitions=4, workdir=wd, tag="same")
+    r1, _, _ = e1.pagerank(tol=1e-10)
+    e1.shutdown()
+    other = _perturbed(edges, V)
+    e2 = CsrEngine(other, V, num_partitions=4, workdir=wd, tag="same")
+    r2, _, _ = e2.pagerank(tol=1e-10)
+    e2.shutdown()
+    from citationgraphs_ray.graph.oracle import pagerank_oracle
+
+    earr = other.to_pandas()[["src", "dst"]].to_numpy()
+    assert np.allclose(r2, pagerank_oracle(earr, V, tol=1e-10), atol=1e-6)
+    assert not np.allclose(r1, r2)  # genuinely different graphs
 
 
 def test_csr_cc_checkpoint_resume(engines, tmp_path):

@@ -67,9 +67,10 @@ def test_csv_roundtrip_fixpoint(tmp_path):
     assert ndf.title.iloc[1] == "Graphs & Matrices"
     assert "é" in ndf.title.iloc[2]
     assert list(ndf.is_main) == [True, False, True]
-    # edges deduped + symmetrized to unique undirected pairs
+    # edges deduped but DIRECTION PRESERVED (reference writes the directed
+    # citer→cited set; CitationGraphs.go:2003-2026 never re-orients)
     edf = loaded.edges.to_pandas().sort_values(["src", "dst"])
-    assert list(map(tuple, edf.to_numpy())) == [(1, 2), (1, 3)]
+    assert list(map(tuple, edf.to_numpy())) == [(1, 2), (2, 1), (3, 1)]
     # second save → identical files (fixpoint)
     p2 = str(tmp_path / "again")
     save_citation_graph(p2, "ijcai", loaded)
@@ -77,6 +78,38 @@ def test_csv_roundtrip_fixpoint(tmp_path):
         a = open(f"{p}/ijcai-citation-graph-{f}.csv").read()
         b = open(f"{p2}/ijcai-citation-graph-{f}.csv").read()
         assert a == b, f
+
+
+def test_csv_save_preserves_direction(tmp_path):
+    """An asymmetric edge set must round-trip with direction intact: a
+    (min,max) canonicalization would flip (5,4) to (4,5) and merge nothing
+    here, so any reorientation is visible."""
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([4, 5, 6], type=pa.int64()),
+                "is_main": pa.array([True, True, True]),
+                "year": pa.array([2000, 2000, 2000], type=pa.int64()),
+                "title": pa.array(["a", "b", "c"]),
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([5, 6], type=pa.int64()),
+                "dst": pa.array([4, 4], type=pa.int64()),
+            }
+        )
+    )
+    labels = ray.data.from_arrow(
+        pa.table({"id": pa.array([4], type=pa.int64()), "label": pa.array(["x"])})
+    )
+    g = CitationGraphTables(nodes, edges, labels)
+    save_citation_graph(str(tmp_path), "d", g)
+    loaded = load_citation_graph(str(tmp_path), "d")
+    edf = loaded.edges.to_pandas().sort_values(["src", "dst"])
+    assert list(map(tuple, edf.to_numpy())) == [(5, 4), (6, 4)]
 
 
 def test_csv_malformed_header_raises(tmp_path):
