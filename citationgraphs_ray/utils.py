@@ -140,85 +140,181 @@ def broadcast_merge(
 
 _AGG_PARTIAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+# Partial-row count above which stage 2 of fast_grouped_agg/fast_distinct
+# switches from the single driver-side C++ merge (fastest at test scale)
+# to a hash shuffle of the partials + per-partition merges (the only shape
+# that works when the distinct-key cardinality exceeds driver memory).
+DISTRIBUTE_MERGE_THRESHOLD = 2_000_000
+
+
+def _hash_partition_column(
+    batch: pa.Table, keys: list[str], num_partitions: int
+) -> pa.Table:
+    """Append ``__part`` = deterministic hash of the key columns mod P.
+
+    pandas' hash_pandas_object is vectorized siphash with a fixed default
+    key — identical across worker processes (unlike Python's salted hash).
+    """
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(
+        batch.select(keys).to_pandas(), index=False
+    ).to_numpy()
+    return batch.append_column(
+        "__part", pa.array((h % num_partitions).astype(np.int64))
+    )
+
+
+def _merge_partitioned(
+    parts: "ray.data.Dataset",
+    keys: list[str],
+    final_merge,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Stage 2 as a real shuffle: hash-partition partials by key into P
+    coarse buckets, C++-merge each bucket in its own task. P is small
+    (key-disjoint buckets), so ``map_groups``' per-group dispatch is
+    negligible while every actual merge stays vectorized Arrow."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return _hash_partition_column(batch, keys, num_partitions)
+
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        return final_merge(tbl.drop_columns(["__part"]))
+
+    return (
+        parts.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+def _empty_like(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    count_as: str | None,
+) -> pa.Table:
+    """Schema-stable empty result derived from the INPUT schema (ADVICE:
+    fabricating string keys / float64 aggs broke int64-keyed consumers)."""
+    in_types = {}
+    schema = ds.schema(fetch_if_missing=True)
+    if schema is not None:
+        in_types = dict(zip(schema.names, schema.types))
+    cols = {}
+    for k in keys:
+        cols[k] = pa.array([], type=in_types.get(k, pa.string()))
+    for out_col, (c, fn) in aggs.items():
+        t = in_types.get(c, pa.float64())
+        if fn == "sum" and pa.types.is_integer(t):
+            t = pa.int64()
+        elif fn == "sum":
+            t = pa.float64()
+        cols[out_col] = pa.array([], type=t)
+    if count_as:
+        cols[count_as] = pa.array([], type=pa.int64())
+    return pa.table(cols)
+
 
 def fast_grouped_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
     aggs: dict[str, tuple[str, str]] | None = None,
     count_as: str | None = None,
+    distribute_threshold: int = DISTRIBUTE_MERGE_THRESHOLD,
+    num_merge_partitions: int = 32,
 ) -> "ray.data.Dataset":
     """Two-level grouped aggregate on pyarrow's C++ group_by.
 
     Ray's built-in ``groupby().aggregate()`` finalizes per group in Python
     (measured 34s for 1.7M rows / 200k groups vs 0.4s in a C++ engine);
     this helper does the combiner pattern instead: each block partial-
-    aggregates via ``pa.Table.group_by`` (stage 1, parallel, vectorized),
-    partials are concatenated and final-merged once (stage 2 — driver-side
-    here; on a multi-node cluster stage 2 becomes a hash shuffle of the
-    already-tiny partials — ≤ one row per key per block either way).
+    aggregates via ``pa.Table.group_by`` (stage 1, parallel, vectorized).
+    Stage 2 auto-switches on partial size: below ``distribute_threshold``
+    rows the partials are merged once on the driver (fastest at test
+    scale); above it they are hash-shuffled by key into
+    ``num_merge_partitions`` buckets and merged per bucket — no whole-key-
+    space materialization anywhere, which is what billion-key aggregates
+    (doc co-occurrence pairs at corpus scale) require.
 
     aggs: {out_col: (in_col, fn)} with fn in sum|min|max.
     count_as: also emit a row count per group under this name.
     """
     aggs = aggs or {}
-    part_aggs = [(c, fn) for _, (c, fn) in aggs.items()]
-    if count_as:
-        part_aggs.append(([keys[0]], "count"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        spec = [(c, fn) for c, fn in part_aggs if not isinstance(c, list)]
         gb = batch.group_by(keys)
-        cols = spec + ([(keys[0], "count")] if count_as else [])
+        cols = [(c, fn) for _, (c, fn) in aggs.items()]
+        if count_as:
+            cols.append((keys[0], "count"))
         out = gb.aggregate(cols)
         # pyarrow names outputs <col>_<fn>; rename to requested names
-        names = list(out.column_names)
         rename = {}
         for out_col, (c, fn) in aggs.items():
             rename[f"{c}_{fn}"] = f"__p_{out_col}"
         if count_as:
             rename[f"{keys[0]}_count"] = f"__p_{count_as}"
-        new_names = [rename.get(n, n) for n in names]
-        return out.rename_columns(new_names)
+        return out.rename_columns(
+            [rename.get(n, n) for n in out.column_names]
+        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    tbl = collect_table(parts)
-    if tbl.num_rows == 0 and tbl.num_columns == 0:
-        cols = {k: pa.array([], type=pa.string()) for k in keys}
-        for out_col in aggs:
-            cols[out_col] = pa.array([], type=pa.float64())
-        if count_as:
-            cols[count_as] = pa.array([], type=pa.int64())
-        return ray.data.from_arrow(pa.table(cols))
-    final_spec = []
-    for out_col, (c, fn) in aggs.items():
-        final_spec.append((f"__p_{out_col}", _AGG_PARTIAL[fn]))
+    final_spec = [
+        (f"__p_{out_col}", _AGG_PARTIAL[fn])
+        for out_col, (_, fn) in aggs.items()
+    ]
     if count_as:
         final_spec.append((f"__p_{count_as}", "sum"))
-    out = tbl.group_by(keys).aggregate(final_spec)
-    rename = {}
-    for out_col, (c, fn) in aggs.items():
-        rename[f"__p_{out_col}_{_AGG_PARTIAL[fn]}"] = out_col
+    rename_final = {
+        f"__p_{out_col}_{_AGG_PARTIAL[fn]}": out_col
+        for out_col, (_, fn) in aggs.items()
+    }
     if count_as:
-        rename[f"__p_{count_as}_sum"] = count_as
-    out = out.rename_columns([rename.get(n, n) for n in out.column_names])
-    if count_as:
-        i = out.schema.get_field_index(count_as)
-        out = out.set_column(
-            i, count_as, out[count_as].cast(pa.int64())
+        rename_final[f"__p_{count_as}_sum"] = count_as
+
+    def final_merge(tbl: pa.Table) -> pa.Table:
+        out = tbl.group_by(keys).aggregate(final_spec)
+        out = out.rename_columns(
+            [rename_final.get(n, n) for n in out.column_names]
         )
-    return ray.data.from_arrow(out)
+        if count_as:
+            i = out.schema.get_field_index(count_as)
+            out = out.set_column(i, count_as, out[count_as].cast(pa.int64()))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > distribute_threshold:
+        return _merge_partitioned(
+            parts, keys, final_merge, num_merge_partitions
+        )
+    tbl = collect_table(parts)
+    if tbl.num_rows == 0 and tbl.num_columns == 0:
+        return ray.data.from_arrow(_empty_like(ds, keys, aggs, count_as))
+    return ray.data.from_arrow(final_merge(tbl))
 
 
-def fast_distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+def fast_distinct(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    distribute_threshold: int = DISTRIBUTE_MERGE_THRESHOLD,
+    num_merge_partitions: int = 32,
+) -> "ray.data.Dataset":
     """Exact distinct on key columns: per-block C++ distinct, then one
-    final distinct over the concatenated partials (same combiner shape as
-    fast_grouped_agg)."""
+    final distinct (same two-stage shape + auto-switch as
+    fast_grouped_agg: driver merge when partials are small, hash shuffle
+    + per-partition distinct when they are not)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.select(keys).group_by(keys).aggregate([])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    def final_merge(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(keys).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > distribute_threshold:
+        return _merge_partitioned(
+            parts, keys, final_merge, num_merge_partitions
+        )
     tbl = collect_table(parts)
     if tbl.num_columns == 0:
-        return ray.data.from_arrow(tbl)
-    return ray.data.from_arrow(tbl.group_by(keys).aggregate([]))
+        return ray.data.from_arrow(_empty_like(ds, keys, {}, None))
+    return ray.data.from_arrow(final_merge(tbl))

@@ -1,0 +1,83 @@
+"""fast_grouped_agg / fast_distinct: distributed stage-2 merge must equal
+the driver merge byte-for-byte, and empty inputs keep the input schema."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from citationgraphs_ray.utils import fast_distinct, fast_grouped_agg
+
+
+def _fixture_ds(n=5000, blocks=8):
+    rng = np.random.default_rng(7)
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, n), type=pa.int64()),
+            "g": pa.array(
+                [f"g{int(x)}" for x in rng.integers(0, 5, n)], type=pa.string()
+            ),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _sorted_df(ds, cols):
+    return (
+        ds.to_pandas().sort_values(cols).reset_index(drop=True).round(9)
+    )
+
+
+def test_distributed_merge_equals_driver_merge():
+    ds = _fixture_ds()
+    kwargs = dict(aggs={"total": ("v", "sum"), "vmax": ("v", "max")}, count_as="n")
+    driver = fast_grouped_agg(ds, ["k", "g"], **kwargs)
+    dist = fast_grouped_agg(
+        ds, ["k", "g"], distribute_threshold=0, num_merge_partitions=5, **kwargs
+    )
+    a = _sorted_df(driver, ["k", "g"])
+    b = _sorted_df(dist, ["k", "g"])[a.columns]
+    assert a.equals(b)
+    assert a.n.sum() == 5000
+
+
+def test_distributed_distinct_equals_driver_distinct():
+    ds = _fixture_ds()
+    a = _sorted_df(fast_distinct(ds, ["k", "g"]), ["k", "g"])
+    b = _sorted_df(
+        fast_distinct(ds, ["k", "g"], distribute_threshold=0), ["k", "g"]
+    )[["k", "g"]]
+    assert a[["k", "g"]].equals(b)
+
+
+def test_empty_input_preserves_key_schema():
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    out = fast_grouped_agg(empty, ["k"], {"s": ("v", "sum")}, count_as="n")
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]
+        or [pa.table({})]
+    )
+    if tbl.num_columns:  # non-degenerate: check types
+        assert tbl.schema.field("k").type == pa.int64()
+        assert tbl.schema.field("s").type == pa.float64()
+        assert tbl.schema.field("n").type == pa.int64()
+    else:
+        sch = out.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert types["k"] == pa.int64()
+        assert types["n"] == pa.int64()
+
+
+def test_empty_after_filter_preserves_schema():
+    ds = _fixture_ds(100).filter(expr="k < 0")  # filters everything
+    out = fast_distinct(ds, ["k"])
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["k"] == pa.int64()
