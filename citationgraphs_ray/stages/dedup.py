@@ -24,6 +24,7 @@ from itertools import combinations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -34,12 +35,241 @@ from .edges import symmetrize_edges
 
 _MERSENNE = (1 << 61) - 1
 
+# num_ids above which pair verification switches from the broadcast
+# feature map (one object holding every doc's features — testdata scale
+# only) to the partitioned reduce-side join (each task holds 1/P of the
+# features). Both paths compare the SAME int64 shingle-hash sets, so
+# results are identical by construction.
+BROADCAST_VERIFY_MAX_IDS = 200_000
+
 
 def _token_shingles(text: str, k: int = 3) -> set[str]:
     toks = (text or "").lower().split()
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hash_array(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique int64 hashes of a doc's token shingles — the
+    verification feature for minhash/ngram dedup (64-bit hashes stand in
+    for the string sets; Jaccard is unchanged barring 2^-62 collisions)."""
+    sh = _token_shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        np.fromiter(
+            (_hash64(s) % (1 << 62) for s in sh), dtype=np.int64, count=len(sh)
+        )
+    )
+
+
+def shingle_features(
+    ds: ray.data.Dataset, text_col: str, id_col: str, shingle_k: int
+) -> ray.data.Dataset:
+    """(id, feat: list<int64>) — per-doc shingle-hash sets, computed
+    distributed (shingling never runs on the driver)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = [
+            _shingle_hash_array(t or "", shingle_k)
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "id": batch[id_col].cast(pa.int64()),
+                "feat": pa.array(
+                    [a.tolist() for a in feats], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _attach_feature(
+    pairs: ray.data.Dataset,
+    feats: ray.data.Dataset,
+    key_col: str,
+    feat_out: str,
+    pair_schema: pa.Schema,
+    feat_type: pa.DataType,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Reduce-side join: attach ``feats`` (id, feat) to ``pairs`` on
+    ``key_col`` without broadcasting the feature set.
+
+    Ray's ``Dataset.join`` (acero) rejects list-typed non-key columns, so
+    this is the hash-join the scale path needs: both sides are widened to
+    one schema, tagged with ``part = id % P``, unioned, and each partition
+    is joined in its own task — a task holds only 1/P of the features, so
+    P bounds per-task memory regardless of corpus size.
+    """
+    P = num_partitions
+    pair_fields = [(f.name, f.type) for f in pair_schema]
+
+    def widen_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {name: t[name] for name, _ in pair_fields}
+        cols[feat_out] = pa.nulls(n, feat_type)
+        part = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64) % P
+        cols["__part"] = pa.array(part)
+        cols["__fid"] = pa.nulls(n, pa.int64())
+        return pa.table(cols)
+
+    def widen_feats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {name: pa.nulls(n, typ) for name, typ in pair_fields}
+        cols[feat_out] = t["feat"].cast(feat_type)
+        fid = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols["__part"] = pa.array(fid % P)
+        cols["__fid"] = pa.array(fid)
+        return pa.table(cols)
+
+    unioned = pairs.map_batches(widen_pairs, batch_format="pyarrow").union(
+        feats.map_batches(widen_feats, batch_format="pyarrow")
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        fid = g["__fid"].to_numpy(zero_copy_only=False)
+        is_feat = ~pc.is_null(g["__fid"]).to_numpy(zero_copy_only=False)
+        feat_vals = g[feat_out].to_pylist()
+        lookup = {
+            int(i): feat_vals[j]
+            for j, i in enumerate(fid)
+            if is_feat[j]
+        }
+        prows = g.filter(pa.array(~is_feat))
+        keys = prows[key_col].to_numpy(zero_copy_only=False)
+        attached = [lookup.get(int(k), []) for k in keys]
+        cols = {name: prows[name] for name, _ in pair_fields}
+        cols[feat_out] = pa.array(attached, type=feat_type)
+        return pa.table(cols)
+
+    return unioned.groupby("__part").map_groups(
+        join_group, batch_format="pyarrow"
+    )
+
+
+def _verify_jaccard_partitioned(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int,
+    text_col: str,
+    id_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact-Jaccard pair verification as two partitioned feature joins —
+    the 100-TB-shaped path (no whole-dataset object, no driver pass)."""
+    feats = shingle_features(ds, text_col, id_col, shingle_k)
+    ltype = pa.list_(pa.int64())
+    s1 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    with_src = _attach_feature(
+        cand, feats, "src", "feat_src", s1, ltype, num_partitions
+    )
+    s2 = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("feat_src", ltype)]
+    )
+    with_both = _attach_feature(
+        with_src, feats, "dst", "feat_dst", s2, ltype, num_partitions
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fs = batch["feat_src"].to_pylist()
+        fd = batch["feat_dst"].to_pylist()
+        keep = []
+        for a, b in zip(fs, fd):
+            sa, sb = set(a or ()), set(b or ())
+            union = len(sa | sb)
+            keep.append(union > 0 and len(sa & sb) / union >= threshold)
+        return batch.select(["src", "dst"]).filter(pa.array(keep))
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_jaccard_broadcast(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Small-corpus fast path: feature map in one broadcast object. The
+    features are computed DISTRIBUTED (map_batches) and only the compact
+    (id, hash-array) table is collected — no driver-side shingling."""
+    tbl = collect_table(shingle_features(ds, text_col, id_col, shingle_k))
+    sh_map = {
+        int(i): set(f)
+        for i, f in zip(tbl["id"].to_pylist(), tbl["feat"].to_pylist())
+    }
+    sh_ref = ray.put(sh_map)
+
+    class Verify:
+        def __init__(self) -> None:
+            self.sh = ray.get(sh_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = []
+            for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+                a, b = self.sh.get(s, set()), self.sh.get(d, set())
+                union = len(a | b)
+                keep.append(union > 0 and len(a & b) / union >= threshold)
+            return batch.filter(pa.array(keep))
+
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _verify_jaccard(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int,
+    text_col: str,
+    id_col: str,
+    num_ids: int,
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    if verify == "auto":
+        verify = (
+            "broadcast" if num_ids <= BROADCAST_VERIFY_MAX_IDS else "partitioned"
+        )
+    if verify == "broadcast":
+        return _verify_jaccard_broadcast(
+            cand, ds, threshold, shingle_k, text_col, id_col
+        )
+    return _verify_jaccard_partitioned(
+        cand, ds, threshold, shingle_k, text_col, id_col
+    )
+
+
+def _bucket_pairs_capped(
+    g: pd.DataFrame, id_col: str, max_bucket: int
+) -> pd.DataFrame:
+    """Within-bucket candidate pairs with an explosion guard: a bucket
+    larger than ``max_bucket`` (e.g. thousands of empty or identical docs
+    sharing one signature) emits a STAR (min id → every other id, n-1
+    pairs) instead of all n·(n-1)/2 — identical docs still merge into one
+    cluster through CC, pair count stays O(n), and the dup graph keeps
+    diameter 2 so CC converges in O(1) supersteps (a chain would need
+    O(n) min-label rounds)."""
+    ids = sorted(set(g[id_col]))
+    if len(ids) < 2:
+        return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
+    if len(ids) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket of %d docs exceeds cap %d; emitting star pairs",
+            len(ids),
+            max_bucket,
+        )
+        return pd.DataFrame(
+            {"src": [ids[0]] * (len(ids) - 1), "dst": ids[1:]}
+        ).astype(np.int64)
+    src, dst = zip(*combinations(ids, 2))
+    return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
 
 def _hash64(s: str, seed: int = 0) -> int:
@@ -198,13 +428,17 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_ids: int | None = None,
+    max_bucket: int = 200,
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dedup → (id, cluster_id).
 
-    shingle → minhash → band-bucket groupby → within-bucket candidate
-    pairs → exact Jaccard verification (broadcast shingle sets — testdata
-    scale; at corpus scale verification joins shingles by candidate id) →
-    CC over verified pairs.
+    shingle → minhash → band-bucket groupby (buckets over ``max_bucket``
+    emit chain pairs, not all pairs — O(n·cap) candidates even when
+    thousands of empty/identical docs share one signature) → exact
+    Jaccard verification (``verify``: broadcast feature map below
+    BROADCAST_VERIFY_MAX_IDS ids, partitioned reduce-side feature join
+    above — no whole-dataset object either way) → CC over verified pairs.
     """
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
@@ -222,42 +456,16 @@ def minhash_lsh_dedup(
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
-        src, dst = zip(*combinations(ids, 2))
-        return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
-
     cand = fast_distinct(
         sigs.groupby(["band", "bucket"]).map_groups(
-            bucket_pairs, batch_format="pandas"
+            lambda g: _bucket_pairs_capped(g, id_col, max_bucket),
+            batch_format="pandas",
         ),
         ["src", "dst"],
     )
-
-    # exact-Jaccard verification with broadcast shingle sets
-    sh_map = {
-        row[id_col]: _token_shingles(row[text_col], shingle_k)
-        for row in ds.select_columns([id_col, text_col]).iter_rows()
-    }
-    sh_ref = ray.put(sh_map)
-
-    class Verify:
-        def __init__(self) -> None:
-            self.sh = ray.get(sh_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            src = batch["src"].to_pylist()
-            dst = batch["dst"].to_pylist()
-            keep = []
-            for s, d in zip(src, dst):
-                a, b = self.sh.get(s, set()), self.sh.get(d, set())
-                union = len(a | b)
-                keep.append(union > 0 and len(a & b) / union >= threshold)
-            return batch.filter(pa.array(keep))
-
-    verified = cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    verified = _verify_jaccard(
+        cand, ds, threshold, shingle_k, text_col, id_col, num_ids, verify
+    )
     return resolve_dup_clusters(verified, num_ids)
 
 
@@ -285,10 +493,15 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_ids: int | None = None,
+    max_bucket: int = 200,
 ) -> ray.data.Dataset:
     """SimHash near-dedup → (id, cluster_id). 4 bands of 16 bits: any pair
     within hamming ≤ 3 shares at least one full band (pigeonhole), so
-    blocking on band values finds all candidates; verify true distance."""
+    blocking on band values finds all candidates; verify true distance.
+    The full simhash travels WITH the bucket rows, so verification is
+    in-bucket — already broadcast-free. Buckets over ``max_bucket`` emit a
+    hamming-checked chain instead of all pairs (identical docs still chain
+    into one cluster; pair count stays O(n))."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
 
@@ -318,22 +531,30 @@ def simhash_dedup(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates(id_col).sort_values(id_col)
+        empty = pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
         if len(rows) < 2:
-            return pd.DataFrame({"src": [], "dst": [], "h1": [], "h2": []}).astype(
-                np.int64
-            )
+            return empty
         recs = list(zip(rows[id_col], rows["simhash"]))
+        if len(recs) > max_bucket:  # explosion guard: star from min id
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "SimHash bucket of %d docs exceeds cap %d; star pairs",
+                len(recs),
+                max_bucket,
+            )
+            cand_pairs = [(recs[0], r) for r in recs[1:]]
+        else:
+            cand_pairs = list(combinations(recs, 2))
         out = [
-            (a, b, ha, hb)
-            for (a, ha), (b, hb) in combinations(recs, 2)
+            (a, b)
+            for (a, ha), (b, hb) in cand_pairs
             if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
         ]
         if not out:
-            return pd.DataFrame({"src": [], "dst": [], "h1": [], "h2": []}).astype(
-                np.int64
-            )
-        s, d, h1, h2 = zip(*out)
-        return pd.DataFrame({"src": s, "dst": d, "h1": h1, "h2": h2}).astype(np.int64)
+            return empty
+        s, d = zip(*out)
+        return pd.DataFrame({"src": s, "dst": d}).astype(np.int64)
 
     verified = fast_distinct(
         sigs.groupby(["band", "value"]).map_groups(
@@ -357,10 +578,14 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     num_ids: int | None = None,
     max_bucket: int = 50,
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard dedup with shingle blocking: docs sharing any
-    shingle are candidates (buckets larger than ``max_bucket`` are dropped
-    as stop-shingles — logged via count). Verify exact Jaccard, cluster."""
+    shingle are candidates. Buckets larger than ``max_bucket`` are DROPPED
+    (a shingle shared by that many docs is a stop-shingle carrying no
+    signal — unlike the minhash/simhash full-signature buckets, which
+    chain instead). Verify exact Jaccard (broadcast or partitioned join
+    per ``verify``), cluster via CC."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
 
@@ -391,25 +616,9 @@ def ngram_jaccard_dedup(
         rows.groupby("shingle").map_groups(bucket_pairs, batch_format="pandas"),
         ["src", "dst"],
     )
-    sh_map = {
-        row[id_col]: _token_shingles(row[text_col], shingle_k)
-        for row in ds.select_columns([id_col, text_col]).iter_rows()
-    }
-    sh_ref = ray.put(sh_map)
-
-    class Verify:
-        def __init__(self) -> None:
-            self.sh = ray.get(sh_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = []
-            for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
-                a, b = self.sh.get(s, set()), self.sh.get(d, set())
-                union = len(a | b)
-                keep.append(union > 0 and len(a & b) / union >= threshold)
-            return batch.filter(pa.array(keep))
-
-    verified = cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    verified = _verify_jaccard(
+        cand, ds, threshold, shingle_k, text_col, id_col, num_ids, verify
+    )
     return resolve_dup_clusters(verified, num_ids)
 
 
@@ -427,10 +636,14 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_ids: int | None = None,
+    max_bucket: int = 200,
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup on an embedding column: sign-LSH buckets (num_tables
-    independent sets of num_planes hyperplanes) → candidates → exact cosine
-    verification against the broadcast (normalized) matrix → CC clusters."""
+    independent sets of num_planes hyperplanes) → candidates (buckets over
+    ``max_bucket`` chain instead of exploding) → exact cosine verification
+    (dense broadcast matrix below BROADCAST_VERIFY_MAX_IDS ids,
+    partitioned feature join above) → CC clusters."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
     first = ds.take(1)[0]
@@ -465,39 +678,78 @@ def embedding_cosine_dedup(
 
     sigs = ds.map_batches(Buckets, batch_format="pyarrow", concurrency=(1, 4))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
-        src, dst = zip(*combinations(ids, 2))
-        return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
-
     cand = fast_distinct(
         sigs.groupby(["table", "key"]).map_groups(
-            bucket_pairs, batch_format="pandas"
+            lambda g: _bucket_pairs_capped(g, id_col, max_bucket),
+            batch_format="pandas",
         ),
         ["src", "dst"],
     )
 
-    # normalized matrix broadcast for exact verification
-    tbl = collect_table(ds.select_columns([id_col, vec_col]))
-    ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    dense = np.zeros((num_ids, dim))
-    dense[ids_all] = mat / norms
-    dense_ref = ray.put(dense)
+    def norm_feats(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            vecs = vecs.reshape(0, dim)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        return pa.table(
+            {
+                "id": batch[id_col].cast(pa.int64()),
+                "feat": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
 
-    class Verify:
-        def __init__(self) -> None:
-            self.m = ray.get(dense_ref)
+    feats = ds.map_batches(norm_feats, batch_format="pyarrow")
+    if verify == "auto":
+        verify = (
+            "broadcast" if num_ids <= BROADCAST_VERIFY_MAX_IDS else "partitioned"
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            s = batch["src"].to_numpy(zero_copy_only=False)
-            d = batch["dst"].to_numpy(zero_copy_only=False)
-            cos = np.einsum("ij,ij->i", self.m[s], self.m[d])
-            return batch.filter(pa.array(cos >= threshold))
+    if verify == "broadcast":
+        # dense normalized matrix in one object — small-id-space fast path
+        tbl = collect_table(feats)
+        ids_all = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dense = np.zeros((num_ids, dim))
+        dense[ids_all] = np.array(tbl["feat"].to_pylist(), dtype=np.float64)
+        dense_ref = ray.put(dense)
 
-    verified = cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+        class Verify:
+            def __init__(self) -> None:
+                self.m = ray.get(dense_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                s = batch["src"].to_numpy(zero_copy_only=False)
+                d = batch["dst"].to_numpy(zero_copy_only=False)
+                cos = np.einsum("ij,ij->i", self.m[s], self.m[d])
+                return batch.filter(pa.array(cos >= threshold))
+
+        verified = cand.map_batches(
+            Verify, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    else:
+        ltype = pa.list_(pa.float64())
+        s1 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        with_src = _attach_feature(cand, feats, "src", "feat_src", s1, ltype)
+        s2 = pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("feat_src", ltype)]
+        )
+        with_both = _attach_feature(
+            with_src, feats, "dst", "feat_dst", s2, ltype
+        )
+
+        def cos_verify(batch: pa.Table) -> pa.Table:
+            fs = batch["feat_src"].to_pylist()
+            fd = batch["feat_dst"].to_pylist()
+            keep = []
+            for a, b in zip(fs, fd):
+                if not a or not b:
+                    keep.append(False)
+                    continue
+                keep.append(
+                    float(np.dot(np.asarray(a), np.asarray(b))) >= threshold
+                )
+            return batch.select(["src", "dst"]).filter(pa.array(keep))
+
+        verified = with_both.map_batches(cos_verify, batch_format="pyarrow")
     return resolve_dup_clusters(verified, num_ids)

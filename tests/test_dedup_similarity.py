@@ -7,6 +7,7 @@ import pytest
 import ray.data
 
 from citationgraphs_ray.stages.dedup import (
+    _bucket_pairs_capped,
     embedding_cosine_dedup,
     exact_dedup,
     minhash_lsh_dedup,
@@ -87,6 +88,110 @@ def test_embedding_cosine_dedup():
     out = embedding_cosine_dedup(ds, threshold=0.99).to_pandas().sort_values("id")
     assert out.cluster_id.iloc[0] == out.cluster_id.iloc[1] == 0
     assert out.cluster_id.iloc[2] == 2
+
+
+def _corpus_with_dups(n_groups=12, copies=3):
+    """n_groups distinct docs, each with `copies` near-identical variants."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(60)]
+    texts = []
+    for g in range(n_groups):
+        base = " ".join(rng.choice(words, size=25))
+        for c in range(copies):
+            texts.append(base + (f" tail{c}" if c else ""))
+    return _docs(texts)
+
+
+def test_minhash_partitioned_verify_equals_broadcast():
+    ds = _corpus_with_dups()
+    a = (
+        minhash_lsh_dedup(ds, threshold=0.6, verify="broadcast")
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        minhash_lsh_dedup(ds, threshold=0.6, verify="partitioned")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(a.cluster_id) == list(b.cluster_id)
+    assert a.cluster_id.nunique() < len(a)  # something actually clustered
+
+
+def test_ngram_partitioned_verify_equals_broadcast():
+    ds = _corpus_with_dups(n_groups=8)
+    a = (
+        ngram_jaccard_dedup(ds, threshold=0.6, verify="broadcast")
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        ngram_jaccard_dedup(ds, threshold=0.6, verify="partitioned")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(a.cluster_id) == list(b.cluster_id)
+
+
+def test_embedding_partitioned_verify_equals_broadcast():
+    rng = np.random.default_rng(5)
+    vecs = []
+    for g in range(10):
+        base = rng.standard_normal(16)
+        vecs.append(base)
+        vecs.append(base + rng.standard_normal(16) * 0.005)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    a = (
+        embedding_cosine_dedup(ds, threshold=0.99, verify="broadcast")
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        embedding_cosine_dedup(ds, threshold=0.99, verify="partitioned")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(a.cluster_id) == list(b.cluster_id)
+    assert a.cluster_id.nunique() == 10 + len(a) - 20  # pairs merged
+
+
+def test_bucket_cap_emits_chain_not_quadratic():
+    g = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    out = _bucket_pairs_capped(g, "doc_id", max_bucket=50)
+    assert len(out) == 999  # O(n) star, not n*(n-1)/2 = 499500
+    # star from min id → diameter-2 dup graph, CC converges in O(1) rounds
+    assert list(out.src) == [0] * 999
+    assert list(out.dst) == list(range(1, 1000))
+
+
+def test_identical_docs_cluster_despite_cap():
+    """300 identical docs in one degenerate bucket: the cap bounds pair
+    count but the chain keeps them one cluster."""
+    ds = _docs([BASE] * 300)
+    out = (
+        minhash_lsh_dedup(ds, threshold=0.9, max_bucket=50)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out.cluster_id.nunique() == 1
+    assert (out.cluster_id == 0).all()
+
+
+def test_simhash_identical_docs_despite_cap():
+    ds = _docs([BASE] * 120)
+    out = (
+        simhash_dedup(ds, max_hamming=3, max_bucket=30)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out.cluster_id.nunique() == 1
 
 
 def test_brute_force_topk_matches_numpy():
