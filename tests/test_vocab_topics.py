@@ -88,7 +88,9 @@ def test_lda_separates_planted_topics():
     W = vocab.count()
     enc = encode_docs(ds, vocab).materialize()
     eng = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=2, seed=1)
-    eng.train(num_iters=15)
+    # 30 sweeps: Gibbs chains are RNG-stream dependent; on this fixture
+    # every seed in {1,2,3} fully separates by 30 (seed 1 needs >15)
+    eng.train(num_iters=30)
     ms = eng.memberships().to_pandas().sort_values("id")
     pred = np.array([int(np.argmax(m)) for m in ms.membership])
     eng.shutdown()
@@ -98,7 +100,7 @@ def test_lda_separates_planted_topics():
     )
     assert agree == 1.0
     # entropy monitor recorded per iteration
-    assert len(eng.entropy_history) == 15
+    assert len(eng.entropy_history) == 30
 
 
 def test_gsdmm_separates_planted_topics():
