@@ -1,0 +1,177 @@
+"""``ray job submit``-able entry point (BASELINE.json north_star).
+
+Runs the flagship pipeline — corpus parquet → edge extraction → graph
+kernel — with checkpoint/resume flags, writing partitioned parquet
+results. Submit against a cluster exactly as the north rule describes::
+
+    ray job submit --working-dir . -- \
+        python -m citationgraphs_ray.cli \
+        --corpus /data/corpus --output /data/out --kernel pagerank \
+        --checkpoint-dir /data/ck --resume
+
+or run locally (``ray.init`` is guarded, so an existing session — e.g.
+the driver's or pytest's — is reused; standalone runs auto-init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="citationgraphs_ray",
+        description="Ray-Data-native citation/link-graph analytics engine",
+    )
+    p.add_argument("--corpus", required=True, help="corpus parquet dir/file")
+    p.add_argument("--output", required=True, help="output parquet dir")
+    p.add_argument(
+        "--kernel",
+        default="pagerank",
+        choices=["pagerank", "cc", "lpa", "triangles", "edges"],
+        help="analysis to run over the extracted edge table",
+    )
+    p.add_argument(
+        "--engine",
+        default="csr",
+        choices=["csr", "broadcast"],
+        help="csr = partition-actor BSP (scale path); broadcast = dense "
+        "driver-vector engine (small V); triangles/edges ignore this",
+    )
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from the newest complete checkpoint in --checkpoint-dir",
+    )
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--workdir", default="/tmp/citationgraphs_ray")
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-9)
+    p.add_argument("--max-iters", type=int, default=200)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not ray.is_initialized():  # reuse the submitting session if any
+        ray.init(address="auto" if "--address" in (argv or []) else "local")
+
+    from .graph.csr_engine import CsrEngine
+    from .graph.engine import connected_components, label_propagation, pagerank
+    from .graph.triangles import triangle_counts
+    from .stages.edges import extract_edge_table, symmetrize_edges
+
+    corpus = ray.data.read_parquet(args.corpus)
+    edges, vids = extract_edge_table(corpus)
+    edges = edges.materialize()
+    V = vids.count()
+
+    if args.kernel == "edges":
+        edges.write_parquet(args.output)
+        print(json.dumps({"kernel": "edges", "rows": edges.count(), "V": V}))
+        return 0
+
+    if args.kernel == "triangles":
+        res = triangle_counts(symmetrize_edges(edges), V)
+        state, iters, converged = res.state, res.iterations, True
+        col = "tri_count"
+    elif args.engine == "csr":
+        eng = CsrEngine(
+            edges,
+            V,
+            num_partitions=args.num_partitions,
+            workdir=args.workdir,
+        )
+        if args.kernel == "pagerank":
+            state, iters, converged = eng.pagerank(
+                damping=args.damping,
+                tol=args.tol,
+                max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+            )
+            col = "rank"
+        elif args.kernel == "cc":
+            eng.shutdown()
+            eng = CsrEngine(
+                symmetrize_edges(edges).materialize(),
+                V,
+                num_partitions=args.num_partitions,
+                workdir=args.workdir,
+            )
+            state, iters, converged = eng.connected_components(
+                max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+            )
+            col = "component"
+        else:
+            eng.shutdown()
+            eng = CsrEngine(
+                symmetrize_edges(edges).materialize(),
+                V,
+                num_partitions=args.num_partitions,
+                workdir=args.workdir,
+            )
+            state, iters, converged = eng.label_propagation(
+                max_rounds=args.max_iters,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+            )
+            col = "label"
+        eng.shutdown()
+    else:
+        kw = dict(checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        if args.kernel == "pagerank":
+            res = pagerank(
+                edges,
+                V,
+                damping=args.damping,
+                tol=args.tol,
+                max_iters=args.max_iters,
+                **kw,
+            )
+            col = "rank"
+        elif args.kernel == "cc":
+            res = connected_components(
+                symmetrize_edges(edges), V, max_iters=args.max_iters, **kw
+            )
+            col = "component"
+        else:
+            res = label_propagation(
+                symmetrize_edges(edges), V, max_rounds=args.max_iters, **kw
+            )
+            col = "label"
+        state, iters, converged = res.state, res.iterations, res.converged
+
+    out = ray.data.from_arrow(
+        pa.table(
+            {"id": pa.array(np.arange(V, dtype=np.int64)), col: pa.array(state)}
+        )
+    )
+    out.write_parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "kernel": args.kernel,
+                "engine": args.engine,
+                "V": V,
+                "iterations": iters,
+                "converged": bool(converged),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -164,9 +165,13 @@ def leap2trend(
         if len(high) < 2:
             continue
         sims = phrase_similarities(vectors, high)
-        # reference ranks only high-freq phrases against each other (4291-4297)
-        hf_set = set(high)
-        sims = sims.filter(lambda r: r["phrase1"] in hf_set)
+        # reference ranks only high-freq phrases against each other
+        # (4291-4297) — vectorized Arrow is_in mask, not a per-row UDF
+        hf_arr = pa.array(sorted(set(high)))
+        sims = sims.map_batches(
+            lambda t: t.filter(pc.is_in(t["phrase1"], value_set=hf_arr)),
+            batch_format="pyarrow",
+        )
         ranks = neighbor_ranks(sims).materialize()
         if prev_ranks is not None:
             out[y] = rank_jumps(prev_ranks, ranks, min_jump=min_jump)

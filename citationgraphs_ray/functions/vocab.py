@@ -141,6 +141,26 @@ def _bigram_tables(
     return uni_df, bi_df
 
 
+def accepted_bigrams(
+    uni_df: pd.DataFrame,
+    bi_df: pd.DataFrame,
+    min_freq: int,
+    min_score: float,
+) -> pd.DataFrame:
+    """Vectorized accepted-bigram selection: rows of ``bi_df`` with
+    freq ≥ min_freq and (freq - min_freq)/(f1·f2) ≥ min_score. Pure
+    pandas/numpy column ops over the (already thresholded-small) grouped
+    counts — no Python row loop."""
+    m = bi_df[bi_df["count()"] >= min_freq]
+    if m.empty:
+        return m
+    f = uni_df.set_index("w")["count()"]
+    f1 = m["w1"].map(f).to_numpy(dtype=np.float64)
+    f2 = m["w2"].map(f).to_numpy(dtype=np.float64)
+    score = (m["count()"].to_numpy(dtype=np.float64) - min_freq) / (f1 * f2)
+    return m[score >= min_score]
+
+
 def word2phrase(
     tokenized: ray.data.Dataset,
     num_iters: int = 2,
@@ -158,14 +178,8 @@ def word2phrase(
     ds = tokenized
     for _ in range(num_iters):
         uni_df, bi_df = _bigram_tables(ds)
-        freqs = dict(zip(uni_df["w"], uni_df["count()"]))
-        accepted: set[tuple[str, str]] = set()
-        for w1, w2, f in zip(bi_df["w1"], bi_df["w2"], bi_df["count()"]):
-            if f < min_freq:
-                continue
-            score = (f - min_freq) / (freqs[w1] * freqs[w2])
-            if score >= min_score:
-                accepted.add((w1, w2))
+        acc = accepted_bigrams(uni_df, bi_df, min_freq, min_score)
+        accepted = set(zip(acc["w1"], acc["w2"]))
         if not accepted:
             break
         acc_ref = ray.put(accepted)

@@ -114,6 +114,8 @@ def pagerank(
     resume: bool = False,
     checkpoint_every: int = 1,
     reduce: str = "driver",
+    salt_degree_threshold: int = 1 << 20,
+    num_salts: int = 8,
 ) -> KernelResult:
     """Power-iteration PageRank with uniform dangling-mass redistribution.
 
@@ -133,8 +135,28 @@ def pagerank(
       Use when auditing the pure-Dataset formulation; the CSR actor engine
       (csr_engine.py) is the production scale-out path when V outgrows the
       driver.
+    - "salted_groupby": the skew-guarded combiner-less formulation
+      (SURVEY.md §4.3 / north-rule hub splitting): per-EDGE messages (no
+      per-block pre-aggregation) shuffled by ``(dst, salt)`` where hub
+      dsts with in-degree > ``salt_degree_threshold`` are split across
+      ``num_salts`` sub-keys (stages/edges.add_salt), then a second tiny
+      groupby merges the salt partials. Without the salt, one mega-hub
+      key would pin the whole reduce on one task.
     """
     eds = _prepare_edges(edges)
+    salted_eds = None
+    if reduce == "salted_groupby":
+        from ..stages.edges import add_salt
+        from ..utils import fast_grouped_agg
+
+        indeg = fast_grouped_agg(eds, ["dst"], count_as="n")
+        hot_tbl = indeg.filter(expr=f"n > {int(salt_degree_threshold)}")
+        hot = (
+            hot_tbl.to_pandas()["dst"].to_numpy().astype(np.int64)
+            if hot_tbl.count()
+            else np.empty(0, dtype=np.int64)
+        )
+        salted_eds = add_salt(eds, hot, num_salts=num_salts).materialize()
     num_edges = eds.count()
     out_deg = dataset_to_dense_array(
         eds.groupby("src").count(),
@@ -185,11 +207,34 @@ def pagerank(
             sums = np.bincount(inv, weights=vec[src])
             return _msg_table(u, sums, "contrib")
 
-        msgs = eds.map_batches(partial, batch_format="pyarrow")
-        if reduce == "groupby":
+        if reduce == "salted_groupby":
+
+            def edge_msgs(batch: pa.Table) -> pa.Table:
+                vec = ray.get(vec_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "dst": batch["dst"],
+                        "salt": batch["salt"],
+                        "contrib": pa.array(vec[src]),
+                    }
+                )
+
+            raw = salted_eds.map_batches(edge_msgs, batch_format="pyarrow")
+            agg1 = raw.groupby(["dst", "salt"]).aggregate(
+                Sum("contrib", alias_name="contrib")
+            )
+            agg2 = agg1.groupby("dst").aggregate(
+                Sum("contrib", alias_name="contrib")
+            )
+            sums = dataset_to_dense_array(agg2, "dst", "contrib", num_vertices)
+            msgs = None
+        elif reduce == "groupby":
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
             agg = msgs.groupby("dst").aggregate(Sum("contrib", alias_name="contrib"))
             sums = dataset_to_dense_array(agg, "dst", "contrib", num_vertices)
         else:
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
             sums = np.zeros(num_vertices)
             for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
                 np.add.at(

@@ -39,7 +39,7 @@ from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
 from ..stages.edges import dedup_edges, symmetrize_edges
 from ..stages.similarity import brute_force_topk
 from ..stages.text import LangIdHeuristic
-from ..utils import fast_distinct, fast_grouped_agg
+from ..utils import collect_table, fast_distinct, fast_grouped_agg
 
 GRAPH_MOD = 1000
 
@@ -127,16 +127,30 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def _present_vertex_ids(edges: ray.data.Dataset) -> np.ndarray:
+    """Sorted vertex ids appearing in the edge table — distributed
+    distinct over src ∪ dst (per-block C++ distinct + merged), replacing
+    the old full-edge-table driver scan."""
+    both = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tbl = collect_table(fast_distinct(both, ["id"]))
+    return np.sort(tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+
 def q_triangles_per_vertex(sf_dir: str):
     edges = derive_edges(sf_dir).materialize()
     und = symmetrize_edges(edges)
     res = triangle_counts(und, GRAPH_MOD)
     # restrict to vertices present in the edge table (SQL `nodes` CTE)
-    present = np.zeros(GRAPH_MOD, dtype=bool)
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        present[b["src"].to_numpy(zero_copy_only=False)] = True
-        present[b["dst"].to_numpy(zero_copy_only=False)] = True
-    ids = np.flatnonzero(present).astype(np.int64)
+    ids = _present_vertex_ids(edges)
     return pa.table(
         {"id": pa.array(ids), "tri_count": pa.array(res.state[ids])}
     )
@@ -152,11 +166,7 @@ def q_connected_components(sf_dir: str):
     edges = derive_edges(sf_dir).materialize()
     und = symmetrize_edges(edges)
     res = connected_components(und, GRAPH_MOD)
-    present = np.zeros(GRAPH_MOD, dtype=bool)
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        present[b["src"].to_numpy(zero_copy_only=False)] = True
-        present[b["dst"].to_numpy(zero_copy_only=False)] = True
-    ids = np.flatnonzero(present).astype(np.int64)
+    ids = _present_vertex_ids(edges)
     return pa.table(
         {"id": pa.array(ids), "component": pa.array(res.state[ids])}
     )
@@ -899,22 +909,16 @@ def q_bigram_counts(sf_dir: str):
 def q_word2phrase_accepted(sf_dir: str):
     """A7 accepted-bigram table: freq ≥ 10 and (freq-10)/(f1·f2) ≥ 3e-5
     (thresholds chosen to be non-empty on the short-doc testdata)."""
-    from ..functions.vocab import _bigram_tables, tokenize_docs
+    from ..functions.vocab import _bigram_tables, accepted_bigrams, tokenize_docs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     uni_df, bi_df = _bigram_tables(tokenize_docs(docs).materialize())
-    freqs = dict(zip(uni_df["w"], uni_df["count()"]))
-    rows = [
-        (w1, w2, int(f))
-        for w1, w2, f in zip(bi_df["w1"], bi_df["w2"], bi_df["count()"])
-        if f >= 10 and (f - 10) / (freqs[w1] * freqs[w2]) >= 3e-5
-    ]
-    rows.sort()
+    acc = accepted_bigrams(uni_df, bi_df, 10, 3e-5).sort_values(["w1", "w2"])
     return pa.table(
         {
-            "w1": pa.array([r[0] for r in rows]),
-            "w2": pa.array([r[1] for r in rows]),
-            "n": pa.array([r[2] for r in rows], type=pa.int64()),
+            "w1": pa.array(acc["w1"].tolist()),
+            "w2": pa.array(acc["w2"].tolist()),
+            "n": pa.array(acc["count()"].to_numpy(), type=pa.int64()),
         }
     )
 

@@ -120,18 +120,74 @@ def mint_vertex_ids(corpus: ray.data.Dataset) -> ray.data.Dataset:
     return zip_with_index(verts, col="id")
 
 
+# Vertex-map rows above which resolve_edges switches from the broadcast
+# dict probe to distributed hash joins (the map no longer fits one object
+# at 10^12-file scale).
+BROADCAST_RESOLVE_MAX_ROWS = 5_000_000
+
+
 def resolve_edges(
-    raw_edges: ray.data.Dataset, vertex_ids: ray.data.Dataset
+    raw_edges: ray.data.Dataset,
+    vertex_ids: ray.data.Dataset,
+    mode: str = "auto",
+    num_join_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Resolve string-keyed edges to ``(src:int64, dst:int64)``.
 
-    The vertex map (V rows, no content) is broadcast once via ``ray.put``
-    and probed per batch — the SURVEY.md §2.7 broadcast-join pattern for the
-    reference's ``Nodes`` dict probes. Unresolvable dsts (dangling imports)
-    are dropped here, mirroring "unresolved-edge dropping" in FIXTURES.md.
-    At 10^12-file scale the vertex map no longer fits one object; swap this
-    stage for ``Dataset.join`` on (repo, path) — semantics identical.
+    Two equivalent engines (parametrized-tested identical):
+
+    - ``broadcast`` (small V): the vertex map is ``ray.put`` once and
+      probed per batch — the SURVEY.md §2.7 broadcast-join pattern for
+      the reference's ``Nodes`` dict probes (CitationGraphs.go:1536-1537).
+    - ``join`` (the 10^12-file path, where no single object can hold the
+      map): two distributed hash joins on (repo, path) — resolve src,
+      then dst; inner joins drop unresolvable endpoints exactly like the
+      broadcast probe drops them.
+
+    ``mode="auto"`` picks by vertex-map size. Self-loops are dropped in
+    both. Unresolvable dsts (dangling imports) are dropped, mirroring
+    "unresolved-edge dropping" in FIXTURES.md.
     """
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if vertex_ids.count() <= BROADCAST_RESOLVE_MAX_ROWS
+            else "join"
+        )
+    if mode == "join":
+        if num_join_partitions is None:
+            # Ray's hash-shuffle join schedules one aggregator actor per
+            # partition; more partitions than CPUs deadlocks a small
+            # session (observed: p=32 hangs at num_cpus=4).
+            num_join_partitions = min(
+                64, max(2, int(ray.cluster_resources().get("CPU", 8)))
+            )
+        vs = vertex_ids.map_batches(
+            lambda t: pa.table(
+                {"src_repo": t["repo"], "src_path": t["path"], "src": t["id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        vd = vertex_ids.map_batches(
+            lambda t: pa.table(
+                {"dst_repo": t["repo"], "dst_path": t["path"], "dst": t["id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        j = raw_edges.join(
+            vs, "inner", num_join_partitions, on=("src_repo", "src_path")
+        ).join(vd, "inner", num_join_partitions, on=("dst_repo", "dst_path"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = src != dst
+            return pa.table(
+                {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+            )
+
+        return j.map_batches(finish, batch_format="pyarrow")
+
     vert_tbl = collect_table(vertex_ids)
     keys = {
         (r, p): i

@@ -1,0 +1,68 @@
+"""Smoke tests for the ray-job-submit CLI (north_star entry point)."""
+
+import json
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data
+
+from citationgraphs_ray.cli import main
+from citationgraphs_ray.corpus import generate_corpus, write_corpus_parquet
+from citationgraphs_ray.graph.oracle import pagerank_oracle
+
+
+def _corpus_dir(tmp_path):
+    corp = generate_corpus(n_repos=20, seed=7, mega_repo_files=100)
+    d = str(tmp_path / "corpus")
+    write_corpus_parquet(corp, d)
+    return d
+
+
+def test_cli_pagerank_csr_with_resume(tmp_path, capsys):
+    cdir = _corpus_dir(tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rc = main(
+        [
+            "--corpus", cdir,
+            "--output", out,
+            "--kernel", "pagerank",
+            "--engine", "csr",
+            "--num-partitions", "4",
+            "--workdir", str(tmp_path / "wd"),
+            "--checkpoint-dir", ck,
+            "--tol", "1e-9",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["converged"]
+    res = pq.read_table(out).to_pandas().sort_values("id")
+    assert len(res) == info["V"]
+    # resume from converged checkpoint is a no-op rerun
+    rc2 = main(
+        [
+            "--corpus", cdir,
+            "--output", str(tmp_path / "out2"),
+            "--kernel", "pagerank",
+            "--engine", "csr",
+            "--num-partitions", "4",
+            "--workdir", str(tmp_path / "wd"),
+            "--checkpoint-dir", ck,
+            "--resume",
+            "--tol", "1e-9",
+        ]
+    )
+    assert rc2 == 0
+    res2 = pq.read_table(str(tmp_path / "out2")).to_pandas().sort_values("id")
+    assert np.array_equal(res["rank"].to_numpy(), res2["rank"].to_numpy())
+
+
+def test_cli_edges_output(tmp_path, capsys):
+    cdir = _corpus_dir(tmp_path)
+    out = str(tmp_path / "edges_out")
+    rc = main(["--corpus", cdir, "--output", out, "--kernel", "edges"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tbl = pq.read_table(out)
+    assert tbl.num_rows == info["rows"] > 0
+    assert set(tbl.column_names) == {"src", "dst"}

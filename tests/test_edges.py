@@ -43,6 +43,28 @@ def test_extraction_matches_generator_ground_truth(small_corpus, small_edges):
     assert got == small_corpus.expected_edges
 
 
+def test_resolve_edges_join_equals_broadcast(small_corpus, small_edges):
+    """The distributed-hash-join resolve engine must produce the exact
+    same edge table as the broadcast dict probe (VERDICT #5: at 10^12
+    files the vertex map cannot be a driver dict)."""
+    from citationgraphs_ray.stages.edges import resolve_edges
+
+    edges_bc, vids = small_edges  # broadcast path (default at this size)
+    ds = ray.data.from_arrow(small_corpus.table)
+    slim = ds.select_columns(["repo", "path", "lang", "content"])
+    raw = slim.map_batches(
+        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    edges_join = dedup_edges(resolve_edges(raw, vids, mode="join"))
+    a = edges_bc.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = (
+        edges_join.to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_dedup_idempotent_and_no_self_loops(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()

@@ -179,3 +179,34 @@ def test_triangle_strategies_agree(small_graph):
     a = triangle_counts(und, V, strategy="broadcast")
     b = triangle_counts(und, V, strategy="shuffle")
     assert np.array_equal(a.state, b.state)
+
+
+def test_salted_groupby_reduce_agrees(small_graph):
+    """The skew-guarded combiner-less reduce (hub dsts split across salt
+    sub-keys before the shuffle) must match the driver reduce; the mega
+    repo in the fixture guarantees hot keys actually get salted."""
+    from citationgraphs_ray.stages.edges import add_salt
+    from citationgraphs_ray.utils import fast_grouped_agg
+
+    edges, _, earr, V = small_graph
+    a = pagerank(edges, V, tol=1e-10, max_iters=5, reduce="driver")
+    b = pagerank(
+        edges,
+        V,
+        tol=1e-10,
+        max_iters=5,
+        reduce="salted_groupby",
+        salt_degree_threshold=5,
+        num_salts=4,
+    )
+    assert np.allclose(a.state, b.state, atol=1e-9)
+    # the fixture's hub really is salted: hot dsts spread over >1 sub-key
+    indeg = fast_grouped_agg(edges, ["dst"], count_as="n").to_pandas()
+    hot = indeg[indeg.n > 5].dst.to_numpy()
+    assert len(hot) > 0
+    salted = add_salt(edges, hot, num_salts=4).to_pandas()
+    assert salted[salted.dst.isin(hot)].salt.nunique() > 1
+    # salting bounds the max (dst, salt) group to ~1/num_salts of the hub
+    per_key = salted.groupby(["dst", "salt"]).size()
+    hub = indeg.n.max()
+    assert per_key.max() <= int(np.ceil(hub / 4 * 2))
