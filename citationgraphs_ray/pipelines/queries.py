@@ -1140,8 +1140,107 @@ QUERIES.update(
     }
 )
 
+# Iterative kernels as DuckDB RECURSIVE CTEs carrying the state vector as
+# a LIST column (single self-reference satisfied; everything else derives
+# from the unnested list). PageRank: DOUBLE casts are load-bearing —
+# DuckDB types 1.0/1000 as DECIMAL, silently quantizing the whole
+# iteration. Verified exact vs the Ray engines after round6 (pagerank) /
+# exactly (LPA, integer labels).
+_PAGERANK_SQL = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS outd FROM edges GROUP BY src),
+pr(it, ranks, resid) AS (
+  SELECT 0, (SELECT list((1.0/{GRAPH_MOD})::DOUBLE) FROM range({GRAPH_MOD})),
+         1.0::DOUBLE
+  UNION ALL
+  SELECT it + 1, new_ranks,
+    list_max(list_transform(list_zip(new_ranks, ranks),
+                            p -> abs(p[1] - p[2])))
+  FROM (
+    SELECT it, ranks,
+      (SELECT list(
+          (0.15/{GRAPH_MOD})::DOUBLE + 0.85::DOUBLE * (
+            COALESCE((SELECT SUM(ranks[e.src + 1] / d.outd)
+                      FROM edges e JOIN deg d ON e.src = d.src
+                      WHERE e.dst = n.i), 0.0::DOUBLE)
+            + (SELECT COALESCE(SUM(ranks[m.i + 1]), 0.0::DOUBLE)
+               FROM range({GRAPH_MOD}) AS m(i)
+               LEFT JOIN deg dd ON m.i = dd.src
+               WHERE dd.src IS NULL) / {GRAPH_MOD}
+          ) ORDER BY n.i)
+       FROM range({GRAPH_MOD}) AS n(i)) AS new_ranks
+    FROM pr WHERE it < 200 AND resid > 1e-10
+  )
+)
+SELECT n.i AS id, FLOOR(r.ranks[n.i + 1] * 1e6 + 0.5) / 1e6 AS rank
+FROM (SELECT ranks FROM pr ORDER BY it DESC LIMIT 1) r,
+     range({GRAPH_MOD}) AS n(i)
+ORDER BY id
+"""
+
+_LPA_SQL = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+edges_sym AS ({_EDGES_SYM_SQL}),
+lp(it, labels, changed) AS (
+  SELECT 0, (SELECT list(t.i ORDER BY t.i) FROM range({GRAPH_MOD}) t(i)), 1
+  UNION ALL
+  SELECT it + 1, new_labels,
+    len(list_filter(list_zip(new_labels, labels), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, labels,
+      (SELECT list(COALESCE(
+          (SELECT lbl FROM (
+              SELECT labels[e.src + 1] AS lbl, COUNT(*) AS c
+              FROM edges_sym e WHERE e.dst = n.i GROUP BY lbl
+              ORDER BY c DESC, lbl ASC LIMIT 1)),
+          labels[n.i + 1]) ORDER BY n.i)
+       FROM range({GRAPH_MOD}) AS n(i)) AS new_labels
+    FROM lp WHERE it < 20 AND changed > 0
+  )
+)
+SELECT n.i AS id, l.labels[n.i + 1] AS label
+FROM (SELECT labels FROM lp ORDER BY it DESC LIMIT 1) l,
+     range({GRAPH_MOD}) AS n(i)
+ORDER BY id
+"""
+
+# X1/X2 scalars in closed form: per-community vector sums via zipped
+# unnest + generate_subscripts; ||Σ n_i||² needs no pairwise blowup.
+# Verified equal to the Ray block-parallel implementation after round6.
+_MODULARITY_CPM_SQL = """
+WITH m AS (
+  SELECT vec_id AS id,
+    (list_position(embedding, list_max(embedding)) - 1)::BIGINT AS comm,
+    list_transform(embedding,
+      x -> (x::DOUBLE) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS n
+  FROM (SELECT vec_id, embedding,
+          sqrt(list_sum(list_transform(embedding,
+            x -> (x::DOUBLE)*(x::DOUBLE)))) AS nrm
+        FROM embeddings)
+),
+dims AS (SELECT id, comm, unnest(n) AS v, generate_subscripts(n, 1) AS d FROM m),
+colsum AS (SELECT d, SUM(v) AS cs FROM dims GROUP BY d),
+s AS (SELECT id, comm, SUM(v * cs) AS si
+      FROM dims JOIN colsum USING(d) GROUP BY id, comm),
+tt AS (SELECT SUM(si) AS t FROM s),
+csum AS (SELECT comm, d, SUM(v) AS cv FROM dims GROUP BY comm, d),
+cos_sum AS (SELECT comm, SUM(cv*cv) AS cc FROM csum GROUP BY comm),
+scomm AS (SELECT comm, SUM(si) AS ssum, COUNT(*)::DOUBLE AS cnt
+          FROM s GROUP BY comm)
+SELECT
+  FLOOR(SUM(cc - ssum*ssum / (SELECT t FROM tt)) * 1e6 + 0.5)/1e6
+    AS modularity,
+  FLOOR(SUM(cc - 0.5*cnt*cnt) * 1e6 + 0.5)/1e6 AS cpm
+FROM cos_sum JOIN scomm USING(comm)
+"""
+
 ORACLE_SQL.update(
     {
+        "pagerank": _PAGERANK_SQL,
+        "label_propagation": _LPA_SQL,
+        "modularity_cpm": _MODULARITY_CPM_SQL,
         "bigram_counts": """
             WITH tok AS (
               SELECT doc_id, string_split(lower(text), ' ') AS words

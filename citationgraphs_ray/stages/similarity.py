@@ -55,16 +55,22 @@ def brute_force_topk(
             sims = self.Q @ vecs.T  # (nq, B)
             nq, B = sims.shape
             kk = min(k, B)
-            # partial top-k per query inside the batch
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # partial top-k on the composite key (score desc, vec_id asc):
+            # a score-only argpartition keeps an arbitrary tied id at the
+            # k boundary, breaking the documented tie order under
+            # repartitioning (ADVICE r1)
+            vids_out = np.empty((nq, kk), dtype=np.int64)
+            scores_out = np.empty((nq, kk), dtype=np.float64)
+            for qi in range(nq):
+                order = np.lexsort((ids, -sims[qi]))[:kk]
+                vids_out[qi] = ids[order]
+                scores_out[qi] = sims[qi][order]
             qids = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            vids = ids[part.ravel()]
-            scores = np.take_along_axis(sims, part, axis=1).ravel()
             return pa.table(
                 {
                     "query_id": pa.array(qids),
-                    id_col: pa.array(vids),
-                    "score": pa.array(scores),
+                    id_col: pa.array(vids_out.ravel()),
+                    "score": pa.array(scores_out.ravel()),
                 }
             )
 
@@ -171,7 +177,7 @@ def ivf_topk(
                 s = sims[qi][mask]
                 vid = ids[mask]
                 kk = min(k, len(s))
-                part = np.argpartition(-s, kk - 1)[:kk]
+                part = np.lexsort((vid, -s))[:kk]  # score desc, id asc
                 qids_out.append(np.full(kk, qi, dtype=np.int64))
                 vids_out.append(vid[part])
                 scores_out.append(s[part])

@@ -75,18 +75,6 @@ def table_from_arrays(**cols) -> pa.Table:
     return pa.table({k: pa.array(v) for k, v in cols.items()})
 
 
-def stable_hash64(strings: np.ndarray | list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a over strings, vectorized enough for id
-    salting / bucketing (NOT used for vertex identity — dense ranks are)."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        h = np.uint64(1469598103934665603)
-        for b in s.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a small Dataset to one Arrow table, skipping the empty
     zero-column blocks Ray emits for fully-filtered partitions (they break

@@ -271,3 +271,27 @@ def test_frame_sampling():
     heights = ds.to_pandas().set_index("item_id").height
     exp = sum((int(h) + 2) // 3 for h in heights)
     assert len(out) == exp
+
+
+def test_brute_force_topk_tie_break_stable_across_blocks():
+    """Exact score ties at the k boundary must resolve by vec_id asc no
+    matter how rows are split into blocks (ADVICE r1: score-only
+    argpartition kept an arbitrary tied id)."""
+    vec = [1.0, 0.0]
+    other = [0.0, 1.0]
+    n = 40
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([vec] * (n - 1) + [other]),
+        }
+    )
+    q = np.array([vec])
+    for blocks in (1, 4, 16):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = (
+            brute_force_topk(ds, q, k=5)
+            .to_pandas()
+            .sort_values(["score", "vec_id"], ascending=[False, True])
+        )
+        assert list(got.vec_id) == [0, 1, 2, 3, 4], blocks
