@@ -224,3 +224,62 @@ def top_k_tfidf_per_doc(
         ).head(k)
 
     return scored.groupby(id_col).map_groups(pick, batch_format="pandas")
+
+
+def corpusx_concurrences(
+    grouped: ray.data.Dataset,
+    doc_col: str = "doc_id",
+    group_col: str = "group_id",
+    words_col: str = "words",
+) -> ray.data.Dataset:
+    """A3 (CorpusX.GetConcurrences, CitationGraphs.go:740-830): count-
+    weighted co-occurrence across DIFFERENT word groups of the same doc —
+    same-group pairs are skipped (770-773), w1 == w2 skipped, both
+    orientations emitted (the reference builds a symmetric nested map).
+
+    Input: the build_corpus_x long table (doc_id, group_id, words). Per
+    doc the cross-group weight has closed form
+    ``T(w1)·T(w2) − Σ_g c_g(w1)·c_g(w2)`` (totals outer product minus the
+    same-group term), computed as one small matrix product per doc — no
+    group×group Python loop. Partitioning assumption: all group rows of a
+    doc live in one block (true for build_corpus_x output, whose rows per
+    doc come from one upstream row; a shuffle in between breaks this and
+    requires a groupby(doc_id) re-grouping first).
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import collections
+
+        df = batch.to_pandas()
+        w1_out: list[str] = []
+        w2_out: list[str] = []
+        wt_out: list[float] = []
+        for _, doc in df.groupby(doc_col, sort=False):
+            counts = [
+                collections.Counter(ws) for ws in doc[words_col]
+            ]
+            vocab = sorted({w for c in counts for w in c})
+            if len(vocab) < 2:
+                continue
+            pos = {w: i for i, w in enumerate(vocab)}
+            C = np.zeros((len(vocab), len(counts)))
+            for g, c in enumerate(counts):
+                for w, n in c.items():
+                    C[pos[w], g] = n
+            tot = C.sum(axis=1)
+            W = np.outer(tot, tot) - C @ C.T
+            np.fill_diagonal(W, 0.0)
+            i1, i2 = np.nonzero(W)
+            w1_out.extend(vocab[i] for i in i1)
+            w2_out.extend(vocab[i] for i in i2)
+            wt_out.extend(W[i1, i2])
+        return pa.table(
+            {
+                "w1": pa.array(w1_out, type=pa.string()),
+                "w2": pa.array(w2_out, type=pa.string()),
+                "weight": pa.array(wt_out, type=pa.float64()),
+            }
+        )
+
+    partial = grouped.map_batches(pairs, batch_format="pyarrow")
+    return fast_grouped_agg(partial, ["w1", "w2"], {"weight": ("weight", "sum")})

@@ -906,6 +906,36 @@ def q_bigram_counts(sf_dir: str):
     )
 
 
+def q_corpusx_concurrence(sf_dir: str):
+    """A3 CorpusX cross-group concurrence over documents: groups = fixed
+    windows of 5 tokens, weight = count1·count2 across different groups
+    of the same doc, both orientations (symmetric)."""
+    from ..functions.cooccur import corpusx_concurrences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_groups(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        gids: list[int] = []
+        words: list[list[str]] = []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (x or "").lower().split()
+            for g in range(0, len(toks), 5):
+                ids.append(i)
+                gids.append(g // 5)
+                words.append(toks[g : g + 5])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "group_id": pa.array(gids, type=pa.int64()),
+                "words": pa.array(words, type=pa.list_(pa.string())),
+            }
+        )
+
+    grouped = docs.map_batches(to_groups, batch_format="pyarrow")
+    return corpusx_concurrences(grouped)
+
+
 def q_word2phrase_accepted(sf_dir: str):
     """A7 accepted-bigram table: freq ≥ 10 and (freq-10)/(f1·f2) ≥ 3e-5
     (thresholds chosen to be non-empty on the short-doc testdata)."""
@@ -1137,6 +1167,7 @@ QUERIES.update(
         "fingerprints": q_fingerprints,
         "modularity_cpm": q_modularity_cpm,
         "sim_tfidf_top3": q_sim_tfidf_top3,
+        "corpusx_concurrence": q_corpusx_concurrence,
     }
 )
 
@@ -1236,11 +1267,148 @@ SELECT
 FROM cos_sum JOIN scomm USING(comm)
 """
 
+# Stopword-profile language ID: the CASE ladder encodes the engine's
+# first-wins tie order (en > es > fr > de, strict-greater replacement).
+# The engine's CJK branch has no SQL twin — valid for Latin-script
+# corpora like the testdata; a CJK doc would surface as a hash mismatch.
+_LANG_ID_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+sc AS (
+  SELECT doc_id,
+    SUM(CASE WHEN w IN ('the','a','of','and','to','in','is','for','on',
+                        'with','that','it','as','at','by') THEN 1 ELSE 0 END) AS s_en,
+    SUM(CASE WHEN w IN ('el','la','de','y','que','en','los','del','se',
+                        'las','un','por','con','una','es') THEN 1 ELSE 0 END) AS s_es,
+    SUM(CASE WHEN w IN ('le','la','de','et','les','des','en','un','une',
+                        'du','est','pour','que','dans') THEN 1 ELSE 0 END) AS s_fr,
+    SUM(CASE WHEN w IN ('der','die','das','und','in','den','von','zu',
+                        'mit','sich','des','ist','nicht') THEN 1 ELSE 0 END) AS s_de
+  FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE
+    WHEN sc.doc_id IS NULL THEN 'und'
+    WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+    WHEN s_fr >= s_de THEN 'fr'
+    ELSE 'de'
+  END AS lang_pred
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+# Winnowing fingerprint (min of Rabin-Karp window hashes, B=257, w=8,
+# M=2^61-1, first 4096 bytes) in its direct per-window form: hash(j) =
+# Σ_t byte[j+t]·B^(7-t) mod M — no sequential recurrence, so it unnests.
+# HUGEINT keeps the modular products exact (DOUBLE cannot). `unicode()`
+# gives codepoints, equal to bytes for ASCII corpora like the testdata.
+_FP_POW = [
+    74051159531521793, 288136807515649, 1121154893057, 4362470401,
+    16974593, 66049, 257, 1,
+]  # 257^(7-t) mod 2^61-1, t = 0..7
+_FP_M = (1 << 61) - 1
+_FINGERPRINTS_SQL = f"""
+WITH ch AS (
+  SELECT doc_id,
+    list_transform(range(1, least(length(text), 4096) + 1),
+                   i -> unicode(text[i])::HUGEINT) AS cs,
+    least(length(text), 4096) AS n,
+    {_FP_POW}::HUGEINT[] AS p
+  FROM documents),
+hashes AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN 0
+    WHEN n < 8 THEN
+      (list_sum(list_transform(range(1, n + 1),
+          i -> cs[i] * p[i + 8 - n])) % {_FP_M})::BIGINT
+    ELSE
+      list_min(list_transform(range(0, n - 7), s ->
+        ((cs[s+1]*p[1] + cs[s+2]*p[2] + cs[s+3]*p[3] + cs[s+4]*p[4] +
+          cs[s+5]*p[5] + cs[s+6]*p[6] + cs[s+7]*p[7] + cs[s+8]*p[8])
+         % {_FP_M})::BIGINT))
+    END AS fingerprint
+  FROM ch)
+SELECT doc_id, fingerprint FROM hashes
+"""
+
+# Full n-gram-Jaccard dedup in SQL: shingle blocking (stop-shingle
+# buckets >50 dropped, matching max_bucket), exact Jaccard >= 0.8, then
+# connected components as a recursive min-label iteration with the label
+# vector as a LIST. Assumes dense doc_ids 0..N-1 (true of the testdata;
+# the engine's num_ids = max+1 contract). Hashed vs string shingle sets
+# give identical Jaccard barring 2^-62 collisions.
+_NGRAM_DEDUP_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+    FROM tok)
+  WHERE s <> ''),
+hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 50),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM hot)),
+nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+isz AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ver AS (
+  SELECT c.src, c.dst FROM cand c
+  JOIN isz ON isz.src = c.src AND isz.dst = c.dst
+  JOIN nsh na ON na.doc_id = c.src
+  JOIN nsh nb ON nb.doc_id = c.dst
+  WHERE isz.i::DOUBLE / (na.n + nb.n - isz.i) >= 0.8),
+sym AS (SELECT src, dst FROM ver UNION SELECT dst AS src, src AS dst FROM ver),
+cc(it, labels, changed) AS (
+  SELECT 0, (SELECT list(t.i ORDER BY t.i) FROM ids t), 1
+  UNION ALL
+  SELECT it + 1, new_labels,
+    len(list_filter(list_zip(new_labels, labels), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, labels,
+      (SELECT list(LEAST(labels[n.i + 1], COALESCE(
+          (SELECT MIN(labels[e.src + 1]) FROM sym e WHERE e.dst = n.i),
+          labels[n.i + 1])) ORDER BY n.i)
+       FROM ids n) AS new_labels
+    FROM cc WHERE changed > 0 AND it < 1000
+  )
+)
+SELECT n.i AS id, l.labels[n.i + 1] AS cluster_id
+FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
+ORDER BY id
+"""
+
 ORACLE_SQL.update(
     {
         "pagerank": _PAGERANK_SQL,
         "label_propagation": _LPA_SQL,
         "modularity_cpm": _MODULARITY_CPM_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
+        "ngram_dedup": _NGRAM_DEDUP_SQL,
+        "corpusx_concurrence": """
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS words
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(words) AS w,
+                     generate_subscripts(words, 1) AS p
+              FROM tok),
+            g AS (
+              SELECT doc_id, (p - 1) // 5 AS grp, w, COUNT(*)::DOUBLE AS c
+              FROM pos GROUP BY doc_id, grp, w)
+            SELECT a.w AS w1, b.w AS w2, SUM(a.c * b.c) AS weight
+            FROM g a JOIN g b
+              ON a.doc_id = b.doc_id AND a.grp <> b.grp AND a.w <> b.w
+            GROUP BY 1, 2""",
         "bigram_counts": """
             WITH tok AS (
               SELECT doc_id, string_split(lower(text), ' ') AS words

@@ -233,3 +233,55 @@ def test_rank_jumps_and_neighbor_ranks():
     )
     j = rank_jumps(prev, cur, min_jump=1).to_pandas()
     assert list(j.phrase2) == ["x"] and j.jump.iloc[0] == 4
+
+
+def test_corpusx_concurrences_matches_reference_semantics():
+    """A3: cross-group-only, count-weighted, symmetric — brute-force
+    nested-loop oracle mirroring CitationGraphs.go:740-830."""
+    import pyarrow as pa
+    import ray.data
+
+    from citationgraphs_ray.functions.cooccur import corpusx_concurrences
+
+    docs = {
+        0: [["a", "b", "a"], ["b", "c"], ["a"]],
+        1: [["x", "y"], ["y", "x"]],
+        2: [["solo"]],
+    }
+    rows = {"doc_id": [], "group_id": [], "words": []}
+    for d, groups in docs.items():
+        for g, ws in enumerate(groups):
+            rows["doc_id"].append(d)
+            rows["group_id"].append(g)
+            rows["words"].append(ws)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "group_id": pa.array(rows["group_id"], type=pa.int64()),
+                "words": pa.array(rows["words"], type=pa.list_(pa.string())),
+            }
+        )
+    )
+    got = {
+        (r.w1, r.w2): r.weight
+        for r in corpusx_concurrences(ds).to_pandas().itertuples()
+    }
+    # brute-force Go-shaped oracle
+    from collections import Counter, defaultdict
+
+    exp: dict = defaultdict(float)
+    for groups in docs.values():
+        cnts = [Counter(g) for g in groups]
+        for i1, c1 in enumerate(cnts):
+            for w1, n1 in c1.items():
+                for i2, c2 in enumerate(cnts):
+                    if i1 == i2:
+                        continue
+                    for w2, n2 in c2.items():
+                        if w1 != w2:
+                            exp[(w1, w2)] += n1 * n2
+    assert got == dict(exp)
+    # symmetry (reference accumulates both orientations)
+    for (w1, w2), v in got.items():
+        assert got[(w2, w1)] == v
