@@ -188,40 +188,47 @@ def resolve_edges(
 
         return j.map_batches(finish, batch_format="pyarrow")
 
+    import pandas as pd
+
     vert_tbl = collect_table(vertex_ids)
-    keys = {
-        (r, p): i
-        for r, p, i in zip(
-            vert_tbl["repo"].to_pylist(),
-            vert_tbl["path"].to_pylist(),
-            vert_tbl["id"].to_pylist(),
-        )
-    }
-    keys_ref = ray.put(keys)
+    key_arr = pc.binary_join_element_wise(
+        vert_tbl["repo"].combine_chunks(),
+        vert_tbl["path"].combine_chunks(),
+        "\x00",
+    )
+    lookup = pd.Series(
+        vert_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        index=key_arr.to_pandas(),
+    )
+    keys_ref = ray.put(lookup)
 
     class Resolve:
+        """Vectorized probe: keys joined with an Arrow kernel, looked up
+        via a pandas hash index (C) — the old per-row dict loop was 15 s
+        at 7M edge rows."""
+
         def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
+            self.lookup = ray.get(keys_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            k = self.keys
-            src = np.empty(batch.num_rows, dtype=np.int64)
-            dst = np.empty(batch.num_rows, dtype=np.int64)
-            srs = batch["src_repo"].to_pylist()
-            sps = batch["src_path"].to_pylist()
-            drs = batch["dst_repo"].to_pylist()
-            dps = batch["dst_path"].to_pylist()
-            n = 0
-            for sr, sp, dr, dp in zip(srs, sps, drs, dps):
-                s = k.get((sr, sp))
-                d = k.get((dr, dp))
-                if s is None or d is None or s == d:
-                    continue
-                src[n] = s
-                dst[n] = d
-                n += 1
+            sk = pc.binary_join_element_wise(
+                batch["src_repo"].combine_chunks(),
+                batch["src_path"].combine_chunks(),
+                "\x00",
+            ).to_pandas()
+            dk = pc.binary_join_element_wise(
+                batch["dst_repo"].combine_chunks(),
+                batch["dst_path"].combine_chunks(),
+                "\x00",
+            ).to_pandas()
+            s = sk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
+            d = dk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
+            keep = ~np.isnan(s) & ~np.isnan(d) & (s != d)
             return pa.table(
-                {"src": pa.array(src[:n]), "dst": pa.array(dst[:n])}
+                {
+                    "src": pa.array(s[keep].astype(np.int64)),
+                    "dst": pa.array(d[keep].astype(np.int64)),
+                }
             )
 
     return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 32))

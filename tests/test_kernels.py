@@ -166,6 +166,8 @@ def test_reduce_strategies_agree(small_graph):
     a = pagerank(edges, V, tol=1e-10, reduce="driver")
     b = pagerank(edges, V, tol=1e-10, reduce="groupby")
     assert np.allclose(a.state, b.state, atol=1e-12)
+    t = pagerank(edges, V, tol=1e-10, reduce="tree")
+    assert np.allclose(a.state, t.state, atol=1e-9)
     ca = connected_components(und, V, reduce="driver")
     cb = connected_components(und, V, reduce="groupby")
     assert np.array_equal(ca.state, cb.state)
