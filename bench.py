@@ -218,18 +218,32 @@ def run_bench(num_cpus: int) -> dict:
     n_edges = edges.count()
     n_verts = vids.count()
     t_extract = time.time() - t0
+    # Kernel = the CSR partition-actor engine (the north-star engine; the
+    # broadcast engine's ~0.5 s/superstep executor overhead × 59 iters
+    # made it 5× slower end-to-end at this scale — measured 78 s vs 15-19 s).
+    # P fixed per run (property of the run, not the cluster); the
+    # partitioned layout is content-addressed so repeat legs reuse it.
     t0 = time.time()
-    pr = pagerank(edges, n_verts, tol=1e-9)
+    eng = CsrEngine(
+        edges,
+        n_verts,
+        num_partitions=CSR_PARTITIONS,
+        workdir="/tmp/graft_bench/csr_head",
+        tag=f"r{CORPUS_REPOS}",
+    )
+    _, pr_iters, pr_conv = eng.pagerank(tol=1e-9)
+    eng.shutdown()
     t_pr = time.time() - t0
+    assert pr_conv
     results["corpus_files"] = n_verts
     results["corpus_edges"] = n_edges
     results["extract_sec"] = round(t_extract, 3)
     results["pagerank_sec"] = round(t_pr, 3)
-    results["pagerank_iters"] = pr.iterations
+    results["pagerank_iters"] = pr_iters
     results["pipeline_sec"] = round(t_extract + t_pr, 3)
     log(
         f"[{num_cpus} cpus] corpus pipeline: extract {t_extract:.1f}s + "
-        f"pagerank {t_pr:.1f}s ({pr.iterations} iters, {n_edges} edges)"
+        f"csr pagerank {t_pr:.1f}s ({pr_iters} iters, {n_edges} edges)"
     )
 
     ray.shutdown()
