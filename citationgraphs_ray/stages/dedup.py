@@ -244,6 +244,46 @@ def _verify_jaccard(
     )
 
 
+def _expand_buckets_distributed(
+    sigs: ray.data.Dataset,
+    keys: list[str],
+    pair_fn,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Candidate-pair expansion without per-bucket task dispatch.
+
+    ``groupby(bucket).map_groups`` pays Ray's per-group Python dispatch
+    for EVERY bucket — at 5k docs × 16 bands that is ~80k mostly-
+    singleton groups (measured 3.5 s where the whole stage should cost
+    ~1 s). Instead: hash-partition bucket rows into ``num_partitions``
+    coarse key-disjoint groups (bounded dispatch count), then expand
+    pairs in-process with a pandas groupby where a vectorized
+    duplicated() mask drops singleton buckets before any Python loop.
+    ``pair_fn(sub_df) -> DataFrame`` runs once per multi-row bucket.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..utils import _hash_partition_column
+
+        return _hash_partition_column(batch, keys, num_partitions)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df.duplicated(subset=keys, keep=False)]
+        frames = [pair_fn(g) for _, g in sub.groupby(keys, sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        sigs.map_batches(assign, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
 def _bucket_pairs_capped(
     g: pd.DataFrame, id_col: str, max_bucket: int
 ) -> pd.DataFrame:
@@ -312,22 +352,57 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+# num_ids above which dup-cluster resolution switches from the broadcast
+# CC engine (dense driver vector, fastest at small V) to the CSR
+# partition-actor engine (per-partition state, no V-sized driver array).
+BROADCAST_CLUSTER_MAX_IDS = 50_000_000
+
+
 def resolve_dup_clusters(
-    pairs: pa.Table | ray.data.Dataset, num_ids: int
+    pairs: pa.Table | ray.data.Dataset,
+    num_ids: int,
+    engine: str = "auto",
+    csr_partitions: int = 32,
+    csr_workdir: str = "/tmp/citationgraphs_ray/dedup_csr",
 ) -> ray.data.Dataset:
     """Verified dup pairs (src, dst) → (id, cluster_id) via the CC kernel.
 
     ``num_ids`` = max doc id + 1 (doc ids must be dense-ish; sparse id
     spaces should be rank-compressed first). Singleton docs keep their own
-    id as cluster.
+    id as cluster. ``engine``: "broadcast" holds the label vector as one
+    dense driver array (small-V fast path); "csr" runs the partition-actor
+    BSP engine so no process ever holds V-sized state — the 10^12-doc
+    path. "auto" switches on ``num_ids``. Both engines are exact and
+    equivalence-tested.
     """
     if isinstance(pairs, pa.Table):
         pairs = ray.data.from_arrow(pairs)
     und = symmetrize_edges(pairs)
-    res = connected_components(und, num_ids)
+    if engine == "auto":
+        engine = (
+            "broadcast" if num_ids <= BROADCAST_CLUSTER_MAX_IDS else "csr"
+        )
+    if engine == "csr":
+        from ..graph.csr_engine import CsrEngine
+
+        eng = CsrEngine(
+            und.materialize(),
+            num_ids,
+            num_partitions=csr_partitions,
+            workdir=csr_workdir,
+        )
+        try:
+            state, _, converged = eng.connected_components(
+                max_iters=max(100, csr_partitions)
+            )
+        finally:
+            eng.shutdown()
+        assert converged
+    else:
+        state = connected_components(und, num_ids).state
     ids = np.arange(num_ids, dtype=np.int64)
     return ray.data.from_arrow(
-        pa.table({"id": pa.array(ids), "cluster_id": pa.array(res.state)})
+        pa.table({"id": pa.array(ids), "cluster_id": pa.array(state)})
     )
 
 
@@ -457,9 +532,10 @@ def minhash_lsh_dedup(
     )
 
     cand = fast_distinct(
-        sigs.groupby(["band", "bucket"]).map_groups(
+        _expand_buckets_distributed(
+            sigs,
+            ["band", "bucket"],
             lambda g: _bucket_pairs_capped(g, id_col, max_bucket),
-            batch_format="pandas",
         ),
         ["src", "dst"],
     )
@@ -557,9 +633,7 @@ def simhash_dedup(
         return pd.DataFrame({"src": s, "dst": d}).astype(np.int64)
 
     verified = fast_distinct(
-        sigs.groupby(["band", "value"]).map_groups(
-            bucket_pairs, batch_format="pandas"
-        ),
+        _expand_buckets_distributed(sigs, ["band", "value"], bucket_pairs),
         ["src", "dst"],
     )
     return resolve_dup_clusters(verified, num_ids)
@@ -613,7 +687,7 @@ def ngram_jaccard_dedup(
         return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
     cand = fast_distinct(
-        rows.groupby("shingle").map_groups(bucket_pairs, batch_format="pandas"),
+        _expand_buckets_distributed(rows, ["shingle"], bucket_pairs),
         ["src", "dst"],
     )
     verified = _verify_jaccard(
@@ -679,9 +753,10 @@ def embedding_cosine_dedup(
     sigs = ds.map_batches(Buckets, batch_format="pyarrow", concurrency=(1, 4))
 
     cand = fast_distinct(
-        sigs.groupby(["table", "key"]).map_groups(
+        _expand_buckets_distributed(
+            sigs,
+            ["table", "key"],
             lambda g: _bucket_pairs_capped(g, id_col, max_bucket),
-            batch_format="pandas",
         ),
         ["src", "dst"],
     )

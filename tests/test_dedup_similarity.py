@@ -295,3 +295,34 @@ def test_brute_force_topk_tie_break_stable_across_blocks():
             .sort_values(["score", "vec_id"], ascending=[False, True])
         )
         assert list(got.vec_id) == [0, 1, 2, 3, 4], blocks
+
+
+def test_resolve_dup_clusters_csr_equals_broadcast(tmp_path):
+    """The CSR-engine cluster resolution (the huge-id-space path) must
+    produce the same clusters as the broadcast CC engine."""
+    from citationgraphs_ray.stages.dedup import resolve_dup_clusters
+
+    pairs = pa.table(
+        {
+            "src": pa.array([0, 5, 9, 2], type=pa.int64()),
+            "dst": pa.array([5, 7, 3, 0], type=pa.int64()),
+        }
+    )
+    a = (
+        resolve_dup_clusters(pairs, 12, engine="broadcast")
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        resolve_dup_clusters(
+            pairs,
+            12,
+            engine="csr",
+            csr_partitions=3,
+            csr_workdir=str(tmp_path / "csr"),
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(a.cluster_id) == list(b.cluster_id)
+    assert a.cluster_id[0] == a.cluster_id[5] == a.cluster_id[7] == 0
