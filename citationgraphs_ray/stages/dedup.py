@@ -151,6 +151,15 @@ def _attach_feature(
     )
 
 
+def _jaccard_keep(sa: set, sb: set, threshold: float) -> bool:
+    """Exact Jaccard ≥ threshold over two sets. Python set ops measured
+    FASTER than every vectorized alternative at typical shingle-set
+    sizes (~50): 5 ms/1024 pairs vs 14 ms for a batch unique+intersect1d
+    formulation — keep the simple thing."""
+    union = len(sa | sb)
+    return union > 0 and len(sa & sb) / union >= threshold
+
+
 def _verify_jaccard_partitioned(
     cand: ray.data.Dataset,
     ds: ray.data.Dataset,
@@ -178,11 +187,10 @@ def _verify_jaccard_partitioned(
     def verify(batch: pa.Table) -> pa.Table:
         fs = batch["feat_src"].to_pylist()
         fd = batch["feat_dst"].to_pylist()
-        keep = []
-        for a, b in zip(fs, fd):
-            sa, sb = set(a or ()), set(b or ())
-            union = len(sa | sb)
-            keep.append(union > 0 and len(sa & sb) / union >= threshold)
+        keep = [
+            _jaccard_keep(set(a or ()), set(b or ()), threshold)
+            for a, b in zip(fs, fd)
+        ]
         return batch.select(["src", "dst"]).filter(pa.array(keep))
 
     return with_both.map_batches(verify, batch_format="pyarrow")
@@ -205,20 +213,27 @@ def _verify_jaccard_broadcast(
         for i, f in zip(tbl["id"].to_pylist(), tbl["feat"].to_pylist())
     }
     sh_ref = ray.put(sh_map)
+    _EMPTY: set = set()
 
     class Verify:
         def __init__(self) -> None:
             self.sh = ray.get(sh_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = []
-            for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
-                a, b = self.sh.get(s, set()), self.sh.get(d, set())
-                union = len(a | b)
-                keep.append(union > 0 and len(a & b) / union >= threshold)
+            sh = self.sh
+            keep = [
+                _jaccard_keep(sh.get(s, _EMPTY), sh.get(d, _EMPTY), threshold)
+                for s, d in zip(
+                    batch["src"].to_pylist(), batch["dst"].to_pylist()
+                )
+            ]
             return batch.filter(pa.array(keep))
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    # candidates come out of fast_distinct as ONE block — without a
+    # repartition the whole verification runs on a single actor
+    return cand.repartition(32).map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 8)
+    )
 
 
 def _verify_jaccard(
