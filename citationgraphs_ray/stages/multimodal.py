@@ -150,3 +150,95 @@ def make_image_table(n: int, seed: int = 42) -> pa.Table:
             "height": pa.array(heights),
         }
     )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+
+def fake_wav_decoder(payload: bytes) -> tuple[int, np.ndarray]:
+    """Deterministic stand-in for an audio decoder: parses the synthetic
+    header ``b"FAKEWAV|<rate>|<n>|<seed>"`` and generates a seeded float32
+    waveform in [-1, 1]. Returns (sample_rate, samples)."""
+    parts = payload.split(b"|")
+    if len(parts) != 4 or parts[0] != b"FAKEWAV":
+        raise ValueError(f"not a FAKEWAV payload: {payload[:20]!r}")
+    rate, n, seed = int(parts[1]), int(parts[2]), int(parts[3])
+    rng = np.random.default_rng(seed)
+    return rate, (rng.random(n, dtype=np.float32) * 2 - 1)
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: audio payload → duration + loudness + a coarse
+    energy contour (fixed-bin RMS, list<float>) — the layout an ASR /
+    audio-embedding stage would consume. Same stub contract as
+    DecodeImages: ``decoder=None`` raises at actor setup; tests inject
+    ``fake_wav_decoder``. Payload dropped immediately after features.
+    """
+
+    BINS = 8
+
+    def __init__(
+        self,
+        decoder: Callable[[bytes], tuple[int, np.ndarray]] | None = None,
+    ) -> None:
+        if decoder is None:
+            raise NotImplementedError(
+                "no audio codec in this environment; inject a decoder "
+                "(e.g. soundfile-based) or use fake_wav_decoder in tests"
+            )
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs = np.zeros(batch.num_rows)
+        rms = np.zeros(batch.num_rows)
+        contours: list[list[float]] = []
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            rate, wave = self.decoder(payload)
+            durs[i] = len(wave) / max(rate, 1)
+            rms[i] = float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0
+            edges = np.linspace(0, len(wave), self.BINS + 1).astype(int)
+            contours.append(
+                [
+                    float(np.sqrt(np.mean(wave[a:b] ** 2))) if b > a else 0.0
+                    for a, b in zip(edges[:-1], edges[1:])
+                ]
+            )
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name != "payload"
+        }
+        cols["duration_sec"] = pa.array(durs)
+        cols["rms"] = pa.array(rms)
+        cols["energy_contour"] = pa.array(
+            contours, type=pa.list_(pa.float64())
+        )
+        return pa.table(cols)
+
+
+def make_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic audio table matching AUDIO_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    rates = rng.choice([8000, 16000, 44100], size=n).astype(np.int32)
+    lens = rng.integers(100, 5000, size=n).astype(np.int64)
+    payloads = [
+        b"FAKEWAV|%d|%d|%d" % (r, ln, i)
+        for i, (r, ln) in enumerate(zip(rates, lens))
+    ]
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["audio/fake"] * n),
+            "sample_rate": pa.array(rates),
+            "n_samples": pa.array(lens),
+        }
+    )

@@ -326,3 +326,48 @@ def test_resolve_dup_clusters_csr_equals_broadcast(tmp_path):
     )
     assert list(a.cluster_id) == list(b.cluster_id)
     assert a.cluster_id[0] == a.cluster_id[5] == a.cluster_id[7] == 0
+
+
+def test_audio_feature_plumbing():
+    from citationgraphs_ray.stages.multimodal import (
+        ExtractAudioFeatures,
+        fake_wav_decoder,
+        make_audio_table,
+    )
+
+    tbl = make_audio_table(16, seed=3)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        ExtractAudioFeatures,
+        fn_constructor_kwargs={"decoder": fake_wav_decoder},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 16
+    assert "payload" not in out.columns  # blob projected away
+    assert {"duration_sec", "rms", "energy_contour"} <= set(out.columns)
+    assert all(len(c) == 8 for c in out.energy_contour)
+    # determinism vs direct decode
+    rate, wave = fake_wav_decoder(tbl["payload"][0].as_py())
+    row = out.sort_values("item_id").iloc[0]
+    assert abs(row.duration_sec - len(wave) / rate) < 1e-9
+    import numpy as np
+
+    assert abs(row.rms - float(np.sqrt(np.mean(wave**2)))) < 1e-9
+
+
+def test_audio_stub_contract():
+    from citationgraphs_ray.stages.multimodal import (
+        ExtractAudioFeatures,
+        make_audio_table,
+    )
+
+    ds = ray.data.from_arrow(make_audio_table(4))
+    with pytest.raises(Exception) as ei:
+        ds.map_batches(
+            ExtractAudioFeatures, batch_format="pyarrow", concurrency=1
+        ).materialize()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
