@@ -60,6 +60,12 @@ def build_corpus(
     corpus_type semantics per the reference switch (2382-2389): ≤0 gathers
     ref-neighbor titles too; 2 covers all nodes; 3 uses stemmed labels
     (nodes must then carry a ``labels`` list column).
+
+    Scale contract: the ref-title gather builds a src→tokens map on the
+    driver — sized to the citation-CSV graphs this builder exists for
+    (reference format, ≤10^6 titles). At corpus scale the same shape is
+    the broadcast_merge + a groupby(src) concat; not needed for any
+    current input.
     """
     if corpus_type == CORPUS_LABELS:
         base = nodes.filter(expr="is_main == True")
