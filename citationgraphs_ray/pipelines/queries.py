@@ -1386,8 +1386,54 @@ FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
 ORDER BY id
 """
 
+# A10 SimTFIDF end-to-end: cosine-normalized co-occurrence similarities
+# (pairs with >=50 shared docs), SimTF = count + sum sim*count over
+# neighbors, idf = ln(N/df), then top-3 per doc. On the documents table
+# every candidate is a single token, so the reference's greedy
+# non-overlapping selection degenerates to a plain (score desc, word asc)
+# rank — Includes() can never fire between distinct single tokens.
+_SIM_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+words AS (SELECT DISTINCT doc_id, word FROM toks),
+cnt AS (SELECT doc_id, word, COUNT(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, count(*)::DOUBLE AS freq
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2 HAVING count(*) >= 50),
+tot AS (
+  SELECT w, SUM(freq) AS t FROM (
+    SELECT w1 AS w, freq FROM pairs UNION ALL SELECT w2 AS w, freq FROM pairs)
+  GROUP BY w),
+sims AS (
+  SELECT w1 AS a, w2 AS b, freq / sqrt(t1.t * t2.t) AS s
+  FROM pairs JOIN tot t1 ON pairs.w1 = t1.w JOIN tot t2 ON pairs.w2 = t2.w
+  UNION ALL
+  SELECT w2 AS a, w1 AS b, freq / sqrt(t1.t * t2.t) AS s
+  FROM pairs JOIN tot t1 ON pairs.w1 = t1.w JOIN tot t2 ON pairs.w2 = t2.w),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+df AS (SELECT word, COUNT(*)::DOUBLE AS df FROM words GROUP BY word),
+simtf AS (
+  SELECT c.doc_id, c.word,
+    c.c + COALESCE((
+      SELECT SUM(s.s * c2.c) FROM sims s
+      JOIN cnt c2 ON c2.doc_id = c.doc_id AND c2.word = s.b
+      WHERE s.a = c.word), 0.0) AS stf
+  FROM cnt c),
+scored AS (
+  SELECT simtf.doc_id, simtf.word, simtf.stf * ln(n.n / df.df) AS score
+  FROM simtf JOIN df ON simtf.word = df.word CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word ASC) AS r
+  FROM scored)
+SELECT doc_id, word FROM ranked WHERE r <= 3
+"""
+
 ORACLE_SQL.update(
     {
+        "sim_tfidf_top3": _SIM_TFIDF_SQL,
         "pagerank": _PAGERANK_SQL,
         "label_propagation": _LPA_SQL,
         "modularity_cpm": _MODULARITY_CPM_SQL,
