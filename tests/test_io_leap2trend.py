@@ -187,3 +187,60 @@ def test_leap2trend_emits_jumps():
         assert list(df.columns) == ["phrase1", "phrase2", "jump"]
         if len(df) > 1:
             assert (np.diff(df.jump.to_numpy()) <= 0).all()  # sorted desc
+
+
+from hypothesis import given, settings, strategies as st
+
+_title_st = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\n\r",  # row format is line-based
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(titles=st.lists(_title_st, min_size=1, max_size=5))
+def test_csv_title_roundtrip_property(tmp_path_factory, titles):
+    """Any comma/entity-bearing title must survive save→load→save with
+    the second save byte-identical to the first (fixpoint property)."""
+    import shutil
+
+    from citationgraphs_ray.stages.text import tidy_title
+
+    base = tmp_path_factory.mktemp("prop")
+    n = len(titles)
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(range(n), type=pa.int64()),
+                "is_main": pa.array([True] * n),
+                "year": pa.array([2000 + i for i in range(n)], type=pa.int64()),
+                "title": pa.array(titles, type=pa.string()),
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([0], type=pa.int64()), "dst": pa.array([0], type=pa.int64())}
+        )
+    )
+    labels = ray.data.from_arrow(
+        pa.table({"id": pa.array([0], type=pa.int64()), "label": pa.array(["x"])})
+    )
+    g = CitationGraphTables(nodes, edges, labels)
+    p1 = str(base / "a")
+    p2 = str(base / "b")
+    save_citation_graph(p1, "t", g)
+    loaded = load_citation_graph(p1, "t")
+    # loaded titles are the tidied forms (load applies TidyTitle)
+    got = loaded.nodes.to_pandas().sort_values("id").title.tolist()
+    exp = [tidy_title(t) for t in titles]
+    assert got == exp
+    save_citation_graph(p2, "t", loaded)
+    a = open(f"{p1}/t-citation-graph-nodes.csv").read()
+    b = open(f"{p2}/t-citation-graph-nodes.csv").read()
+    assert a == b
+    shutil.rmtree(base, ignore_errors=True)
