@@ -66,3 +66,40 @@ def test_cli_edges_output(tmp_path, capsys):
     tbl = pq.read_table(out)
     assert tbl.num_rows == info["rows"] > 0
     assert set(tbl.column_names) == {"src", "dst"}
+
+
+def test_cli_cc_lpa_triangles(tmp_path, capsys):
+    cdir = _corpus_dir(tmp_path)
+    for kernel in ("cc", "lpa", "triangles"):
+        out = str(tmp_path / f"out_{kernel}")
+        rc = main(
+            [
+                "--corpus", cdir,
+                "--output", out,
+                "--kernel", kernel,
+                "--engine", "csr",
+                "--num-partitions", "4",
+                "--workdir", str(tmp_path / f"wd_{kernel}"),
+            ]
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        tbl = pq.read_table(out)
+        assert tbl.num_rows == info["V"] > 0
+
+
+def test_cli_broadcast_engine(tmp_path, capsys):
+    cdir = _corpus_dir(tmp_path)
+    out = str(tmp_path / "out_bc")
+    rc = main(
+        [
+            "--corpus", cdir,
+            "--output", out,
+            "--kernel", "pagerank",
+            "--engine", "broadcast",
+            "--tol", "1e-9",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["converged"] and info["engine"] == "broadcast"
