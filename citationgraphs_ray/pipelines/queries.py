@@ -1,6 +1,7 @@
 """Driver-facing query surface: Ray pipelines + matching DuckDB oracle SQL.
 
-Each entry in QUERIES is an operator/pipeline from SURVEY.md §2 instantiated
+Each entry in QUERIES (43 queries, 37 with value-hash DuckDB oracles) is an
+operator/pipeline from SURVEY.md §2 instantiated
 over the driver's TPC-H-ish testdata tables; ORACLE_SQL holds the ANSI-SQL
 equivalent DuckDB runs on the same parquet (the driver compares row count +
 schema + order-insensitive value hash at sf0.01). Conventions for parity:
