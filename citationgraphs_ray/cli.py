@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume from the newest complete checkpoint in --checkpoint-dir",
     )
     p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument(
+        "--output-mode",
+        default="table",
+        choices=["table", "shards"],
+        help="table = assembled (id, value) parquet via Ray Data (small-V "
+        "convenience); shards = per-partition parquet written directly by "
+        "the CSR workers, no V-sized driver array (csr engine only)",
+    )
     p.add_argument("--workdir", default="/tmp/citationgraphs_ray")
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--tol", type=float, default=1e-9)
@@ -127,6 +135,24 @@ def main(argv: list[str] | None = None) -> int:
                 resume=args.resume,
             )
             col = "label"
+        if args.output_mode == "shards":
+            rows = eng.write_states(args.output, col)
+            eng.shutdown()
+            print(
+                json.dumps(
+                    {
+                        "kernel": args.kernel,
+                        "engine": "csr",
+                        "V": V,
+                        "iterations": iters,
+                        "converged": bool(converged),
+                        "output": args.output,
+                        "output_mode": "shards",
+                        "rows": rows,
+                    }
+                )
+            )
+            return 0
         eng.shutdown()
     else:
         kw = dict(checkpoint_dir=args.checkpoint_dir, resume=args.resume)

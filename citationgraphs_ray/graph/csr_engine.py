@@ -436,6 +436,7 @@ class CsrEngine:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         checkpoint_every: int = 1,
+        checkpoint_keep_last: int | None = None,
     ) -> tuple[np.ndarray, int, bool]:
         dmaps = ray.get([a.pr_init.remote() for a in self.workers])
         dangling = _sum_by_partition(dmaps)
@@ -448,6 +449,7 @@ class CsrEngine:
                 fingerprint=self.fingerprint,
                 params={"damping": damping, "tol": tol},
                 num_partitions=self.P,
+                keep_last=checkpoint_keep_last,
             )
             if resume:
                 ck = self._resume(mgr, "rank")
@@ -492,9 +494,11 @@ class CsrEngine:
         max_iters: int = 100,
         checkpoint_dir: str | None = None,
         resume: bool = False,
+        checkpoint_keep_last: int | None = None,
     ) -> tuple[np.ndarray, int, bool]:
         return self._label_kernel(
-            "cc", "component", max_iters, checkpoint_dir, resume
+            "cc", "component", max_iters, checkpoint_dir, resume,
+            checkpoint_keep_last,
         )
 
     def label_propagation(
@@ -502,11 +506,13 @@ class CsrEngine:
         max_rounds: int = 50,
         checkpoint_dir: str | None = None,
         resume: bool = False,
+        checkpoint_keep_last: int | None = None,
     ) -> tuple[np.ndarray, int, bool]:
         """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
         harness; semantics identical to engine.label_propagation/oracle."""
         return self._label_kernel(
-            "lpa", "label", max_rounds, checkpoint_dir, resume
+            "lpa", "label", max_rounds, checkpoint_dir, resume,
+            checkpoint_keep_last,
         )
 
     def _label_kernel(
@@ -516,6 +522,7 @@ class CsrEngine:
         max_iters: int,
         checkpoint_dir: str | None,
         resume: bool,
+        checkpoint_keep_last: int | None = None,
     ) -> tuple[np.ndarray, int, bool]:
         """Shared min-label / mode-label superstep loop (CC and LPA) with
         per-partition checkpointing identical to pagerank's."""
@@ -530,6 +537,7 @@ class CsrEngine:
                 kernel=kernel,
                 fingerprint=self.fingerprint,
                 num_partitions=self.P,
+                keep_last=checkpoint_keep_last,
             )
             if resume:
                 ck = self._resume(mgr, col)
@@ -563,6 +571,22 @@ class CsrEngine:
             if converged:
                 break
         return self._assemble(), it + 1, converged
+
+    def write_states(self, out_dir: str, col: str) -> int:
+        """Write the CURRENT per-vertex state as per-partition parquet
+        shards directly from the workers — no V-sized driver array (the
+        ``_assemble`` path is the small-V convenience; this is the sink a
+        10^12-vertex run uses). Returns total rows written."""
+        os.makedirs(out_dir, exist_ok=True)
+        parts = ray.get(
+            [a.write_shards.remote(out_dir, col) for a in self.workers]
+        )
+        flat = sorted((m for sub in parts for m in sub), key=lambda m: m["part"])
+        with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+            import json
+
+            json.dump({"num_partitions": self.P, "column": col, "parts": flat}, f)
+        return sum(m["rows"] for m in flat)
 
     def shutdown(self) -> None:
         for a in self.workers:

@@ -114,6 +114,7 @@ def pagerank(
     resume: bool = False,
     checkpoint_every: int = 1,
     reduce: str = "driver",
+    checkpoint_keep_last: int | None = None,
     salt_degree_threshold: int = 1 << 20,
     num_salts: int = 8,
 ) -> KernelResult:
@@ -191,6 +192,7 @@ def pagerank(
                 num_vertices, num_edges, f"pr|{edge_checksum(eds)}"
             ),
             params={"damping": damping, "tol": tol},
+            keep_last=checkpoint_keep_last,
         )
         if resume:
             ck = mgr.latest()
@@ -313,6 +315,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     reduce: str = "driver",
+    checkpoint_keep_last: int | None = None,
 ) -> KernelResult:
     """Min-id label exchange until fixpoint; labels init to own id.
 
@@ -334,6 +337,7 @@ def connected_components(
             fingerprint=edge_fingerprint(
                 num_vertices, num_edges, f"cc|{edge_checksum(eds)}"
             ),
+            keep_last=checkpoint_keep_last,
         )
         if resume:
             ck = mgr.latest()
@@ -402,6 +406,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     reduce: str = "driver",
+    checkpoint_keep_last: int | None = None,
 ) -> KernelResult:
     """Synchronous LPA: new label = mode of neighbor labels, tie → min.
 
@@ -428,6 +433,7 @@ def label_propagation(
             fingerprint=edge_fingerprint(
                 num_vertices, num_edges, f"lpa|{edge_checksum(eds)}"
             ),
+            keep_last=checkpoint_keep_last,
         )
         if resume:
             ck = mgr.latest()

@@ -51,11 +51,13 @@ class CheckpointManager:
         fingerprint: str,
         params: dict[str, Any] | None = None,
         num_partitions: int = 8,
+        keep_last: int | None = None,
     ) -> None:
         self.root = root
         self.kernel = kernel
         self.fingerprint = fingerprint
         self.num_partitions = num_partitions
+        self.keep_last = keep_last
         os.makedirs(root, exist_ok=True)
         run_meta = {
             "kernel": kernel,
@@ -110,6 +112,8 @@ class CheckpointManager:
             "parts": parts_meta,
         }
         _atomic_write_json(os.path.join(it_dir, "MANIFEST.json"), manifest)
+        if self.keep_last:
+            self.prune(self.keep_last)
 
     def save_manifest(
         self,
@@ -133,11 +137,45 @@ class CheckpointManager:
             "parts": parts,
         }
         _atomic_write_json(os.path.join(it_dir, "MANIFEST.json"), manifest)
+        if self.keep_last:
+            self.prune(self.keep_last)
 
     def iter_dir(self, iteration: int) -> str:
         d = os.path.join(self.root, f"iter_{iteration:06d}")
         os.makedirs(d, exist_ok=True)
         return d
+
+    def prune(self, keep_last: int) -> int:
+        """Delete all but the newest ``keep_last`` COMPLETE checkpoints
+        (incomplete superstep dirs are also removed — they are retry
+        leftovers). At 65 supersteps × P shards a run otherwise keeps
+        every iteration on disk; production runs keep 1-2. Returns the
+        number of iteration directories removed. Manifests are the
+        completion markers, so pruning can never break resume: the
+        newest surviving manifest is by construction the resume point.
+        """
+        import shutil
+
+        complete: list[int] = []
+        incomplete: list[str] = []
+        for name in os.listdir(self.root):
+            m = _ITER_RE.match(name)
+            if not m:
+                continue
+            if os.path.exists(os.path.join(self.root, name, "MANIFEST.json")):
+                complete.append(int(m.group(1)))
+            else:
+                incomplete.append(name)
+        removed = 0
+        for name in incomplete:
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            removed += 1
+        for it in sorted(complete)[:-keep_last] if keep_last > 0 else []:
+            shutil.rmtree(
+                os.path.join(self.root, f"iter_{it:06d}"), ignore_errors=True
+            )
+            removed += 1
+        return removed
 
     # -- load ---------------------------------------------------------------
     def latest(self) -> LoadedCheckpoint | None:

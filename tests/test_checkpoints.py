@@ -112,3 +112,26 @@ def test_different_graph_same_shape_rejected(small_edges, ckdir):
     other = ray.data.from_pandas(df2)
     with pytest.raises(ValueError, match="different run"):
         pagerank(other, V, tol=1e-10, max_iters=1, checkpoint_dir=ckdir)
+
+
+def test_checkpoint_pruning_keeps_resume_point(small_edges, ckdir):
+    """keep_last prunes old superstep dirs while resume still works from
+    the newest surviving manifest."""
+    edges, vids = small_edges
+    V = vids.count()
+    full = pagerank(edges, V, tol=1e-10)
+    pagerank(
+        edges,
+        V,
+        tol=1e-10,
+        max_iters=4,
+        checkpoint_dir=ckdir,
+        checkpoint_keep_last=2,
+    )
+    iters = sorted(d for d in os.listdir(ckdir) if d.startswith("iter_"))
+    assert len(iters) == 2  # only the newest two survive
+    resumed = pagerank(
+        edges, V, tol=1e-10, checkpoint_dir=ckdir, resume=True
+    )
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)

@@ -103,3 +103,31 @@ def test_cli_broadcast_engine(tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["converged"] and info["engine"] == "broadcast"
+
+
+def test_cli_shards_output(tmp_path, capsys):
+    import glob
+
+    cdir = _corpus_dir(tmp_path)
+    out = str(tmp_path / "shards_out")
+    rc = main(
+        [
+            "--corpus", cdir,
+            "--output", out,
+            "--kernel", "pagerank",
+            "--engine", "csr",
+            "--num-partitions", "4",
+            "--workdir", str(tmp_path / "wd_sh"),
+            "--output-mode", "shards",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["output_mode"] == "shards" and info["rows"] == info["V"]
+    shards = sorted(glob.glob(f"{out}/state-*.parquet"))
+    assert len(shards) == 4
+    import pandas as pd
+
+    df = pd.concat([pq.read_table(s).to_pandas() for s in shards])
+    assert len(df) == info["V"]
+    assert set(df.columns) == {"id", "rank"}
