@@ -70,7 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if not ray.is_initialized():  # reuse the submitting session if any
-        ray.init(address="auto" if "--address" in (argv or []) else "local")
+        # plain ray.init(): respects RAY_ADDRESS (ray job submit sets it),
+        # starts a local session otherwise
+        ray.init()
 
     from .graph.csr_engine import CsrEngine
     from .graph.engine import connected_components, label_propagation, pagerank
@@ -92,8 +94,17 @@ def main(argv: list[str] | None = None) -> int:
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
     elif args.engine == "csr":
+        # pick the kernel's edge view BEFORE constructing the engine —
+        # cc/lpa run on the symmetrized edges only, so building (and
+        # immediately discarding) a directed-edge engine would waste a
+        # full checksum + partition + CSR build
+        eng_edges = (
+            edges
+            if args.kernel == "pagerank"
+            else symmetrize_edges(edges).materialize()
+        )
         eng = CsrEngine(
-            edges,
+            eng_edges,
             V,
             num_partitions=args.num_partitions,
             workdir=args.workdir,
@@ -108,13 +119,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             col = "rank"
         elif args.kernel == "cc":
-            eng.shutdown()
-            eng = CsrEngine(
-                symmetrize_edges(edges).materialize(),
-                V,
-                num_partitions=args.num_partitions,
-                workdir=args.workdir,
-            )
             state, iters, converged = eng.connected_components(
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint_dir,
@@ -122,13 +126,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             col = "component"
         else:
-            eng.shutdown()
-            eng = CsrEngine(
-                symmetrize_edges(edges).materialize(),
-                V,
-                num_partitions=args.num_partitions,
-                workdir=args.workdir,
-            )
             state, iters, converged = eng.label_propagation(
                 max_rounds=args.max_iters,
                 checkpoint_dir=args.checkpoint_dir,

@@ -231,6 +231,7 @@ def corpusx_concurrences(
     doc_col: str = "doc_id",
     group_col: str = "group_id",
     words_col: str = "words",
+    regroup: bool = True,
 ) -> ray.data.Dataset:
     """A3 (CorpusX.GetConcurrences, CitationGraphs.go:740-830): count-
     weighted co-occurrence across DIFFERENT word groups of the same doc —
@@ -241,16 +242,20 @@ def corpusx_concurrences(
     doc the cross-group weight has closed form
     ``T(w1)·T(w2) − Σ_g c_g(w1)·c_g(w2)`` (totals outer product minus the
     same-group term), computed as one small matrix product per doc — no
-    group×group Python loop. Partitioning assumption: all group rows of a
-    doc live in one block (true for build_corpus_x output, whose rows per
-    doc come from one upstream row; a shuffle in between breaks this and
-    requires a groupby(doc_id) re-grouping first).
+    group×group Python loop.
+
+    The closed form requires every group row of a doc in ONE task, and Ray
+    Data's dynamic block splitting may split a doc's rows across blocks
+    even straight out of build_corpus_x (ADVICE r2). ``regroup=True``
+    (default) therefore hash-partitions docs into P coarse buckets first —
+    co-location guaranteed, P≈CPUs groups so ``map_groups`` dispatch stays
+    negligible. ``regroup=False`` skips the shuffle for callers that
+    co-locate doc rows themselves (single-block fixtures, pre-partitioned
+    inputs).
     """
+    import collections
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        import collections
-
-        df = batch.to_pandas()
+    def doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
         w1_out: list[str] = []
         w2_out: list[str] = []
         wt_out: list[float] = []
@@ -273,13 +278,34 @@ def corpusx_concurrences(
             w1_out.extend(vocab[i] for i in i1)
             w2_out.extend(vocab[i] for i in i2)
             wt_out.extend(W[i1, i2])
-        return pa.table(
+        return pd.DataFrame(
             {
-                "w1": pa.array(w1_out, type=pa.string()),
-                "w2": pa.array(w2_out, type=pa.string()),
-                "weight": pa.array(wt_out, type=pa.float64()),
+                "w1": pd.Series(w1_out, dtype=str),
+                "w2": pd.Series(w2_out, dtype=str),
+                "weight": pd.Series(wt_out, dtype=np.float64),
             }
         )
 
-    partial = grouped.map_batches(pairs, batch_format="pyarrow")
+    if regroup:
+        from ..utils import _hash_partition_column
+
+        P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        partial = (
+            grouped.map_batches(
+                lambda t: _hash_partition_column(t, [doc_col], P),
+                batch_format="pyarrow",
+            )
+            .groupby("__part")
+            .map_groups(
+                lambda df: doc_pairs(df.drop(columns="__part")),
+                batch_format="pandas",
+            )
+        )
+    else:
+        partial = grouped.map_batches(
+            lambda t: pa.Table.from_pandas(
+                doc_pairs(t.to_pandas()), preserve_index=False
+            ),
+            batch_format="pyarrow",
+        )
     return fast_grouped_agg(partial, ["w1", "w2"], {"weight": ("weight", "sum")})

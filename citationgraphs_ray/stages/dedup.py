@@ -308,7 +308,15 @@ def _bucket_pairs_capped(
     pairs) instead of all n·(n-1)/2 — identical docs still merge into one
     cluster through CC, pair count stays O(n), and the dup graph keeps
     diameter 2 so CC converges in O(1) supersteps (a chain would need
-    O(n) min-label rounds)."""
+    O(n) min-label rounds).
+
+    Recall caveat: in a MIXED over-cap bucket (a signature collision of
+    dissimilar docs), only pairs involving the min id are generated, so
+    true near-dups not touching the min id are never verified for this
+    bucket — they can still surface via their other (bands-1) band
+    buckets. The cap trades that residual recall for bounded work; the
+    documented target is the identical/empty-doc pile-up, where the star
+    is lossless."""
     ids = sorted(set(g[id_col]))
     if len(ids) < 2:
         return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
@@ -412,7 +420,12 @@ def resolve_dup_clusters(
             )
         finally:
             eng.shutdown()
-        assert converged
+        if not converged:  # correctness guard — must survive python -O
+            raise RuntimeError(
+                "CSR connected-components did not converge within "
+                f"{max(100, csr_partitions)} supersteps; dup clusters "
+                "would be wrong"
+            )
     else:
         state = connected_components(und, num_ids).state
     ids = np.arange(num_ids, dtype=np.int64)
@@ -524,8 +537,9 @@ def minhash_lsh_dedup(
     """MinHash-LSH near-dedup → (id, cluster_id).
 
     shingle → minhash → band-bucket groupby (buckets over ``max_bucket``
-    emit chain pairs, not all pairs — O(n·cap) candidates even when
-    thousands of empty/identical docs share one signature) → exact
+    emit min-id STAR pairs, not all pairs — O(n) candidates even when
+    thousands of empty/identical docs share one signature; see
+    ``_bucket_pairs_capped`` for the mixed-bucket recall caveat) → exact
     Jaccard verification (``verify``: broadcast feature map below
     BROADCAST_VERIFY_MAX_IDS ids, partitioned reduce-side feature join
     above — no whole-dataset object either way) → CC over verified pairs.
