@@ -495,10 +495,14 @@ class CsrEngine:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         checkpoint_keep_last: int | None = None,
-    ) -> tuple[np.ndarray, int, bool]:
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """``assemble=False`` skips the V-sized driver array — state stays
+        in the workers; drain it with ``write_states`` (the 10^12-vertex
+        sink)."""
         return self._label_kernel(
             "cc", "component", max_iters, checkpoint_dir, resume,
-            checkpoint_keep_last,
+            checkpoint_keep_last, assemble=assemble,
         )
 
     def label_propagation(
@@ -523,7 +527,8 @@ class CsrEngine:
         checkpoint_dir: str | None,
         resume: bool,
         checkpoint_keep_last: int | None = None,
-    ) -> tuple[np.ndarray, int, bool]:
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
         """Shared min-label / mode-label superstep loop (CC and LPA) with
         per-partition checkpointing identical to pagerank's."""
         ray.get(
@@ -543,7 +548,11 @@ class CsrEngine:
                 ck = self._resume(mgr, col)
                 if ck is not None:
                     if ck.manifest["metric"].get("changed") == 0.0:
-                        return self._assemble(), ck.iteration + 1, True
+                        return (
+                            self._assemble() if assemble else None,
+                            ck.iteration + 1,
+                            True,
+                        )
                     start = ck.iteration + 1
         converged = False
         it = start
@@ -570,7 +579,7 @@ class CsrEngine:
                 )
             if converged:
                 break
-        return self._assemble(), it + 1, converged
+        return self._assemble() if assemble else None, it + 1, converged
 
     def write_states(self, out_dir: str, col: str) -> int:
         """Write the CURRENT per-vertex state as per-partition parquet

@@ -19,6 +19,7 @@ reference's only dedup is the nested-set edge dedup, CitationGraphs.go:
 from __future__ import annotations
 
 import hashlib
+import os
 from itertools import combinations
 
 import numpy as np
@@ -394,8 +395,10 @@ def resolve_dup_clusters(
     spaces should be rank-compressed first). Singleton docs keep their own
     id as cluster. ``engine``: "broadcast" holds the label vector as one
     dense driver array (small-V fast path); "csr" runs the partition-actor
-    BSP engine so no process ever holds V-sized state — the 10^12-doc
-    path. "auto" switches on ``num_ids``. Both engines are exact and
+    BSP engine and drains the labels via ``CsrEngine.write_states`` —
+    per-partition parquet shards written by the workers, so NO process
+    (driver included) ever holds V-sized state on the 10^12-doc path.
+    "auto" switches on ``num_ids``. Both engines are exact and
     equivalence-tested.
     """
     if isinstance(pairs, pa.Table):
@@ -406,6 +409,9 @@ def resolve_dup_clusters(
             "broadcast" if num_ids <= BROADCAST_CLUSTER_MAX_IDS else "csr"
         )
     if engine == "csr":
+        import glob
+        import shutil
+
         from ..graph.csr_engine import CsrEngine
 
         eng = CsrEngine(
@@ -415,19 +421,34 @@ def resolve_dup_clusters(
             workdir=csr_workdir,
         )
         try:
-            state, _, converged = eng.connected_components(
-                max_iters=max(100, csr_partitions)
+            _, _, converged = eng.connected_components(
+                max_iters=max(100, csr_partitions), assemble=False
             )
+            if not converged:  # must survive python -O, hence no assert
+                raise RuntimeError(
+                    "CSR connected-components did not converge within "
+                    f"{max(100, csr_partitions)} supersteps; dup clusters "
+                    "would be wrong"
+                )
+            # drain worker-held labels as per-partition shards — never a
+            # V-sized driver array (fingerprint-keyed dir so a stale run
+            # with different partitioning can't leave mixed shards behind)
+            states_dir = os.path.join(csr_workdir, f"states_{eng.fingerprint}")
+            shutil.rmtree(states_dir, ignore_errors=True)
+            eng.write_states(states_dir, "component")
         finally:
             eng.shutdown()
-        if not converged:  # correctness guard — must survive python -O
-            raise RuntimeError(
-                "CSR connected-components did not converge within "
-                f"{max(100, csr_partitions)} supersteps; dup clusters "
-                "would be wrong"
-            )
-    else:
-        state = connected_components(und, num_ids).state
+        shards = sorted(glob.glob(os.path.join(states_dir, "state-*.parquet")))
+        return ray.data.read_parquet(shards).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t["id"],
+                    "cluster_id": t["component"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    state = connected_components(und, num_ids).state
     ids = np.arange(num_ids, dtype=np.int64)
     return ray.data.from_arrow(
         pa.table({"id": pa.array(ids), "cluster_id": pa.array(state)})

@@ -326,6 +326,13 @@ def test_resolve_dup_clusters_csr_equals_broadcast(tmp_path):
     )
     assert list(a.cluster_id) == list(b.cluster_id)
     assert a.cluster_id[0] == a.cluster_id[5] == a.cluster_id[7] == 0
+    # the csr path must have drained labels via worker-written shards
+    # (write_states), never a V-sized driver array: one parquet shard per
+    # partition plus the manifest
+    import glob as _glob
+
+    states = _glob.glob(str(tmp_path / "csr" / "states_*" / "state-*.parquet"))
+    assert len(states) == 3
 
 
 def test_audio_feature_plumbing():
