@@ -17,9 +17,9 @@ Builders:
   side columns.
 
 The ref-title gather is ``edges ⋈ nodes ON dst=id → groupby(src).collect``
-done as a broadcast merge + grouped string concat (titles are the small
-side at fixture scale; at corpus scale this becomes the Dataset.join +
-collect shape noted in SURVEY §2.5 C1).
+done fully distributed (``_gather_ref_titles``): broadcast merge (small
+nodes table) or Dataset.join (corpus scale) followed by ONE coarse-bucket
+hash shuffle that co-locates each node's own-token row with its ref rows.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ import ray.data
 
 from ..functions.phrases import all_possible_phrases, stem_phrase
 from ..stages.text import LangIdHeuristic
-from ..utils import broadcast_merge, collect_table, zip_with_index
+from ..utils import broadcast_merge, zip_with_index
 
 CORPUS_MAIN_WITH_REFS = 0  # main nodes, own+ref titles (reference type<=0)
 CORPUS_MAIN_ONLY = 1  # main nodes, own title only
@@ -50,6 +50,118 @@ def _tokens(s: str) -> list[str]:
     return (s or "").lower().split()
 
 
+# nodes-table rows above which the ref-title gather's edges ⋈ titles join
+# switches from broadcast_merge to a distributed Dataset.join (title is a
+# plain string column, so acero accepts it as a non-key field).
+REF_GATHER_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _gather_ref_titles(
+    own: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    mode: str = "auto",
+) -> ray.data.Dataset:
+    """Append each node's ref-neighbor title tokens to its own tokens —
+    fully distributed (SURVEY §2.4 shape): edges ⋈ titles ON dst=id, then
+    ONE hash shuffle that co-locates a node's own-token row with its ref
+    rows in a coarse bucket, where the per-node concat (own tokens first,
+    then ref titles sorted for order-independence) runs in-process.
+
+    No driver-side map, no V-sized object: the old implementation
+    collected the joined table to the driver and built a broadcast
+    src→tokens dict (scale-killer at corpus scale, VERDICT r2 #3).
+    ``mode``: "broadcast" ships the titles table via ray.put to the join
+    probe; "join" uses a distributed Dataset.join; "auto" switches on the
+    nodes-table size.
+    """
+    titles = nodes.select_columns(["id", "title"])
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if nodes.count() <= REF_GATHER_BROADCAST_MAX_ROWS
+            else "join"
+        )
+    if mode == "join":
+        nj = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        rt = titles.map_batches(
+            lambda t: pa.table({"dst": t["id"], "title": t["title"]}),
+            batch_format="pyarrow",
+        )
+        joined = edges.select_columns(["src", "dst"]).join(
+            rt, "inner", nj, on=("dst",)
+        )
+    else:
+        joined = broadcast_merge(
+            edges.select_columns(["src", "dst"]),
+            titles,
+            left_on="dst",
+            right_on="id",
+        )
+
+    def tag_refs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": t["src"],
+                "tokens": pa.array([None] * n, type=pa.list_(pa.string())),
+                "title": t["title"],
+                "tag": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_own(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": t["id"],
+                "tokens": t["tokens"],
+                "title": pa.array([None] * n, type=pa.string()),
+                "tag": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = own.map_batches(tag_own, batch_format="pyarrow").union(
+        joined.map_batches(tag_refs, batch_format="pyarrow")
+    )
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    from ..utils import _hash_partition_column
+
+    def merge_bucket(df: pd.DataFrame) -> pa.Table:
+        ids: list[int] = []
+        toks_out: list[list[str]] = []
+        for nid, grp in df.groupby("id", sort=False):
+            own_rows = grp[grp["tag"] == 0]
+            if own_rows.empty:  # ref rows of a node outside the corpus base
+                continue
+            toks = list(own_rows["tokens"].iloc[0])
+            refs = grp[grp["tag"] == 1]
+            if len(refs):
+                for title in sorted(refs["title"]):
+                    toks.extend(_tokens(title))
+            ids.append(int(nid))
+            toks_out.append(toks)
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "tokens": pa.array(toks_out, type=pa.list_(pa.string())),
+            }
+        )
+
+    return (
+        tagged.map_batches(
+            lambda t: _hash_partition_column(t, ["id"], P),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda df: merge_bucket(df.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )
+
+
 def build_corpus(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -61,11 +173,9 @@ def build_corpus(
     ref-neighbor titles too; 2 covers all nodes; 3 uses stemmed labels
     (nodes must then carry a ``labels`` list column).
 
-    Scale contract: the ref-title gather builds a src→tokens map on the
-    driver — sized to the citation-CSV graphs this builder exists for
-    (reference format, ≤10^6 titles). At corpus scale the same shape is
-    the broadcast_merge + a groupby(src) concat; not needed for any
-    current input.
+    The ref-title gather (``_gather_ref_titles``) is fully distributed:
+    edges ⋈ titles then one coarse-bucket hash shuffle; no driver-side
+    group loop or broadcast src→tokens map.
     """
     if corpus_type == CORPUS_LABELS:
         base = nodes.filter(expr="is_main == True")
@@ -102,52 +212,7 @@ def build_corpus(
             batch_format="pyarrow",
         )
         if corpus_type <= CORPUS_MAIN_WITH_REFS:
-            # gather ref-neighbor titles: edges ⋈ titles ON dst=id,
-            # grouped concat per src, merged into the own-token rows
-            titles = nodes.select_columns(["id", "title"])
-            j = broadcast_merge(
-                edges.select_columns(["src", "dst"]),
-                titles,
-                left_on="dst",
-                right_on="id",
-            )
-            ref_tbl = collect_table(
-                j.map_batches(
-                    lambda t: pa.table(
-                        {"src": t["src"], "title": t["title"]}
-                    ),
-                    batch_format="pyarrow",
-                )
-            ).to_pandas()
-            ref_tokens: dict[int, list[str]] = {}
-            for src, grp in ref_tbl.sort_values(["src", "title"]).groupby("src"):
-                toks: list[str] = []
-                for title in grp["title"]:
-                    toks.extend(_tokens(title))
-                ref_tokens[int(src)] = toks
-            ref_ref = ray.put(ref_tokens)
-
-            class AddRefs:
-                def __init__(self) -> None:
-                    self.refs = ray.get(ref_ref)
-
-                def __call__(self, t: pa.Table) -> pa.Table:
-                    toks = [
-                        list(own_t) + self.refs.get(int(i), [])
-                        for i, own_t in zip(
-                            t["id"].to_pylist(), t["tokens"].to_pylist()
-                        )
-                    ]
-                    return pa.table(
-                        {
-                            "id": t["id"],
-                            "tokens": pa.array(toks, type=pa.list_(pa.string())),
-                        }
-                    )
-
-            own = own.map_batches(
-                AddRefs, batch_format="pyarrow", concurrency=(1, 4)
-            )
+            own = _gather_ref_titles(own, nodes, edges)
         docs = own
 
     # explicit doc ids = rank over sorted node id (order-independence)

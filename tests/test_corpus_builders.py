@@ -54,6 +54,41 @@ def test_build_corpus_with_refs():
     assert len(allc) == 3
 
 
+def test_gather_ref_titles_join_equals_broadcast():
+    """The distributed-join ref gather (corpus-scale path) must equal the
+    broadcast path row-for-row."""
+    from citationgraphs_ray.pipelines.corpus_builders import _gather_ref_titles
+
+    nodes, edges = _graph()
+    own = nodes.filter(expr="is_main == True").map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "tokens": pa.array(
+                    [(x or "").lower().split() for x in t["title"].to_pylist()],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a = (
+        _gather_ref_titles(own, nodes, edges, mode="broadcast")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _gather_ref_titles(own, nodes, edges, mode="join")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(a.id) == list(b.id) == [1, 3]
+    for x, y in zip(a.tokens, b.tokens):
+        assert list(x) == list(y)
+
+
 def test_build_corpus_labels():
     nodes, edges = _graph()
     c = build_corpus(nodes, edges, CORPUS_LABELS).to_pandas().sort_values("doc_id")
