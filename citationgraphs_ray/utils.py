@@ -126,6 +126,85 @@ def broadcast_merge(
     return left.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
 
 
+def bucketed_inner_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed inner join as ONE hash shuffle into P coarse buckets +
+    an in-bucket pandas (C hash) merge — the reduce-side join shape.
+
+    Exists because Ray's ``Dataset.join`` (acero) loses the schema of
+    empty hash partitions on small inputs, schedules one aggregator actor
+    per partition (deadlocks when partitions > session CPUs) and rejects
+    list-typed non-key columns (all three measured, see stages/dedup.py).
+    Non-key column names must be disjoint between the two sides. Output
+    column types follow the input schemas (null-padding during the union
+    never leaks: every output row is an inner match, and columns are cast
+    back to their source Arrow types).
+    """
+    import pandas as pd
+
+    ls = left.schema(fetch_if_missing=True)
+    rs = right.schema(fetch_if_missing=True)
+    if ls is None or rs is None:
+        raise ValueError(
+            "bucketed_inner_join: a side has no schema (empty dataset) — "
+            "guard the empty case at the call site"
+        )
+    l_types = dict(zip(ls.names, ls.types))
+    r_types = dict(zip(rs.names, rs.types))
+    extra_l = [c for c in ls.names if c not in on]
+    extra_r = [c for c in rs.names if c not in on]
+    overlap = set(extra_l) & set(extra_r)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, got {overlap}")
+    types = {**l_types, **r_types}
+    out_cols = list(on) + extra_l + extra_r
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pad(side: int, missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {c: t[c] for c in t.column_names}
+            for c in missing:
+                cols[c] = pa.nulls(n, type=types[c])
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int64))
+            return pa.table({c: cols[c] for c in out_cols + ["__side"]})
+
+        return fn
+
+    tagged = left.map_batches(pad(0, extra_r), batch_format="pyarrow").union(
+        right.map_batches(pad(1, extra_l), batch_format="pyarrow")
+    )
+
+    def merge_bucket(df: "pd.DataFrame") -> pa.Table:
+        l = df[df["__side"] == 0][list(on) + extra_l]
+        r = df[df["__side"] == 1][list(on) + extra_r]
+        m = l.merge(r, on=list(on), how="inner")
+        arrs = {}
+        for c in out_cols:
+            # int64 columns pass through pandas as float64 because of the
+            # union's null padding; cast back (safe — inner rows are exact)
+            a = pa.array(m[c].to_numpy(), from_pandas=True)
+            arrs[c] = a.cast(types[c]) if a.type != types[c] else a
+        return pa.table(arrs)
+
+    return (
+        tagged.map_batches(
+            lambda t: _hash_partition_column(t, list(on), num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda df: merge_bucket(df.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )
+
+
 _AGG_PARTIAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 # Partial-row count above which stage 2 of fast_grouped_agg/fast_distinct

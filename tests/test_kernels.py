@@ -183,6 +183,43 @@ def test_triangle_strategies_agree(small_graph):
     assert np.array_equal(a.state, b.state)
 
 
+def test_triangles_shuffle_no_driver_broadcast(small_graph, monkeypatch):
+    """The huge-E path must never ship an edge-sized array through a
+    driver-side ray.put (VERDICT r2 #1): every driver put during the run
+    is guarded, and results must still be exact."""
+    import ray as ray_mod
+
+    _, und, earr, V = small_graph
+    real_put = ray_mod.put
+
+    def guarded_put(obj, *args, **kwargs):
+        if isinstance(obj, np.ndarray) and obj.size > 2_000:
+            raise AssertionError(
+                f"driver broadcast of a {obj.size}-element array in the "
+                "shuffle triangle path"
+            )
+        return real_put(obj, *args, **kwargs)
+
+    monkeypatch.setattr(ray_mod, "put", guarded_put)
+    res = triangle_counts(und, V, strategy="shuffle")
+    assert np.array_equal(res.state, triangles_oracle(earr, V))
+
+
+def test_triangles_as_dataset(small_graph):
+    """Sparse (id, tri_count) sink equals the dense result on non-zero
+    vertices — the 10^12-vertex output path."""
+    _, und, earr, V = small_graph
+    dense = triangle_counts(und, V, strategy="shuffle").state
+    sparse = (
+        triangle_counts(und, V, strategy="shuffle", as_dataset=True)
+        .to_pandas()
+        .sort_values("id")
+    )
+    nz = np.nonzero(dense)[0]
+    assert list(sparse.id) == list(nz)
+    assert list(sparse.tri_count) == list(dense[nz])
+
+
 def test_salted_groupby_reduce_agrees(small_graph):
     """The skew-guarded combiner-less reduce (hub dsts split across salt
     sub-keys before the shuffle) must match the driver reduce; the mega
