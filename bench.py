@@ -136,7 +136,15 @@ def ensure_bench_edges(v: int, e: int) -> str:
     return out
 
 
-def run_bench(num_cpus: int) -> dict:
+def run_bench(num_cpus: int, sections: tuple[str, ...]) -> dict:
+    """Run the requested bench sections in THIS process's own Ray session.
+
+    Sections: "csr" (400M-edge CSR kernel throughput), "bcast" (broadcast
+    engine in its V≪E regime), "headline" (corpus → edges → CSR PageRank
+    convergence). The default driver entry runs each group in a FRESH
+    subprocess so the headline is never measured in a session whose object
+    store was just pressured by the 400M-edge kernel bench (VERDICT r2:
+    that interleaving doubled the recorded headline)."""
     import ray
     import ray.data
 
@@ -161,12 +169,10 @@ def run_bench(num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "host_canary_sec": host_canary(),
     }
-    scaling_leg = bool(os.environ.get("GRAFT_BENCH_SCALING"))
-    csr_only = bool(os.environ.get("GRAFT_BENCH_CSR_ONLY"))
 
-    # --- CSR kernel throughput (absolute; measured before anything else
-    # pressures the object store) ------------------------------------------
-    if not scaling_leg or csr_only:
+    if "csr" in sections:
+        # CSR kernel throughput (absolute; measured before anything else
+        # pressures the object store)
         edge_dir = ensure_bench_edges(EDGE_V, EDGE_E)
         big = ray.data.read_parquet(edge_dir)
         eng = CsrEngine(
@@ -186,14 +192,9 @@ def run_bench(num_cpus: int) -> dict:
             "csr_edges_per_sec_per_superstep"
         ]
         log(f"[{num_cpus} cpus] CSR engine: {EDGE_E / csr_step:,.0f} edges/s/step")
-        if csr_only:
-            results["pipeline_sec"] = 0.0
-            results["extract_sec"] = 0.0
-            results["corpus_edges"] = 0
-            ray.shutdown()
-            return results
 
-        # --- broadcast engine in its regime (V << E) ----------------------
+    if "bcast" in sections:
+        # broadcast engine in its regime (V << E)
         bdir = ensure_bench_edges(BCAST_V, BCAST_E)
         bds = ray.data.read_parquet(bdir).repartition(num_cpus * 4).materialize()
         bE = bds.count()
@@ -206,48 +207,69 @@ def run_bench(num_cpus: int) -> dict:
             f"{bE / bcast_step:,.0f} edges/s/step"
         )
 
-    # --- headline: corpus → edges → PageRank convergence ------------------
-    # All Ray Data task stages (extraction, shuffles, broadcast-engine
-    # supersteps) → CPU-slot-gated → num_cpus legs are meaningful.
-    corpus_dir = ensure_bench_corpus()
-    ds = ray.data.read_parquet(corpus_dir)
-    ds.count()  # warm page cache (untimed)
-    t0 = time.time()
-    edges, vids = extract_edge_table(ds)
-    edges = edges.repartition(num_cpus * 4).materialize()
-    n_edges = edges.count()
-    n_verts = vids.count()
-    t_extract = time.time() - t0
-    # Kernel = the CSR partition-actor engine (the north-star engine; the
-    # broadcast engine's ~0.5 s/superstep executor overhead × 59 iters
-    # made it 5× slower end-to-end at this scale — measured 78 s vs 15-19 s).
-    # P fixed per run (property of the run, not the cluster); the
-    # partitioned layout is content-addressed so repeat legs reuse it.
-    t0 = time.time()
-    eng = CsrEngine(
-        edges,
-        n_verts,
-        num_partitions=CSR_PARTITIONS,
-        workdir="/tmp/graft_bench/csr_head",
-        tag=f"r{CORPUS_REPOS}",
-    )
-    _, pr_iters, pr_conv = eng.pagerank(tol=1e-9)
-    eng.shutdown()
-    t_pr = time.time() - t0
-    assert pr_conv
-    results["corpus_files"] = n_verts
-    results["corpus_edges"] = n_edges
-    results["extract_sec"] = round(t_extract, 3)
-    results["pagerank_sec"] = round(t_pr, 3)
-    results["pagerank_iters"] = pr_iters
-    results["pipeline_sec"] = round(t_extract + t_pr, 3)
-    log(
-        f"[{num_cpus} cpus] corpus pipeline: extract {t_extract:.1f}s + "
-        f"csr pagerank {t_pr:.1f}s ({pr_iters} iters, {n_edges} edges)"
-    )
+    if "headline" in sections:
+        # headline: corpus → edges → PageRank convergence. All Ray Data
+        # task stages (extraction, shuffles, supersteps) are CPU-slot-gated
+        # → num_cpus legs are meaningful.
+        corpus_dir = ensure_bench_corpus()
+        ds = ray.data.read_parquet(corpus_dir)
+        ds.count()  # warm page cache (untimed)
+        t0 = time.time()
+        edges, vids = extract_edge_table(ds)
+        edges = edges.repartition(num_cpus * 4).materialize()
+        n_edges = edges.count()
+        n_verts = vids.count()
+        t_extract = time.time() - t0
+        # Kernel = the CSR partition-actor engine (the north-star engine;
+        # the broadcast engine's ~0.5 s/superstep executor overhead × 59
+        # iters made it 5× slower end-to-end at this scale — measured 78 s
+        # vs 15-19 s). P fixed per run (property of the run, not the
+        # cluster); the partitioned layout is content-addressed so repeat
+        # legs reuse it.
+        t0 = time.time()
+        eng = CsrEngine(
+            edges,
+            n_verts,
+            num_partitions=CSR_PARTITIONS,
+            workdir="/tmp/graft_bench/csr_head",
+            tag=f"r{CORPUS_REPOS}",
+        )
+        _, pr_iters, pr_conv = eng.pagerank(tol=1e-9)
+        eng.shutdown()
+        t_pr = time.time() - t0
+        assert pr_conv
+        results["corpus_files"] = n_verts
+        results["corpus_edges"] = n_edges
+        results["extract_sec"] = round(t_extract, 3)
+        results["pagerank_sec"] = round(t_pr, 3)
+        results["pagerank_iters"] = pr_iters
+        results["pipeline_sec"] = round(t_extract + t_pr, 3)
+        log(
+            f"[{num_cpus} cpus] corpus pipeline: extract {t_extract:.1f}s + "
+            f"csr pagerank {t_pr:.1f}s ({pr_iters} iters, {n_edges} edges)"
+        )
+    else:
+        results.setdefault("pipeline_sec", 0.0)
+        results.setdefault("extract_sec", 0.0)
+        results.setdefault("corpus_edges", 0)
 
     ray.shutdown()
     return results
+
+
+def run_sections_subprocess(sections: tuple[str, ...], num_cpus: int) -> dict:
+    """One bench section group in a FRESH interpreter + Ray session."""
+    env = dict(os.environ)
+    env["GRAFT_BENCH_SECTIONS"] = ",".join(sections)
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def run_queries(sf_dir: str, num_cpus: int) -> dict:
@@ -304,12 +326,11 @@ def scaling_mode() -> None:
     the number comparable to the ≥0.8 criterion."""
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     env = dict(os.environ)
-    env["GRAFT_BENCH_KERNELS_ONLY"] = "1"
-    env["GRAFT_BENCH_SCALING"] = "1"
+    env["GRAFT_BENCH_SECTIONS"] = "headline"
 
     kernel: dict[int, list] = {8: [], 32: []}
     kenv = dict(env)
-    kenv["GRAFT_BENCH_CSR_ONLY"] = "1"
+    kenv["GRAFT_BENCH_SECTIONS"] = "csr"
     for r in range(rounds):
         for n in (8, 32):
             kenv["RAY_GRAFT_CPUS"] = str(n)
@@ -404,14 +425,29 @@ def main() -> None:
         scaling_mode()
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sections_env = os.environ.get("GRAFT_BENCH_SECTIONS")
+    if sections_env is not None:
+        # subprocess leg: run just these sections in this process's session
+        res = run_bench(num_cpus, tuple(s for s in sections_env.split(",") if s))
+        print(json.dumps(res))
+        return
+
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    results = run_bench(num_cpus)
+    # Host capacity canary FIRST (self-evident throttling in every record),
+    # then the headline in a FRESH subprocess before anything touches the
+    # 400M-edge kernel tables — the r2 driver headline doubled purely from
+    # same-session object-store pressure.
+    canary = parallel_canary(procs=min(num_cpus, 32))
+    log(f"parallel_canary({min(num_cpus, 32)} procs): {canary} Mips")
+    headline = run_sections_subprocess(("headline",), num_cpus)
+    kernels = run_sections_subprocess(("csr", "bcast"), num_cpus)
     queries = (
         {}
         if os.environ.get("GRAFT_BENCH_KERNELS_ONLY")
         else run_queries(sf_dir, num_cpus)
     )
+    results = {**kernels, **headline}
     payload = {
         "metric": "corpus->edges->pagerank convergence wall time",
         "value": results["pipeline_sec"],
@@ -419,6 +455,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": num_cpus,
+        "parallel_canary_mips": canary,
         **results,
     }
     print(json.dumps(payload))
