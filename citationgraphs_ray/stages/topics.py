@@ -33,20 +33,34 @@ import ray.data
 
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _TopicPartition:
-    """Holds a stable partition of docs: token ids + current assignments."""
+    """Holds a stable partition of docs: token ids + current assignments.
+
+    num_cpus=0 for the same reason as graph/csr_engine.py's CsrWorker: the
+    TRUE parallelism limit is the pool size P (that many single-threaded
+    processes exist, period), and holding scheduler CPU slots for the
+    actors' lifetime would starve Ray Data stages sharing the session —
+    which matters doubly now that pools persist across engine
+    instantiations (see ``get_topic_pool``)."""
 
     def __init__(self, pid: int, num_topics: int, vocab_size: int, seed: int) -> None:
         self.pid = pid
+        self.reset(num_topics, vocab_size, seed)
+
+    def reset(self, num_topics: int, vocab_size: int, seed: int) -> bool:
+        """Re-arm for a new model run: fresh RNG stream (identical to a
+        newly constructed actor's, so pooled reuse is bitwise equal to a
+        cold start) and cleared doc/model state."""
         self.K = num_topics
         self.W = vocab_size
-        self.rng = np.random.default_rng(seed * 10007 + pid)
+        self.rng = np.random.default_rng(seed * 10007 + self.pid)
         self.doc_ids: np.ndarray | None = None
         self.docs: list[np.ndarray] = []
         # LDA: per-token topic; GSDMM: per-doc topic
         self.z: list[np.ndarray] | np.ndarray | None = None
         self.doc_topic: np.ndarray | None = None  # LDA per-doc topic counts
+        return True
 
     def load(self, doc_ids: np.ndarray, docs: list[np.ndarray]) -> int:
         self.doc_ids = doc_ids
@@ -171,6 +185,36 @@ class _TopicPartition:
         return self.doc_ids, np.asarray(self.z, dtype=np.int64)
 
 
+# session-level pools keyed by size: creating + killing a P-actor pool
+# costs ~5 s per model query (measured), so sequential engine runs reuse
+# the same actors and just reset their state. NOT safe for two engines
+# training concurrently on the same pool — pass reuse_pool=False there.
+_POOLS: dict[int, list] = {}
+
+
+def get_topic_pool(num_partitions: int, num_topics: int, vocab_size: int, seed: int) -> list:
+    """Actors for a P-sized pool, freshly ``reset`` for this run."""
+    pool = _POOLS.get(num_partitions)
+    if pool is None:
+        pool = [
+            _TopicPartition.remote(p, num_topics, vocab_size, seed)
+            for p in range(num_partitions)
+        ]
+        _POOLS[num_partitions] = pool
+    else:
+        ray.get(
+            [a.reset.remote(num_topics, vocab_size, seed) for a in pool]
+        )
+    return pool
+
+
+def shutdown_topic_pools() -> None:
+    for pool in _POOLS.values():
+        for a in pool:
+            ray.kill(a)
+    _POOLS.clear()
+
+
 def _load_partitions(
     encoded: ray.data.Dataset, actors: list, num_partitions: int
 ) -> None:
@@ -205,16 +249,23 @@ class LdaEngine:
         beta: float = 0.01,
         num_partitions: int = 4,
         seed: int = 42,
+        reuse_pool: bool = True,
     ) -> None:
         if num_topics <= 0:
             raise ValueError("numTopics must be positive")  # ref guard 2799
         self.K, self.W = num_topics, vocab_size
         self.alpha, self.beta = alpha, beta
         self.P = num_partitions
-        self.actors = [
-            _TopicPartition.remote(p, num_topics, vocab_size, seed)
-            for p in range(num_partitions)
-        ]
+        self._pooled = reuse_pool
+        if reuse_pool:
+            self.actors = get_topic_pool(
+                num_partitions, num_topics, vocab_size, seed
+            )
+        else:
+            self.actors = [
+                _TopicPartition.remote(p, num_topics, vocab_size, seed)
+                for p in range(num_partitions)
+            ]
         _load_partitions(encoded, self.actors, num_partitions)
         deltas = ray.get([a.lda_init.remote() for a in self.actors])
         self.word_topic = np.sum(deltas, axis=0)
@@ -249,8 +300,12 @@ class LdaEngine:
         )
 
     def shutdown(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        """Pooled actors stay alive for the next engine (that is the
+        point); private pools are killed."""
+        if not self._pooled:
+            for a in self.actors:
+                ray.kill(a)
+        self.actors = []
 
 
 class GsdmmEngine:
@@ -265,16 +320,23 @@ class GsdmmEngine:
         beta: float = 0.1,
         num_partitions: int = 4,
         seed: int = 42,
+        reuse_pool: bool = True,
     ) -> None:
         if num_topics <= 0:
             raise ValueError("numTopics must be positive")  # ref guard 3048
         self.K, self.W = num_topics, vocab_size
         self.alpha, self.beta = alpha, beta
         self.P = num_partitions
-        self.actors = [
-            _TopicPartition.remote(p, num_topics, vocab_size, seed)
-            for p in range(num_partitions)
-        ]
+        self._pooled = reuse_pool
+        if reuse_pool:
+            self.actors = get_topic_pool(
+                num_partitions, num_topics, vocab_size, seed
+            )
+        else:
+            self.actors = [
+                _TopicPartition.remote(p, num_topics, vocab_size, seed)
+                for p in range(num_partitions)
+            ]
         _load_partitions(encoded, self.actors, num_partitions)
         inits = ray.get([a.gsdmm_init.remote() for a in self.actors])
         self.word_topic = np.sum([i[0] for i in inits], axis=0)
@@ -313,5 +375,9 @@ class GsdmmEngine:
         )
 
     def shutdown(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        """Pooled actors stay alive for the next engine; private pools are
+        killed."""
+        if not self._pooled:
+            for a in self.actors:
+                ray.kill(a)
+        self.actors = []

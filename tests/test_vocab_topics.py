@@ -124,3 +124,49 @@ def test_gsdmm_separates_planted_topics():
 def test_lda_param_guard():
     with pytest.raises(ValueError):
         LdaEngine(None, num_topics=0, vocab_size=5)
+
+
+def test_topic_pool_reuse_is_deterministic_and_amortized():
+    """Pooled engine runs must (a) reuse the SAME actors across engine
+    instantiations — the ~5 s/query pool churn fix — and (b) produce
+    results bitwise equal to a private cold-start pool (reset re-arms the
+    identical RNG stream)."""
+    texts, _ = _planted_corpus()
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+
+    cold = LdaEngine(
+        enc, num_topics=2, vocab_size=W, num_partitions=2, seed=5,
+        reuse_pool=False,
+    ).train(5)
+    m_cold = cold.memberships().to_pandas().sort_values("id")
+    cold.shutdown()
+
+    p1 = LdaEngine(
+        enc, num_topics=2, vocab_size=W, num_partitions=2, seed=5
+    ).train(5)
+    actors1 = list(p1.actors)
+    m_p1 = p1.memberships().to_pandas().sort_values("id")
+    p1.shutdown()
+
+    p2 = LdaEngine(
+        enc, num_topics=2, vocab_size=W, num_partitions=2, seed=5
+    ).train(5)
+    actors2 = list(p2.actors)
+    m_p2 = p2.memberships().to_pandas().sort_values("id")
+    p2.shutdown()
+
+    # same actor handles reused across engines
+    assert [a._actor_id for a in actors1] == [a._actor_id for a in actors2]
+    for a, b in ((m_cold, m_p1), (m_p1, m_p2)):
+        assert list(a.id) == list(b.id)
+        for x, y in zip(a.membership, b.membership):
+            assert list(x) == list(y)
+
+    # GSDMM shares the same pool size → same actors again
+    g = GsdmmEngine(enc, num_topics=4, vocab_size=W, num_partitions=2, seed=3)
+    assert [a._actor_id for a in g.actors] == [a._actor_id for a in actors1]
+    g.train(3)
+    g.shutdown()
