@@ -6,13 +6,13 @@ per-year training text (English-gated), train CBOW word2vec per year
 against the high-frequency vocabulary (T5), rank neighbors (T6), join with
 the previous year's ranks and emit rank jumps (T7).
 
-The trainer here is ``DeterministicEmbedder`` — a seeded, corpus-dependent
-stand-in for the external CBOW lib (same call boundary: year corpus →
-word→vector map). Real trainers (gensim etc.) plug in via the ``embedder``
-hook; they are not in this container. Vectors are base hash-gaussians
-blended with the mean of co-occurring words' bases, so neighborhoods —
-and therefore rank jumps — respond to corpus drift across years while
-staying fully deterministic.
+Two trainers behind the same call boundary (year corpus → word→vector
+map): ``SgnsEmbedder`` — a real seeded numpy skip-gram-negative-sampling
+word2vec (T4 closed semantically; the reference's external CBOW lib has
+the same Window/Negatives/Dim shape) — and ``DeterministicEmbedder``, a
+cheap corpus-dependent stand-in (base hash-gaussians blended with
+co-occurrence means) kept as the fast default for fixture pipelines.
+External trainers (gensim etc.) plug in via the ``embedder`` hook.
 
 Cross-year state (previous year's ranks) is a Dataset carried by the driver
 loop, exactly the E3 checkpoint shape.
@@ -93,6 +93,100 @@ class DeterministicEmbedder:
                 v = (1 - self.blend) * b + self.blend * (ctx_sum[w] / ctx_n[w])
             out[w] = v
         return out
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))
+
+
+class SgnsEmbedder:
+    """T4, real training: seeded skip-gram negative-sampling word2vec in
+    numpy, behind the same ``fit`` boundary as ``DeterministicEmbedder``.
+
+    The reference delegates to an external CBOW lib (wego) with Window 5 /
+    Negatives 5 / Dim 100 (CitationGraphs.go:4110-4127); this is the same
+    hyperparameter shape with smaller fixture-scale defaults, fully
+    deterministic per seed. Updates are vectorized minibatch SGD
+    (``np.add.at`` scatter — no per-pair Python loop); negatives are drawn
+    from the unigram^0.75 distribution via one searchsorted per batch.
+    """
+
+    def __init__(
+        self,
+        dim: int = 32,
+        window: int = 5,
+        negatives: int = 5,
+        epochs: int = 10,
+        lr: float = 0.05,
+        seed: int = 42,
+        batch: int = 512,
+    ) -> None:
+        self.dim, self.window, self.negatives = dim, window, negatives
+        self.epochs, self.lr, self.seed, self.batch = epochs, lr, seed, batch
+
+    def fit(self, token_lists: list[list[str]]) -> dict[str, np.ndarray]:
+        words = sorted({w for toks in token_lists for w in toks})
+        if not words:
+            return {}
+        wid = {w: i for i, w in enumerate(words)}
+        V, d = len(words), self.dim
+        counts = np.zeros(V, dtype=np.float64)
+        centers: list[np.ndarray] = []
+        contexts: list[np.ndarray] = []
+        for toks in token_lists:
+            ids = np.array([wid[w] for w in toks], dtype=np.int64)
+            np.add.at(counts, ids, 1.0)
+            n = len(ids)
+            for off in range(1, min(self.window, n - 1) + 1):
+                a, b = ids[:-off], ids[off:]
+                centers.append(a)
+                contexts.append(b)
+                centers.append(b)  # symmetric skip-gram pairs
+                contexts.append(a)
+        if not centers:
+            rng0 = np.random.default_rng(self.seed)
+            return {
+                w: rng0.standard_normal(d) / np.sqrt(d) for w in words
+            }
+        C = np.concatenate(centers)
+        O = np.concatenate(contexts)
+        noise = counts**0.75
+        noise_cum = np.cumsum(noise / noise.sum())
+        rng = np.random.default_rng(self.seed)
+        W_in = (rng.random((V, d)) - 0.5) / d
+        W_out = np.zeros((V, d))
+        k, lr = self.negatives, self.lr
+        for _ in range(self.epochs):
+            perm = rng.permutation(len(C))
+            for s in range(0, len(perm), self.batch):
+                idx = perm[s : s + self.batch]
+                c, o = C[idx], O[idx]
+                B = len(c)
+                neg = np.searchsorted(noise_cum, rng.random((B, k)))
+                neg = np.minimum(neg, V - 1)
+                v = W_in[c]  # (B, d)
+                u = W_out[o]
+                un = W_out[neg]  # (B, k, d)
+                g_pos = _sigmoid((v * u).sum(1)) - 1.0  # (B,)
+                s_neg = _sigmoid(np.einsum("bkd,bd->bk", un, v))  # (B, k)
+                grad_v = g_pos[:, None] * u + np.einsum("bk,bkd->bd", s_neg, un)
+                grad_u = g_pos[:, None] * v
+                grad_un = s_neg[..., None] * v[:, None, :]
+                # average (not sum) each word's in-batch contributions: a
+                # word occurring m times in the batch would otherwise take
+                # an m-times step and diverge on small vocabularies
+                cnt_c = np.bincount(c, minlength=V)[c]
+                cnt_o = np.bincount(o, minlength=V)[o]
+                negr = neg.ravel()
+                cnt_n = np.bincount(negr, minlength=V)[negr]
+                np.add.at(W_in, c, -lr * grad_v / cnt_c[:, None])
+                np.add.at(W_out, o, -lr * grad_u / cnt_o[:, None])
+                np.add.at(
+                    W_out,
+                    negr,
+                    -lr * grad_un.reshape(-1, d) / cnt_n[:, None],
+                )
+        return {w: W_in[wid[w]].copy() for w in words}
 
 
 def phrase_similarities(

@@ -174,6 +174,58 @@ def test_embedder_deterministic_and_corpus_sensitive():
     assert not np.allclose(v1["alpha"], v3["alpha"])  # context shifts vector
 
 
+def test_sgns_related_tokens_rank_closer():
+    """Real SGNS training (T4): tokens that co-occur must embed closer
+    than tokens from a disjoint cluster, deterministically per seed."""
+    from citationgraphs_ray.functions.leap2trend import SgnsEmbedder
+
+    rng = np.random.default_rng(0)
+    fruit = ["apple", "banana", "cherry", "plum"]
+    animal = ["dog", "cat", "wolf", "fox"]
+    docs = []
+    for _ in range(150):
+        docs.append(list(rng.choice(fruit, size=6)))
+        docs.append(list(rng.choice(animal, size=6)))
+    emb = SgnsEmbedder(dim=16, seed=11)
+    v1 = emb.fit(docs)
+    v2 = emb.fit(docs)
+    for w in fruit + animal:
+        assert np.allclose(v1[w], v2[w])  # deterministic per seed
+
+    def cos(a, b):
+        return float(
+            np.dot(v1[a], v1[b])
+            / (np.linalg.norm(v1[a]) * np.linalg.norm(v1[b]))
+        )
+
+    within = np.mean([cos("apple", w) for w in ("banana", "cherry", "plum")])
+    across = np.mean([cos("apple", w) for w in animal])
+    assert within > across + 0.2, (within, across)
+
+
+def test_leap2trend_runs_on_sgns_vectors():
+    """Leap2Trend end-to-end on learned (not stub) vectors."""
+    from citationgraphs_ray.functions.leap2trend import SgnsEmbedder
+
+    docs_by_year = {
+        2000: [["spark", "engine", "data"] * 3, ["ray", "engine", "cloud"] * 3],
+        2001: [["ray", "data", "engine"] * 5] * 3,
+        2002: [["spark", "cloud", "cloud"] * 4] * 3,
+    }
+    out = leap2trend(
+        docs_by_year,
+        min_freq=3,
+        min_jump=0,
+        embedder=SgnsEmbedder(dim=8, epochs=2, seed=1),
+    )
+    assert out and set(out) <= {2001, 2002}
+    frames = [ds.to_pandas() for ds in out.values()]
+    assert sum(len(f) for f in frames) > 0
+    for f in frames:
+        if len(f):
+            assert list(f.columns) == ["phrase1", "phrase2", "jump"]
+
+
 def test_leap2trend_emits_jumps():
     docs_by_year = {
         2000: [["spark", "engine", "data"] * 3, ["ray", "engine", "cloud"] * 3],
