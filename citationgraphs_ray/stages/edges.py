@@ -188,19 +188,7 @@ def resolve_edges(
 
         return j.map_batches(finish, batch_format="pyarrow")
 
-    import pandas as pd
-
-    vert_tbl = collect_table(vertex_ids)
-    key_arr = pc.binary_join_element_wise(
-        vert_tbl["repo"].combine_chunks(),
-        vert_tbl["path"].combine_chunks(),
-        "\x00",
-    )
-    lookup = pd.Series(
-        vert_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        index=key_arr.to_pandas(),
-    )
-    keys_ref = ray.put(lookup)
+    keys_ref = ray.put(_vertex_lookup(vertex_ids))
 
     class Resolve:
         """Vectorized probe: keys joined with an Arrow kernel, looked up
@@ -315,18 +303,98 @@ def add_salt(
     return edges.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _vertex_lookup(vertex_ids: ray.data.Dataset):
+    """(repo\\0path) → id pandas hash index (the broadcast probe side)."""
+    import pandas as pd
+
+    vert_tbl = collect_table(vertex_ids)
+    key_arr = pc.binary_join_element_wise(
+        vert_tbl["repo"].combine_chunks(),
+        vert_tbl["path"].combine_chunks(),
+        "\x00",
+    )
+    return pd.Series(
+        vert_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        index=key_arr.to_pandas(),
+    )
+
+
+class ExtractResolveEdges(ExtractImportEdges):
+    """Fused extract → resolve → per-block dedup in ONE actor stage.
+
+    The two-stage form ships every raw string edge row (4 string columns)
+    through the object store between the extract and resolve pools; fusing
+    probes the broadcast vertex map right where the edges are born and
+    emits already-distinct int64 pairs per block — one actor-pool ramp-up
+    and a full plasma pass less (the extraction stage's dominant
+    non-compute cost at bench scale).
+    """
+
+    def __init__(self, lookup_ref) -> None:
+        super().__init__()
+        self.lookup = ray.get(lookup_ref)
+        self.M = len(self.lookup) + 1  # composite-key modulus for dedup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = super().__call__(batch)
+        sk = pc.binary_join_element_wise(
+            raw["src_repo"].combine_chunks(),
+            raw["src_path"].combine_chunks(),
+            "\x00",
+        ).to_pandas()
+        dk = pc.binary_join_element_wise(
+            raw["dst_repo"].combine_chunks(),
+            raw["dst_path"].combine_chunks(),
+            "\x00",
+        ).to_pandas()
+        s = sk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
+        d = dk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
+        keep = ~np.isnan(s) & ~np.isnan(d) & (s != d)
+        src = s[keep].astype(np.int64)
+        dst = d[keep].astype(np.int64)
+        # per-block partial dedup (ids < M, so the composite fits int64 in
+        # the broadcast regime this fused path is gated to)
+        uniq = np.unique(src * self.M + dst)
+        return pa.table(
+            {"src": pa.array(uniq // self.M), "dst": pa.array(uniq % self.M)}
+        )
+
+
 def extract_edge_table(
     corpus: ray.data.Dataset,
+    mode: str = "auto",
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Full minimum-slice pipeline (SURVEY.md §7.1).
 
     corpus → extract → mint ids → resolve → dedup. Returns
     ``(edges(src,dst), vertex_ids(repo,path,id))``.
+
+    ``mode="fused"`` (the auto pick when the vertex map fits one object)
+    runs extract+resolve+partial-dedup as ONE actor stage
+    (``ExtractResolveEdges``); ``mode="staged"`` keeps the two-pool form —
+    the only choice when the vertex map must be joined distributively.
+    Both modes are equivalence-tested.
     """
-    slim = corpus.select_columns(["repo", "path", "lang", "content"])
-    raw = slim.map_batches(
-        ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
-    )
     vids = mint_vertex_ids(corpus)
-    edges = dedup_edges(resolve_edges(raw, vids))
+    if mode == "auto":
+        mode = (
+            "fused"
+            if vids.count() <= BROADCAST_RESOLVE_MAX_ROWS
+            else "staged"
+        )
+    slim = corpus.select_columns(["repo", "path", "lang", "content"])
+    if mode == "fused":
+        keys_ref = ray.put(_vertex_lookup(vids))
+        partial = slim.map_batches(
+            ExtractResolveEdges,
+            fn_constructor_kwargs={"lookup_ref": keys_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 32),
+        )
+        edges = fast_distinct(partial, ["src", "dst"])
+    else:
+        raw = slim.map_batches(
+            ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
+        )
+        edges = dedup_edges(resolve_edges(raw, vids))
     return edges, vids

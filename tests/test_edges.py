@@ -65,6 +65,20 @@ def test_resolve_edges_join_equals_broadcast(small_corpus, small_edges):
     assert a.equals(b)
 
 
+def test_extract_fused_equals_staged(small_corpus):
+    """The fused extract+resolve+dedup actor stage must produce exactly
+    the staged two-pool pipeline's edge table."""
+    from citationgraphs_ray.stages.edges import extract_edge_table
+
+    ds = ray.data.from_arrow(small_corpus.table)
+    ef, vf = extract_edge_table(ds, mode="fused")
+    es, vs = extract_edge_table(ds, mode="staged")
+    a = ef.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = es.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert vf.count() == vs.count()
+
+
 def test_dedup_idempotent_and_no_self_loops(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()
