@@ -346,6 +346,13 @@ def q_knn_top5(sf_dir: str):
     Q = np.array(qdf.embedding.tolist(), dtype=np.float64)
     top = brute_force_topk(emb, Q, k=5)
 
+    return _ranked_topk(top)
+
+
+def _ranked_topk(top):
+    """(query_id, vec_id, knn_rank) with the stable (score desc, id asc)
+    rank order — shared by the brute-force and IVF-exact knn queries."""
+
     def add_rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
             ["score", "vec_id"], ascending=[False, True], kind="mergesort"
@@ -1096,6 +1103,33 @@ def q_ivf_knn_top5(sf_dir: str):
     )
 
 
+def q_triangles_shuffle(sf_dir: str):
+    """The huge-E triangle strategy (distributed degrees + join probe, no
+    broadcast edge-key array) FORCED on the sf graph — hash-verified
+    against the same SQL oracle as triangles_per_vertex, so the scale path
+    itself sits in the correctness gate."""
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = triangle_counts(und, GRAPH_MOD, strategy="shuffle")
+    ids = _present_vertex_ids(edges)
+    return pa.table(
+        {"id": pa.array(ids), "tri_count": pa.array(res.state[ids])}
+    )
+
+
+def q_ivf_knn_exact(sf_dir: str):
+    """IVF with nprobe = num_clusters: the centroid-bucketed layout +
+    pruned-read scoring machinery must reproduce the exact brute-force
+    top-5 (same SQL oracle as knn_top5)."""
+    from ..stages.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    Q = np.array(qdf.embedding.tolist(), dtype=np.float64)
+    top = ivf_topk(emb, Q, k=5, num_clusters=8, nprobe=8)
+    return _ranked_topk(top)
+
+
 def q_fingerprints(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
@@ -1165,6 +1199,8 @@ QUERIES.update(
         "ngram_dedup": q_ngram_dedup,
         "embedding_dedup": q_embedding_dedup,
         "ivf_knn_top5": q_ivf_knn_top5,
+        "ivf_knn_exact": q_ivf_knn_exact,
+        "triangles_shuffle": q_triangles_shuffle,
         "fingerprints": q_fingerprints,
         "modularity_cpm": q_modularity_cpm,
         "sim_tfidf_top3": q_sim_tfidf_top3,
@@ -1524,3 +1560,9 @@ ORACLE_SQL.update(
         ),
     }
 )
+
+# strategy/mode variants verified against the SAME oracle as their
+# canonical counterparts: the huge-E triangle path and exact-mode IVF are
+# hash-checked, not just rows-only
+ORACLE_SQL["triangles_shuffle"] = ORACLE_SQL["triangles_per_vertex"]
+ORACLE_SQL["ivf_knn_exact"] = ORACLE_SQL["knn_top5"]
