@@ -41,6 +41,8 @@ BCAST_V = int(os.environ.get("GRAFT_BENCH_BCAST_V", "200000"))
 BCAST_E = int(os.environ.get("GRAFT_BENCH_BCAST_E", "8000000"))
 EDGE_V = int(os.environ.get("GRAFT_BENCH_V", "1000000"))
 EDGE_E = int(os.environ.get("GRAFT_BENCH_E", "400000000"))
+TRI_V = int(os.environ.get("GRAFT_BENCH_TRI_V", "30000000"))
+TRI_E = int(os.environ.get("GRAFT_BENCH_TRI_E", "60000000"))
 CSR_PARTITIONS = int(os.environ.get("GRAFT_BENCH_P", "32"))  # fixed per run
 SUPERSTEPS = 5
 BENCH_QUERIES = [
@@ -192,6 +194,29 @@ def run_bench(num_cpus: int, sections: tuple[str, ...]) -> dict:
             "csr_edges_per_sec_per_superstep"
         ]
         log(f"[{num_cpus} cpus] CSR engine: {EDGE_E / csr_step:,.0f} edges/s/step")
+
+    if "tri" in sections:
+        # huge-E triangle datapoint (VERDICT r2 #1 done-criterion: the
+        # "shuffle" strategy on >50M edges, where the broadcast edge-key
+        # array is not allowed to exist). Optional section — run with
+        # GRAFT_BENCH_SECTIONS=tri; the result is recorded in
+        # BENCH/BASELINE.md, not the default per-round payload (cost ~4 min).
+        from citationgraphs_ray.graph.triangles import triangle_counts
+
+        tdir = ensure_bench_edges(TRI_V, TRI_E)
+        tds = ray.data.read_parquet(tdir)
+        t0 = time.time()
+        tri = triangle_counts(tds, TRI_V, strategy="shuffle", as_dataset=True)
+        tri_vertices = tri.count()
+        t_tri = time.time() - t0
+        results["tri_edges"] = TRI_E
+        results["tri_shuffle_sec"] = round(t_tri, 3)
+        results["tri_shuffle_edges_per_sec"] = round(TRI_E / t_tri)
+        results["tri_vertices_with_triangles"] = tri_vertices
+        log(
+            f"[{num_cpus} cpus] triangle shuffle path: E={TRI_E} in "
+            f"{t_tri:.1f}s ({TRI_E / t_tri:,.0f} edges/s)"
+        )
 
     if "bcast" in sections:
         # broadcast engine in its regime (V << E)

@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..utils import list_column_to_matrix
+
 from .trends import neighbor_ranks, rank_jumps
 
 
@@ -217,7 +219,7 @@ def phrase_similarities(
             self.hf, self.H = ray.get(hf_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = np.array(batch["vec"].to_pylist())
+            V = list_column_to_matrix(batch["vec"])
             sims = V @ self.H.T  # (B, |hf|)
             p1 = np.repeat(batch["phrase1"].to_pylist(), len(self.hf))
             p2 = np.tile(self.hf, len(V))

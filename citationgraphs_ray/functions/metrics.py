@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..utils import collect_table
+from ..utils import collect_table, list_column_to_matrix
 
 
 # ---------------------------------------------------------------------------
@@ -141,10 +141,15 @@ def communities_from_memberships(memberships: ray.data.Dataset) -> ray.data.Data
     (GetCommunitiesFromMemberships, 3236-3259)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        vecs = batch["membership"].to_pylist()
-        comm = np.array(
-            [int(np.argmax(v)) if v else -1 for v in vecs], dtype=np.int64
-        )
+        try:
+            comm = np.argmax(
+                list_column_to_matrix(batch["membership"]), axis=1
+            ).astype(np.int64)
+        except ValueError:  # ragged / empty membership rows
+            vecs = batch["membership"].to_pylist()
+            comm = np.array(
+                [int(np.argmax(v)) if v else -1 for v in vecs], dtype=np.int64
+            )
         return pa.table({"id": batch["id"], "community": pa.array(comm)})
 
     return memberships.map_batches(fn, batch_format="pyarrow")
@@ -153,7 +158,7 @@ def communities_from_memberships(memberships: ray.data.Dataset) -> ray.data.Data
 def _normalized_matrix(memberships: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
     tbl = collect_table(memberships)
     ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.array(tbl["membership"].to_pylist(), dtype=np.float64)
+    mat = list_column_to_matrix(tbl["membership"])
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

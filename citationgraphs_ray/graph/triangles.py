@@ -324,6 +324,11 @@ def triangle_counts(
         cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
         nj = min(64, cpus)
         use_acero = n_edges >= ACERO_JOIN_MIN_ROWS
+        # deg_ds is consumed twice inside _orient_distributed (du and dv);
+        # above the distributed-merge threshold fast_grouped_agg's stage-2
+        # shuffle is lazy, so without this materialize the whole degree
+        # merge would execute twice.
+        deg_ds = deg_ds.materialize()
         oriented = _orient_distributed(uv, deg_ds, nj, use_acero).materialize()
 
         wedges = (

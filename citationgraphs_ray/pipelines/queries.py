@@ -40,7 +40,13 @@ from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
 from ..stages.edges import dedup_edges, symmetrize_edges
 from ..stages.similarity import brute_force_topk
 from ..stages.text import LangIdHeuristic
-from ..utils import collect_table, fast_distinct, fast_grouped_agg
+from ..utils import (
+    collect_table,
+    fast_distinct,
+    fast_grouped_agg,
+    list_column_to_matrix,
+    matrix_to_list_array,
+)
 
 GRAPH_MOD = 1000
 
@@ -367,13 +373,9 @@ def q_membership_argmax(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def fn(t: pa.Table) -> pa.Table:
-        comm = np.array(
-            [
-                int(np.argmax(np.asarray(v, dtype=np.float32)))
-                for v in t["embedding"].to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        comm = np.argmax(
+            list_column_to_matrix(t["embedding"], dtype=np.float32), axis=1
+        ).astype(np.int64)
         return pa.table({"id": t["vec_id"], "community": pa.array(comm)})
 
     return emb.map_batches(fn, batch_format="pyarrow")
@@ -1153,8 +1155,8 @@ def q_modularity_cpm(sf_dir: str):
         lambda t: pa.table(
             {
                 "id": t["vec_id"],
-                "membership": pa.array(
-                    [list(map(float, v)) for v in t["embedding"].to_pylist()]
+                "membership": matrix_to_list_array(
+                    list_column_to_matrix(t["embedding"])
                 ),
             }
         ),

@@ -29,7 +29,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..utils import collect_table, fast_distinct
+from ..utils import (
+    collect_table,
+    fast_distinct,
+    list_column_to_matrix,
+    matrix_to_list_array,
+)
 
 from ..graph.engine import connected_components
 from .edges import symmetrize_edges
@@ -781,22 +786,21 @@ def embedding_cosine_dedup(
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            out_ids: list[int] = []
-            out_tab: list[int] = []
-            out_key: list[int] = []
-            for t in range(len(self.planes)):
-                signs = (vecs @ self.planes[t].T) > 0  # (B, planes)
-                keys = signs @ (1 << np.arange(signs.shape[1]))
-                out_ids.extend(ids.tolist())
-                out_tab.extend([t] * len(ids))
-                out_key.extend(keys.astype(np.int64).tolist())
+            vecs = list_column_to_matrix(batch[vec_col])
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            T = len(self.planes)
+            keys = np.concatenate(
+                [
+                    ((vecs @ self.planes[t].T) > 0)
+                    @ (1 << np.arange(self.planes.shape[1]))
+                    for t in range(T)
+                ]
+            ).astype(np.int64)
             return pa.table(
                 {
-                    id_col: pa.array(out_ids, type=pa.int64()),
-                    "table": pa.array(out_tab, type=pa.int64()),
-                    "key": pa.array(out_key, type=pa.int64()),
+                    id_col: pa.array(np.tile(ids, T)),
+                    "table": pa.array(np.repeat(np.arange(T, dtype=np.int64), len(ids))),
+                    "key": pa.array(keys),
                 }
             )
 
@@ -812,7 +816,7 @@ def embedding_cosine_dedup(
     )
 
     def norm_feats(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = list_column_to_matrix(batch[vec_col])
         if vecs.size == 0:
             vecs = vecs.reshape(0, dim)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -821,7 +825,7 @@ def embedding_cosine_dedup(
         return pa.table(
             {
                 "id": batch[id_col].cast(pa.int64()),
-                "feat": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+                "feat": matrix_to_list_array(vecs),
             }
         )
 
@@ -836,7 +840,7 @@ def embedding_cosine_dedup(
         tbl = collect_table(feats)
         ids_all = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         dense = np.zeros((num_ids, dim))
-        dense[ids_all] = np.array(tbl["feat"].to_pylist(), dtype=np.float64)
+        dense[ids_all] = list_column_to_matrix(tbl["feat"])
         dense_ref = ray.put(dense)
 
         class Verify:
@@ -864,17 +868,24 @@ def embedding_cosine_dedup(
         )
 
         def cos_verify(batch: pa.Table) -> pa.Table:
-            fs = batch["feat_src"].to_pylist()
-            fd = batch["feat_dst"].to_pylist()
-            keep = []
-            for a, b in zip(fs, fd):
-                if not a or not b:
-                    keep.append(False)
-                    continue
-                keep.append(
-                    float(np.dot(np.asarray(a), np.asarray(b))) >= threshold
+            try:
+                A = list_column_to_matrix(batch["feat_src"])
+                B = list_column_to_matrix(batch["feat_dst"])
+                keep = pa.array((A * B).sum(axis=1) >= threshold)
+            except ValueError:
+                # null / ragged feature rows (unmatched ids) — slow path
+                fs = batch["feat_src"].to_pylist()
+                fd = batch["feat_dst"].to_pylist()
+                keep = pa.array(
+                    [
+                        bool(a)
+                        and bool(b)
+                        and float(np.dot(np.asarray(a), np.asarray(b)))
+                        >= threshold
+                        for a, b in zip(fs, fd)
+                    ]
                 )
-            return batch.select(["src", "dst"]).filter(pa.array(keep))
+            return batch.select(["src", "dst"]).filter(keep)
 
         verified = with_both.map_batches(cos_verify, batch_format="pyarrow")
     return resolve_dup_clusters(verified, num_ids)

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..utils import list_column_to_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -50,7 +52,7 @@ def brute_force_topk(
             self.Q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            vecs = _normalize(list_column_to_matrix(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             sims = self.Q @ vecs.T  # (nq, B)
             nq, B = sims.shape
@@ -109,7 +111,7 @@ def kmeans_fit(
 
         def partial(batch: pa.Table) -> pa.Table:
             C = ray.get(c_ref)
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = list_column_to_matrix(batch[vec_col])
             d2 = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             assign = np.argmin(d2, axis=1)
             sums = np.zeros_like(C)
@@ -154,7 +156,7 @@ def ivf_build_index(
             self.C = ray.get(c_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = list_column_to_matrix(batch[vec_col])
             d2 = ((vecs[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
             assign = np.argmin(d2, axis=1).astype(np.int64)
             return pa.table(
@@ -255,7 +257,7 @@ def ivf_topk(
             self.Q, self.probe_sets = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            raw = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            raw = list_column_to_matrix(batch[vec_col])
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             clusters = batch["cluster"].to_numpy(zero_copy_only=False)
             vecs = _normalize(raw)

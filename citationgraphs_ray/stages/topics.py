@@ -26,11 +26,23 @@ with a doc-level resample.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
+
+def _theta_table(ids: np.ndarray, theta: np.ndarray) -> pa.Table:
+    """(id, membership list<double>) without a per-row Python loop."""
+    n, k = theta.shape
+    offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+    memb = pa.ListArray.from_arrays(
+        offsets, pa.array(theta.ravel().astype(np.float64))
+    )
+    return pa.table({"id": pa.array(ids), "membership": memb})
 
 
 @ray.remote(num_cpus=0)
@@ -75,8 +87,13 @@ class _TopicPartition:
             ids.append(
                 batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             )
+            # offsets-based ragged split: no per-token PyObject round-trip
+            col = batch["word_ids"].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]  # align with flatten() on sliced arrays
             self.docs.extend(
-                np.asarray(t, dtype=np.int64) for t in batch["word_ids"].to_pylist()
+                flat[offs[i] : offs[i + 1]] for i in range(len(col))
             )
         self.doc_ids = (
             np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
@@ -184,6 +201,23 @@ class _TopicPartition:
     def gsdmm_assignments(self) -> tuple[np.ndarray, np.ndarray]:
         return self.doc_ids, np.asarray(self.z, dtype=np.int64)
 
+    # ---- shard sinks ------------------------------------------------------
+    # Each partition writes ITS OWN parquet shard — the driver never
+    # concatenates doc-sized output (the 10^12-doc sink; shard_dir must be
+    # shared storage on a multi-node cluster, same assumption as
+    # graph/csr_engine.py's partition layout).
+    def write_lda_doc_topics(self, path: str, alpha: float) -> int:
+        ids, theta = self.lda_doc_topics(alpha)
+        pq.write_table(_theta_table(ids, theta), path)
+        return len(ids)
+
+    def write_gsdmm_assignments(self, path: str) -> int:
+        ids, z = self.gsdmm_assignments()
+        pq.write_table(
+            pa.table({"id": pa.array(ids), "topic": pa.array(z)}), path
+        )
+        return len(ids)
+
 
 # session-level pools keyed by size: creating + killing a P-actor pool
 # costs ~5 s per model query (measured), so sequential engine runs reuse
@@ -285,19 +319,29 @@ class LdaEngine:
             self.entropy_history.append(_entropy(self.word_topic))
         return self
 
-    def memberships(self) -> ray.data.Dataset:
+    def memberships(self, shard_dir: str | None = None) -> ray.data.Dataset:
+        """(id, membership) — θ rows. With ``shard_dir`` each partition
+        actor writes its own parquet shard and the result is read back as
+        a Dataset (unsorted; nothing doc-sized touches the driver — the
+        10^12-doc path). Without it, partitions are concatenated on the
+        driver sorted by id (fine for main-node-sized outputs)."""
+        if shard_dir is not None:
+            os.makedirs(shard_dir, exist_ok=True)
+            ray.get(
+                [
+                    a.write_lda_doc_topics.remote(
+                        os.path.join(shard_dir, f"part-{p:05d}.parquet"),
+                        self.alpha,
+                    )
+                    for p, a in enumerate(self.actors)
+                ]
+            )
+            return ray.data.read_parquet(shard_dir)
         parts = ray.get([a.lda_doc_topics.remote(self.alpha) for a in self.actors])
         ids = np.concatenate([p[0] for p in parts])
         thetas = np.concatenate([p[1] for p in parts])
         order = np.argsort(ids, kind="stable")
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id": pa.array(ids[order]),
-                    "membership": pa.array([row.tolist() for row in thetas[order]]),
-                }
-            )
-        )
+        return ray.data.from_arrow(_theta_table(ids[order], thetas[order]))
 
     def shutdown(self) -> None:
         """Pooled actors stay alive for the next engine (that is the
@@ -365,7 +409,20 @@ class GsdmmEngine:
                 break
         return self
 
-    def assignments(self) -> ray.data.Dataset:
+    def assignments(self, shard_dir: str | None = None) -> ray.data.Dataset:
+        """(id, topic). With ``shard_dir``, worker-written shards (unsorted,
+        nothing doc-sized on the driver); else driver concat sorted by id."""
+        if shard_dir is not None:
+            os.makedirs(shard_dir, exist_ok=True)
+            ray.get(
+                [
+                    a.write_gsdmm_assignments.remote(
+                        os.path.join(shard_dir, f"part-{p:05d}.parquet")
+                    )
+                    for p, a in enumerate(self.actors)
+                ]
+            )
+            return ray.data.read_parquet(shard_dir)
         parts = ray.get([a.gsdmm_assignments.remote() for a in self.actors])
         ids = np.concatenate([p[0] for p in parts])
         z = np.concatenate([p[1] for p in parts])

@@ -75,6 +75,42 @@ def table_from_arrays(**cols) -> pa.Table:
     return pa.table({k: pa.array(v) for k, v in cols.items()})
 
 
+def list_column_to_matrix(
+    col: "pa.ChunkedArray | pa.Array", dtype=np.float64
+) -> np.ndarray:
+    """Uniform-length ``list<numeric>`` column → (n, d) matrix with NO
+    per-row Python objects (``to_pylist`` materializes every element as a
+    PyObject — measured ~20× slower than flatten+reshape on embedding
+    batches; this is the zero-copy-adjacent path for every vector hot
+    loop: ANN scoring, embedding dedup, membership metrics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("null-bearing list column")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) % n:
+        raise ValueError("ragged or null-bearing list column")
+    d = len(flat) // n
+    if not pa.types.is_fixed_size_list(col.type):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        if not np.all(np.diff(offs) == d):
+            raise ValueError("ragged list column; expected uniform length")
+    return np.ascontiguousarray(flat.reshape(n, d), dtype=dtype)
+
+
+def matrix_to_list_array(mat: np.ndarray, dtype=pa.float64()) -> pa.ListArray:
+    """(n, d) matrix → ``list<dtype>`` Arrow array without per-row Python
+    lists (inverse of ``list_column_to_matrix``)."""
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(mat).ravel(), type=dtype)
+    )
+
+
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a small Dataset to one Arrow table, skipping the empty
     zero-column blocks Ray emits for fully-filtered partitions (they break

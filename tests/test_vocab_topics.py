@@ -170,3 +170,44 @@ def test_topic_pool_reuse_is_deterministic_and_amortized():
     assert [a._actor_id for a in g.actors] == [a._actor_id for a in actors1]
     g.train(3)
     g.shutdown()
+
+
+def test_topic_output_shard_path_equals_driver_path(tmp_path):
+    """Worker-written shard sinks (nothing doc-sized on the driver) carry
+    exactly the driver-concat results for both engines."""
+    texts, _ = _planted_corpus()
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+
+    eng = LdaEngine(
+        enc, num_topics=2, vocab_size=W, num_partitions=2, seed=7
+    ).train(5)
+    drv = eng.memberships().to_pandas().sort_values("id").reset_index(drop=True)
+    shard = (
+        eng.memberships(shard_dir=str(tmp_path / "lda"))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    eng.shutdown()
+    assert list(drv.id) == list(shard.id)
+    for a, b in zip(drv.membership, shard.membership):
+        assert list(a) == list(b)
+    # one parquet shard per partition actor
+    assert len(list((tmp_path / "lda").glob("part-*.parquet"))) == 2
+
+    g = GsdmmEngine(
+        enc, num_topics=4, vocab_size=W, num_partitions=2, seed=7
+    ).train(3)
+    gd = g.assignments().to_pandas().sort_values("id").reset_index(drop=True)
+    gs = (
+        g.assignments(shard_dir=str(tmp_path / "gsdmm"))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g.shutdown()
+    assert list(gd.id) == list(gs.id)
+    assert list(gd.topic) == list(gs.topic)
