@@ -106,18 +106,44 @@ def sha256_content(batch: pa.Table) -> pa.Table:
     )
 
 
-def mint_vertex_ids(corpus: ray.data.Dataset) -> ray.data.Dataset:
+def mint_vertex_ids(
+    corpus: ray.data.Dataset, mode: str = "auto"
+) -> ray.data.Dataset:
     """Dense int64 vertex ids for every file: rank over sorted (repo, path).
 
     Deterministic and order-independent (unlike the reference's first-seen
     vocab ids, CitationGraphs.go:143-147, which depend on map iteration
-    order). Returns ``(repo, path, id)``. The sort + rank runs over the
-    (small, blob-free) vertex table only.
+    order). Returns ``(repo, path, id)``.
+
+    Two equivalent rank engines (equivalence-tested):
+
+    - ``driver`` (the broadcast regime, vertex map ≤
+      ``BROADCAST_RESOLVE_MAX_ROWS``): one C++ ``Table.sort_by`` on the
+      collected distinct table. The map is driver-held in this regime
+      anyway (the fused extraction probe ``ray.put``s it), and Ray's
+      distributed sort costs ~2-4 s of sample/range-partition fixed
+      overhead that dominates small-table minting — the profiled residual
+      in the round-2 extraction scaling numbers.
+    - ``distributed`` (the 10^12-file path): Ray range-partitioned sort +
+      block-offset ``zip_with_index``; no driver object ever holds V rows.
     """
     verts = fast_distinct(
         corpus.select_columns(["repo", "path"]), ["repo", "path"]
-    ).sort(["repo", "path"])
-    return zip_with_index(verts, col="id")
+    )
+    if mode == "auto":
+        mode = (
+            "driver"
+            if verts.count() <= BROADCAST_RESOLVE_MAX_ROWS
+            else "distributed"
+        )
+    if mode == "driver":
+        tbl = collect_table(verts).combine_chunks()
+        tbl = tbl.sort_by([("repo", "ascending"), ("path", "ascending")])
+        tbl = tbl.append_column(
+            "id", pa.array(np.arange(len(tbl), dtype=np.int64))
+        )
+        return ray.data.from_arrow(tbl)
+    return zip_with_index(verts.sort(["repo", "path"]), col="id")
 
 
 # Vertex-map rows above which resolve_edges switches from the broadcast

@@ -104,6 +104,25 @@ def test_vertex_ids_dense_and_sorted(small_corpus):
     assert keys == sorted(keys)
 
 
+def test_vertex_ids_driver_equals_distributed(small_corpus):
+    """Both rank engines (driver C++ sort vs Ray sort + zip_with_index)
+    mint byte-identical (repo, path, id) tables."""
+    ds = ray.data.from_arrow(small_corpus.table)
+    drv = (
+        mint_vertex_ids(ds, mode="driver")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    dst = (
+        mint_vertex_ids(ds, mode="distributed")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(dst)
+
+
 def test_degrees_consistent(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()
