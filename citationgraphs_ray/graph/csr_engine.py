@@ -54,9 +54,22 @@ import ray
 import ray.data
 
 from ..state.checkpoints import CheckpointManager
-from .engine import edge_checksum
+from .engine import edge_checksum_and_count
 
 _I64MAX = np.iinfo(np.int64).max
+
+# Auto worker sizing: every superstep pays a W-proportional coordination
+# term (2W driver→actor RPCs + up to W² bundled message objects; on one
+# box all through a shared plasma store) while per-worker compute is E/W,
+# so small graphs want few workers. Measured on the 1.6M-edge headline
+# graph at 32 session CPUs: PageRank 44.8 ms/step at W=4 vs 410 ms/step
+# at W=32 — 9× end-to-end for the identical result. One worker per ~1M
+# edges keeps the compute term dominant; explicit ``num_workers``
+# overrides (the multi-node setting, where each node adds memory
+# bandwidth and its own object store, may justify more).
+CSR_EDGES_PER_WORKER = int(
+    os.environ.get("GRAFT_CSR_EDGES_PER_WORKER", "1000000")
+)
 
 
 def _sum_by_partition(dicts: list[dict[int, float]]) -> float:
@@ -350,17 +363,25 @@ class CsrEngine:
     ) -> None:
         self.V = num_vertices
         self.P = num_partitions
-        if num_workers is None:
-            session_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
-            num_workers = max(1, min(session_cpus, num_partitions))
-        self.W = num_workers
-        self.owner = [p % self.W for p in range(self.P)]
         # Edge identity: an order-independent content checksum keys BOTH the
         # cached partitioned layout and every checkpoint fingerprint, so a
         # different edge set can neither reuse a stale layout (same
         # workdir/tag/P) nor resume another graph's checkpoints (same P, V).
-        # One extra column-pruned pass over (src, dst).
-        self.checksum = edge_checksum(edges)
+        # One extra column-pruned pass over (src, dst) — which also yields E
+        # for free, used to auto-size the worker pool.
+        self.checksum, self.E = edge_checksum_and_count(edges)
+        if num_workers is None:
+            session_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+            num_workers = max(
+                1,
+                min(
+                    session_cpus,
+                    num_partitions,
+                    -(-self.E // CSR_EDGES_PER_WORKER),
+                ),
+            )
+        self.W = num_workers
+        self.owner = [p % self.W for p in range(self.P)]
         self.fingerprint = (
             f"csr-p{self.P}-v{self.V}-e{self.checksum:016x}"
         )

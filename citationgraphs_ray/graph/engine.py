@@ -69,6 +69,13 @@ def edge_checksum(eds: ray.data.Dataset) -> int:
     — distinguishes different edge sets with identical (V, E) so a resume
     cannot silently load another graph's checkpoint. One extra pass; only
     computed when checkpointing is enabled."""
+    return edge_checksum_and_count(eds)[0]
+
+
+def edge_checksum_and_count(eds: ray.data.Dataset) -> tuple[int, int]:
+    """``(checksum, num_edges)`` in the same single column-pruned pass —
+    callers that need E for sizing decisions (CsrEngine worker count) get
+    it for free."""
     mod = (1 << 61) - 1
 
     def part(batch: pa.Table) -> pa.Table:
@@ -79,15 +86,20 @@ def edge_checksum(eds: ray.data.Dataset) -> int:
                 dst * np.uint64(0xC2B2AE3D27D4EB4F)
             )
         return pa.table(
-            {"c": pa.array([int(np.sum(mix % np.uint64(mod))) % mod])}
+            {
+                "c": pa.array([int(np.sum(mix % np.uint64(mod))) % mod]),
+                "n": pa.array([len(src)]),
+            }
         )
 
     total = 0
+    count = 0
     for b in eds.map_batches(part, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         total = (total + int(np.sum(b["c"].to_numpy()))) % mod
-    return total
+        count += int(np.sum(b["n"].to_numpy()))
+    return total, count
 
 
 def _prepare_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
