@@ -631,8 +631,9 @@ def simhash_dedup(
     blocking on band values finds all candidates; verify true distance.
     The full simhash travels WITH the bucket rows, so verification is
     in-bucket — already broadcast-free. Buckets over ``max_bucket`` emit a
-    hamming-checked chain instead of all pairs (identical docs still chain
-    into one cluster; pair count stays O(n))."""
+    hamming-checked min-id STAR instead of all pairs (identical docs still
+    merge into one cluster; pair count stays O(n); same mixed-bucket recall
+    caveat as ``_bucket_pairs``)."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
 
@@ -713,8 +714,8 @@ def ngram_jaccard_dedup(
     shingle are candidates. Buckets larger than ``max_bucket`` are DROPPED
     (a shingle shared by that many docs is a stop-shingle carrying no
     signal — unlike the minhash/simhash full-signature buckets, which
-    chain instead). Verify exact Jaccard (broadcast or partitioned join
-    per ``verify``), cluster via CC."""
+    emit a min-id star instead). Verify exact Jaccard (broadcast or
+    partitioned join per ``verify``), cluster via CC."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
 
@@ -770,7 +771,8 @@ def embedding_cosine_dedup(
 ) -> ray.data.Dataset:
     """Near-dup on an embedding column: sign-LSH buckets (num_tables
     independent sets of num_planes hyperplanes) → candidates (buckets over
-    ``max_bucket`` chain instead of exploding) → exact cosine verification
+    ``max_bucket`` emit a min-id star instead of exploding) → exact cosine
+    verification
     (dense broadcast matrix below BROADCAST_VERIFY_MAX_IDS ids,
     partitioned feature join above) → CC clusters."""
     if num_ids is None:
