@@ -32,6 +32,7 @@ Reference analogs: PageRank ↔ in-citation analytics (CitationGraphs.go:
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -41,7 +42,33 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 from ..state.checkpoints import CheckpointManager
-from ..utils import dataset_to_dense_array
+from ..utils import collect_table, dataset_to_dense_array
+
+# Third (degenerate) regime below the broadcast engine: when E is this
+# small, the per-superstep Ray Data execution overhead (~0.1-0.5 s per
+# map_batches round, measured) dwarfs the numpy compute, so the right
+# engine is the one-partition case — pull (src, dst) to the driver ONCE
+# (two int64 arrays, ≤64 MB at the threshold; V already fits the driver
+# by the broadcast engine's own precondition) and run the identical
+# per-superstep math in-process. ``reduce="auto"`` picks it; the
+# distributed modes are unchanged and equivalence-tested against it.
+LOCAL_KERNEL_MAX_EDGES = int(
+    os.environ.get("GRAFT_LOCAL_KERNEL_MAX_EDGES", "4000000")
+)
+
+
+def _local_edge_arrays(eds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    tbl = collect_table(eds).combine_chunks()
+    return (
+        tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+def _resolve_reduce(reduce: str, num_edges: int) -> str:
+    if reduce == "auto":
+        return "local" if num_edges <= LOCAL_KERNEL_MAX_EDGES else "driver"
+    return reduce
 
 
 @dataclass
@@ -125,7 +152,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
-    reduce: str = "driver",
+    reduce: str = "auto",
     checkpoint_keep_last: int | None = None,
     salt_degree_threshold: int = 1 << 20,
     num_salts: int = 8,
@@ -137,8 +164,13 @@ def pagerank(
     Convergence: L-inf residual < tol (driver-side on the dense vector).
     Matches graph/oracle.py:pagerank_oracle to allclose(1e-6).
 
-    ``reduce`` picks the message-reduce strategy:
-    - "driver" (default): stream the per-batch pre-aggregated (dst, partial)
+    ``reduce`` picks the message-reduce strategy ("auto", the default,
+    resolves to "local" at/below LOCAL_KERNEL_MAX_EDGES, else "driver"):
+    - "local": the tiny-graph regime — (src, dst) pulled to the driver
+      once, every superstep a single ``np.bincount``; no Ray round-trips
+      in the loop (the per-superstep Ray Data execution overhead is the
+      whole cost at this scale). Equivalence-tested vs "driver".
+    - "driver": stream the per-batch pre-aggregated (dst, partial)
       tables to the driver and np.add.at into the dense vector. Exact, no
       shuffle; valid whenever V fits the driver — which is the broadcast
       engine's precondition anyway. ~100x faster than the sort-based
@@ -169,6 +201,7 @@ def pagerank(
     """
     eds = _prepare_edges(edges)
     salted_eds = None
+    reduce = _resolve_reduce(reduce, eds.count())
     if reduce == "salted_groupby":
         from ..stages.edges import add_salt
         from ..utils import fast_grouped_agg
@@ -182,14 +215,18 @@ def pagerank(
         )
         salted_eds = add_salt(eds, hot, num_salts=num_salts).materialize()
     num_edges = eds.count()
-    out_deg = dataset_to_dense_array(
-        eds.groupby("src").count(),
-        "src",
-        "count()",
-        num_vertices,
-        default=0,
-        dtype=np.float64,
-    )
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
+        out_deg = np.bincount(src_a, minlength=num_vertices).astype(np.float64)
+    else:
+        # streaming degree count — exact, no sort-based groupby fixed cost
+        out_deg = np.zeros(num_vertices, dtype=np.float64)
+        for b in eds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            out_deg += np.bincount(
+                b["src"].to_numpy(zero_copy_only=False),
+                minlength=num_vertices,
+            )
     dangling = out_deg == 0.0
     safe_deg = np.where(dangling, 1.0, out_deg)
 
@@ -222,7 +259,8 @@ def pagerank(
     for it in range(start_iter, max_iters):
         contrib_vec = ranks / safe_deg
         contrib_vec[dangling] = 0.0
-        vec_ref = ray.put(contrib_vec)
+        if reduce != "local":
+            vec_ref = ray.put(contrib_vec)
 
         def partial(batch: pa.Table) -> pa.Table:
             vec = ray.get(vec_ref)
@@ -232,7 +270,11 @@ def pagerank(
             sums = np.bincount(inv, weights=vec[src])
             return _msg_table(u, sums, "contrib")
 
-        if reduce == "salted_groupby":
+        if reduce == "local":
+            sums = np.bincount(
+                dst_a, weights=contrib_vec[src_a], minlength=num_vertices
+            )
+        elif reduce == "salted_groupby":
 
             def edge_msgs(batch: pa.Table) -> pa.Table:
                 vec = ray.get(vec_ref)
@@ -326,7 +368,7 @@ def connected_components(
     max_iters: int = 100,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    reduce: str = "driver",
+    reduce: str = "auto",
     checkpoint_keep_last: int | None = None,
 ) -> KernelResult:
     """Min-id label exchange until fixpoint; labels init to own id.
@@ -336,9 +378,15 @@ def connected_components(
     Component id = min member id (exact-match vs oracle). Log-round
     pointer-doubling variants (PAPERS.md: CC in MapReduce) trade extra
     shuffles for fewer rounds; plain exchange keeps one groupby/round.
+    ``reduce="auto"`` resolves to the driver-local numpy loop at/below
+    LOCAL_KERNEL_MAX_EDGES (see module docstring), "driver" above.
     """
     eds = _prepare_edges(edges_undirected)
     num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
     labels = np.arange(num_vertices, dtype=np.int64)
     start_iter = 0
     mgr = None
@@ -363,32 +411,42 @@ def connected_components(
     converged = False
     it = start_iter
     for it in range(start_iter, max_iters):
-        vec_ref = ray.put(labels)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            vec = ray.get(vec_ref)
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            u, inv = np.unique(dst, return_inverse=True)
-            mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(mins, inv, vec[src])
-            return _msg_table(u, mins, "lab")
-
-        msgs = eds.map_batches(partial, batch_format="pyarrow")
-        if reduce == "groupby":
-            agg = msgs.groupby("dst").aggregate(Min("lab", alias_name="lab"))
-            incoming = dataset_to_dense_array(
-                agg, "dst", "lab", num_vertices,
-                default=np.iinfo(np.int64).max, dtype=np.int64,
+        if reduce == "local":
+            incoming = np.full(
+                num_vertices, np.iinfo(np.int64).max, dtype=np.int64
             )
+            np.minimum.at(incoming, dst_a, labels[src_a])
         else:
-            incoming = np.full(num_vertices, np.iinfo(np.int64).max, dtype=np.int64)
-            for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-                np.minimum.at(
-                    incoming,
-                    b["dst"].to_numpy(zero_copy_only=False),
-                    b["lab"].to_numpy(zero_copy_only=False),
+            vec_ref = ray.put(labels)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                vec = ray.get(vec_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                u, inv = np.unique(dst, return_inverse=True)
+                mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, vec[src])
+                return _msg_table(u, mins, "lab")
+
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
+            if reduce == "groupby":
+                agg = msgs.groupby("dst").aggregate(Min("lab", alias_name="lab"))
+                incoming = dataset_to_dense_array(
+                    agg, "dst", "lab", num_vertices,
+                    default=np.iinfo(np.int64).max, dtype=np.int64,
                 )
+            else:
+                incoming = np.full(
+                    num_vertices, np.iinfo(np.int64).max, dtype=np.int64
+                )
+                for b in msgs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                ):
+                    np.minimum.at(
+                        incoming,
+                        b["dst"].to_numpy(zero_copy_only=False),
+                        b["lab"].to_numpy(zero_copy_only=False),
+                    )
         new_labels = np.minimum(labels, incoming)
         changed = int(np.count_nonzero(new_labels != labels))
         labels = new_labels
@@ -417,10 +475,14 @@ def label_propagation(
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    reduce: str = "driver",
+    reduce: str = "auto",
     checkpoint_keep_last: int | None = None,
 ) -> KernelResult:
     """Synchronous LPA: new label = mode of neighbor labels, tie → min.
+
+    ``reduce="auto"`` resolves to the driver-local numpy round at/below
+    LOCAL_KERNEL_MAX_EDGES (see module docstring), "driver" above; all
+    modes share the encode-max-decode argmax and are exact-identical.
 
     Message reduce uses an encode-max-decode trick so the round stays a
     single built-in aggregate: per (dst, label) partial counts per batch,
@@ -432,6 +494,10 @@ def label_propagation(
     """
     eds = _prepare_edges(edges_undirected)
     num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
     M = num_vertices + 1
     if M * (M + 1) >= np.iinfo(np.int64).max:
         raise ValueError("V too large for int64 encode-max-decode; use map_groups")
@@ -459,26 +525,39 @@ def label_propagation(
     converged = False
     it = start_iter
     for it in range(start_iter, max_rounds):
-        vec_ref = ray.put(labels)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            vec = ray.get(vec_ref)
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            lab = vec[src]
-            pair = dst * M + lab  # (dst,label) composite key for the combine
+        if reduce == "local":
+            pair = dst_a * M + labels[src_a]
             u, inv = np.unique(pair, return_inverse=True)
-            cnt = np.bincount(inv)
-            return pa.table(
-                {
-                    "dst": pa.array((u // M).astype(np.int64)),
-                    "label": pa.array((u % M).astype(np.int64)),
-                    "cnt": pa.array(cnt.astype(np.int64)),
-                }
-            )
+            tot = np.bincount(inv).astype(np.int64)
+            d_u = u // M
+            l_u = u % M
+            enc = tot * M + (M - 1 - l_u)
+            keys = np.full(num_vertices, -1, dtype=np.int64)
+            np.maximum.at(keys, d_u, enc)
+            msgs = None
+        else:
+            vec_ref = ray.put(labels)
 
-        msgs = eds.map_batches(partial, batch_format="pyarrow")
-        if reduce == "groupby":
+            def partial(batch: pa.Table) -> pa.Table:
+                vec = ray.get(vec_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                lab = vec[src]
+                pair = dst * M + lab  # (dst,label) key for the combine
+                u, inv = np.unique(pair, return_inverse=True)
+                cnt = np.bincount(inv)
+                return pa.table(
+                    {
+                        "dst": pa.array((u // M).astype(np.int64)),
+                        "label": pa.array((u % M).astype(np.int64)),
+                        "cnt": pa.array(cnt.astype(np.int64)),
+                    }
+                )
+
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "local":
+            pass
+        elif reduce == "groupby":
             counts = msgs.groupby(["dst", "label"]).aggregate(
                 Sum("cnt", alias_name="cnt")
             )

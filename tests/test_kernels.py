@@ -176,6 +176,26 @@ def test_reduce_strategies_agree(small_graph):
     assert np.array_equal(la.state, lb.state)
 
 
+def test_local_reduce_agrees(small_graph):
+    """The tiny-graph in-process regime (reduce="local", the auto pick
+    below LOCAL_KERNEL_MAX_EDGES) matches the distributed driver reduce:
+    bitwise for the integer kernels, allclose for pagerank (different
+    float summation order), same iteration/convergence metadata."""
+    edges, und, earr, V = small_graph
+    a = pagerank(edges, V, tol=1e-10, reduce="driver")
+    l = pagerank(edges, V, tol=1e-10, reduce="local")
+    assert np.allclose(a.state, l.state, atol=1e-12)
+    assert (a.iterations, a.converged) == (l.iterations, l.converged)
+    ca = connected_components(und, V, reduce="driver")
+    cl = connected_components(und, V, reduce="local")
+    assert np.array_equal(ca.state, cl.state)
+    assert (ca.iterations, ca.converged) == (cl.iterations, cl.converged)
+    la = label_propagation(und, V, max_rounds=10, reduce="driver")
+    ll = label_propagation(und, V, max_rounds=10, reduce="local")
+    assert np.array_equal(la.state, ll.state)
+    assert (la.iterations, la.converged) == (ll.iterations, ll.converged)
+
+
 def test_triangle_strategies_agree(small_graph):
     _, und, earr, V = small_graph
     a = triangle_counts(und, V, strategy="broadcast")
