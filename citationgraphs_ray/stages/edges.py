@@ -217,32 +217,19 @@ def resolve_edges(
     keys_ref = ray.put(_vertex_lookup(vertex_ids))
 
     class Resolve:
-        """Vectorized probe: keys joined with an Arrow kernel, looked up
-        via a pandas hash index (C) — the old per-row dict loop was 15 s
-        at 7M edge rows."""
+        """Vectorized ``VertexProbe`` probe (hash searchsorted; exact
+        hashtable fallback) — the old per-row dict loop was 15 s at 7M
+        edge rows."""
 
         def __init__(self) -> None:
-            self.lookup = ray.get(keys_ref)
+            self.lookup: VertexProbe = ray.get(keys_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = pc.binary_join_element_wise(
-                batch["src_repo"].combine_chunks(),
-                batch["src_path"].combine_chunks(),
-                "\x00",
-            ).to_pandas()
-            dk = pc.binary_join_element_wise(
-                batch["dst_repo"].combine_chunks(),
-                batch["dst_path"].combine_chunks(),
-                "\x00",
-            ).to_pandas()
-            s = sk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
-            d = dk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
-            keep = ~np.isnan(s) & ~np.isnan(d) & (s != d)
+            s = self.lookup.probe(batch["src_repo"], batch["src_path"])
+            d = self.lookup.probe(batch["dst_repo"], batch["dst_path"])
+            keep = (s >= 0) & (d >= 0) & (s != d)
             return pa.table(
-                {
-                    "src": pa.array(s[keep].astype(np.int64)),
-                    "dst": pa.array(d[keep].astype(np.int64)),
-                }
+                {"src": pa.array(s[keep]), "dst": pa.array(d[keep])}
             )
 
     return raw_edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 32))
@@ -329,20 +316,93 @@ def add_salt(
     return edges.map_batches(Salt, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def _vertex_lookup(vertex_ids: ray.data.Dataset):
-    """(repo\\0path) → id pandas hash index (the broadcast probe side)."""
-    import pandas as pd
+def _row_hashes(
+    repo: "pa.Array | pa.ChunkedArray", path: "pa.Array | pa.ChunkedArray"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit row hashes of (repo, path).
 
-    vert_tbl = collect_table(vertex_ids)
-    key_arr = pc.binary_join_element_wise(
-        vert_tbl["repo"].combine_chunks(),
-        vert_tbl["path"].combine_chunks(),
+    polars ``hash_rows`` (xxhash family) with fixed seeds — deterministic
+    across processes for one polars build, which is all a single run needs
+    (hashes never persist; vertex *ids* stay rank-minted and stable).
+    """
+    import polars as pl
+
+    df = pl.from_arrow(pa.table({"r": repo, "p": path}))
+    return (
+        df.hash_rows(seed=0).to_numpy().astype(np.uint64),
+        df.hash_rows(seed=1).to_numpy().astype(np.uint64),
+    )
+
+
+def _exact_keys(repo, path) -> "pa.Array":
+    return pc.binary_join_element_wise(
+        repo.combine_chunks() if isinstance(repo, pa.ChunkedArray) else repo,
+        path.combine_chunks() if isinstance(path, pa.ChunkedArray) else path,
         "\x00",
     )
-    return pd.Series(
-        vert_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64),
-        index=key_arr.to_pandas(),
-    )
+
+
+class VertexProbe:
+    """Broadcast vertex map (repo, path) → id with a vectorized probe.
+
+    Fast form: three numpy arrays — the map's 128-bit row hashes
+    (``_row_hashes``) sorted by h1, plus ids — so actors deserialize the
+    broadcast object zero-copy from plasma (the previous pandas
+    string-index Series cost ~1 s of Python-string rebuild per actor
+    across the 32-actor ramp) and probe via ``searchsorted`` + double-hash
+    verify. The build verifies h1 is collision-free over the map
+    (P ≈ V²/2^65; at the 5M-row broadcast cap ~7e-7) and falls back to an
+    exact pandas string hashtable otherwise, so resolution of *mapped*
+    keys is always exact. A dangling (unmapped) key can only resolve
+    spuriously by colliding with a map entry in all 128 bits.
+    """
+
+    def __init__(self, h1, h2, ids, exact=None) -> None:
+        self.h1, self.h2, self.ids, self.exact = h1, h2, ids, exact
+
+    def __len__(self) -> int:
+        return len(self.exact) if self.exact is not None else len(self.ids)
+
+    @staticmethod
+    def build(vert_tbl: pa.Table, force_exact: bool = False) -> "VertexProbe":
+        ids = vert_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not force_exact:
+            h1, h2 = _row_hashes(vert_tbl["repo"], vert_tbl["path"])
+            order = np.argsort(h1, kind="stable")
+            h1s = h1[order]
+            if not (len(h1s) and np.any(h1s[1:] == h1s[:-1])):
+                return VertexProbe(h1s, h2[order], ids[order])
+        import pandas as pd
+
+        keys = _exact_keys(vert_tbl["repo"], vert_tbl["path"])
+        return VertexProbe(
+            None, None, None, pd.Series(ids, index=keys.to_pandas())
+        )
+
+    def probe(self, repo, path) -> np.ndarray:
+        """Vectorized (repo, path) → id; -1 for unmapped keys."""
+        if self.exact is not None:
+            got = (
+                _exact_keys(repo, path)
+                .to_pandas()
+                .map(self.exact)
+                .to_numpy(dtype=np.float64, na_value=np.nan)
+            )
+            return np.where(np.isnan(got), -1, got).astype(np.int64)
+        n = len(repo)
+        if not len(self.h1) or not n:
+            return np.full(n, -1, dtype=np.int64)
+        q1, q2 = _row_hashes(repo, path)
+        idx = np.minimum(
+            np.searchsorted(self.h1, q1), len(self.h1) - 1
+        )
+        hit = (self.h1[idx] == q1) & (self.h2[idx] == q2)
+        return np.where(hit, self.ids[idx], -1).astype(np.int64)
+
+
+def _vertex_lookup(vertex_ids: ray.data.Dataset) -> VertexProbe:
+    """Build the broadcast probe from the (repo, path, id) dataset."""
+    return VertexProbe.build(collect_table(vertex_ids))
 
 
 class ExtractResolveEdges(ExtractImportEdges):
@@ -358,26 +418,16 @@ class ExtractResolveEdges(ExtractImportEdges):
 
     def __init__(self, lookup_ref) -> None:
         super().__init__()
-        self.lookup = ray.get(lookup_ref)
+        self.lookup: VertexProbe = ray.get(lookup_ref)
         self.M = len(self.lookup) + 1  # composite-key modulus for dedup
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = super().__call__(batch)
-        sk = pc.binary_join_element_wise(
-            raw["src_repo"].combine_chunks(),
-            raw["src_path"].combine_chunks(),
-            "\x00",
-        ).to_pandas()
-        dk = pc.binary_join_element_wise(
-            raw["dst_repo"].combine_chunks(),
-            raw["dst_path"].combine_chunks(),
-            "\x00",
-        ).to_pandas()
-        s = sk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
-        d = dk.map(self.lookup).to_numpy(dtype=np.float64, na_value=np.nan)
-        keep = ~np.isnan(s) & ~np.isnan(d) & (s != d)
-        src = s[keep].astype(np.int64)
-        dst = d[keep].astype(np.int64)
+        s = self.lookup.probe(raw["src_repo"], raw["src_path"])
+        d = self.lookup.probe(raw["dst_repo"], raw["dst_path"])
+        keep = (s >= 0) & (d >= 0) & (s != d)
+        src = s[keep]
+        dst = d[keep]
         # per-block partial dedup (ids < M, so the composite fits int64 in
         # the broadcast regime this fused path is gated to)
         uniq = np.unique(src * self.M + dst)
@@ -417,7 +467,17 @@ def extract_edge_table(
             batch_format="pyarrow",
             concurrency=(1, 32),
         )
-        edges = fast_distinct(partial, ["src", "dst"])
+        # The per-block np.unique in ExtractResolveEdges is globally
+        # complete whenever corpus rows are unique on (repo, path): every
+        # (src, dst) is born from exactly one corpus row (src = the
+        # emitting file) and each row lives in exactly one block, so
+        # cross-block duplicates cannot exist. Gate on corpus.count() == V
+        # (parquet-metadata-fast); duplicated inputs keep the full global
+        # dedup shuffle.
+        if corpus.count() == vids.count():
+            edges = partial
+        else:
+            edges = fast_distinct(partial, ["src", "dst"])
     else:
         raw = slim.map_batches(
             ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)

@@ -157,3 +157,48 @@ def test_empty_edge_rows_markdown():
     md_only = tbl.filter(md_mask)
     if md_only.num_rows:
         assert ex(md_only).num_rows == 0
+
+
+def test_vertex_probe_fast_equals_exact():
+    """VertexProbe's hash fast path and the exact pandas fallback must
+    agree, including misses (dangling keys) and chunked-array inputs."""
+    from citationgraphs_ray.stages.edges import VertexProbe
+
+    tbl = pa.table(
+        {
+            "repo": [f"org{i % 7}/repo{i}" for i in range(500)],
+            "path": [f"src/m{i}.py" for i in range(500)],
+            "id": list(range(500)),
+        }
+    )
+    fast = VertexProbe.build(tbl)
+    exact = VertexProbe.build(tbl, force_exact=True)
+    assert fast.exact is None and exact.exact is not None
+    assert len(fast) == len(exact) == 500
+    repo = pa.chunked_array(
+        [
+            ["org0/repo0", "org1/repo8", "nowhere/none"],
+            ["org3/repo3", "org0/repo7"],
+        ]
+    )
+    path = pa.chunked_array(
+        [["src/m0.py", "src/m8.py", "src/m1.py"], ["src/m3.py", "src/m7.py"]]
+    )
+    a = fast.probe(repo, path)
+    b = exact.probe(repo, path)
+    assert a.tolist() == b.tolist() == [0, 8, -1, 3, 7]
+
+
+def test_extract_fused_dedups_duplicated_corpus_rows():
+    """The fused skip-global-distinct gate must detect duplicated
+    (repo, path) corpus rows and keep the full dedup shuffle."""
+    corp = generate_corpus(n_repos=8, seed=42)
+    doubled = pa.concat_tables([corp.table, corp.table])
+    e_dup, _ = extract_edge_table(ray.data.from_arrow(doubled), mode="fused")
+    e_ref, _ = extract_edge_table(
+        ray.data.from_arrow(corp.table), mode="fused"
+    )
+    a = e_dup.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = e_ref.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert not a.duplicated(["src", "dst"]).any()
+    assert a.equals(b)
