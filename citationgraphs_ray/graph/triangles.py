@@ -15,8 +15,11 @@ expansion, CitationGraphs.go:835-928):
    {a, b, c}.
 5. flat-map each triangle to its 3 vertices → grouped count.
 
-Two probe strategies:
+Three regimes (same switch family as ``engine._resolve_reduce``):
 
+- ``local`` (tiny E, ≤ ``LOCAL_KERNEL_MAX_EDGES``): everything after the
+  distinct-edge shuffle runs as one in-process numpy computation — at
+  this scale the fixed cost of each Ray Data execution dominates.
 - ``broadcast`` (small E): the sorted oriented edge-key array (one int64
   per edge) is broadcast once and probed with np.searchsorted inside a
   map over vertex ranges — no shuffle at all.
@@ -46,16 +49,71 @@ import ray.data
 from ..utils import (
     _hash_partition_column,
     bucketed_inner_join,
+    collect_table,
     dataset_to_dense_array,
     fast_distinct,
     fast_grouped_agg,
 )
-from .engine import KernelResult
+from .engine import LOCAL_KERNEL_MAX_EDGES, KernelResult
 
 # Oriented-edge count above which auto switches from the broadcast probe
 # (one int64 key per edge in a single broadcast object) to the fully
 # distributed join probe.
 BROADCAST_EDGE_KEY_MAX = 50_000_000
+
+# Cap on the (pair-count) size of one vectorized wedge-expansion slab so a
+# group of many same-degree centers can't allocate an unbounded pair array.
+_WEDGE_SLAB_PAIRS = 8_000_000
+
+
+def _wedge_probe_vectorized(
+    centers: np.ndarray, keys: np.ndarray, M: int, rank: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Triangle hits (a, b, c) for the given center vertices against the
+    SORTED oriented key array ``a·M+b`` — vectorized per distinct
+    adjacency size (the same size-grouping trick as
+    ``_expand_wedges_bucket``; no per-center Python dispatch). Groups are
+    processed in slabs of ≤ ``_WEDGE_SLAB_PAIRS`` candidate pairs to bound
+    peak memory independent of how many centers share one degree."""
+    centers = np.asarray(centers, dtype=np.int64)
+    lo = np.searchsorted(keys, centers * M)
+    hi = np.searchsorted(keys, (centers + 1) * M)
+    cnt = hi - lo
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for c in np.unique(cnt):
+        if c < 2:
+            continue
+        sel = np.flatnonzero(cnt == c)
+        i, j = np.triu_indices(c, k=1)
+        npairs = i.size
+        step = max(1, _WEDGE_SLAB_PAIRS // npairs)
+        for s in range(0, sel.size, step):
+            part = sel[s : s + step]
+            ctr = centers[part]
+            nbr = keys[lo[part][:, None] + np.arange(c)[None, :]] - ctr[:, None] * M
+            order = np.argsort(rank[nbr], axis=1, kind="stable")
+            nbr = np.take_along_axis(nbr, order, axis=1)
+            b = nbr[:, i].ravel()
+            cc = nbr[:, j].ravel()
+            probe = b * M + cc
+            hit = np.searchsorted(keys, probe)
+            ok = (hit < keys.size) & (
+                keys[np.minimum(hit, keys.size - 1)] == probe
+            )
+            if ok.any():
+                out_a.append(np.repeat(ctr, npairs)[ok])
+                out_b.append(b[ok])
+                out_c.append(cc[ok])
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_c),
+    )
 
 
 def _canon_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -221,6 +279,12 @@ def triangle_counts(
     as_dataset: bool = False,
 ) -> KernelResult | ray.data.Dataset:
     """strategy:
+    - "local" (auto at/below ``LOCAL_KERNEL_MAX_EDGES``): the tiny-graph
+      regime — the distinct undirected edges are pulled to the driver once
+      and the whole orient/wedge/probe runs as in-process numpy (the same
+      regime switch as ``engine.pagerank(reduce="local")``: below a few
+      million edges every Ray Data execution's fixed cost dominates the
+      arithmetic). Equivalence-tested vs both distributed strategies.
     - "broadcast" (default via auto when E fits an object): wedge generation
       as a map stage over vertex ranges against the broadcast SORTED
       oriented edge-key array — the keys a·M+b are contiguous per center a,
@@ -249,9 +313,41 @@ def triangle_counts(
             )
         return KernelResult(np.zeros(num_vertices, dtype=np.int64), 1, True, [])
     if strategy == "auto":
-        strategy = (
-            "broadcast" if n_edges <= BROADCAST_EDGE_KEY_MAX else "shuffle"
-        )
+        if n_edges <= LOCAL_KERNEL_MAX_EDGES and num_vertices <= 50_000_000:
+            strategy = "local"
+        elif n_edges <= BROADCAST_EDGE_KEY_MAX:
+            strategy = "broadcast"
+        else:
+            strategy = "shuffle"
+
+    if strategy == "local":
+        tbl = collect_table(uv).combine_chunks()
+        u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = num_vertices + 1
+        deg = (
+            np.bincount(u, minlength=num_vertices)
+            + np.bincount(v, minlength=num_vertices)
+        ).astype(np.int64)
+        ork = deg * M + np.arange(num_vertices, dtype=np.int64)
+        swap = ork[u] > ork[v]
+        a = np.where(swap, v, u)
+        b = np.where(swap, u, v)
+        keys = np.sort(a * M + b)
+        ta, tb, tc = _wedge_probe_vectorized(np.unique(a), keys, M, ork)
+        hits = np.concatenate([ta, tb, tc])
+        counts = np.bincount(hits, minlength=num_vertices).astype(np.int64)
+        if as_dataset:
+            nz = np.flatnonzero(counts)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id": pa.array(nz.astype(np.int64)),
+                        "tri_count": pa.array(counts[nz]),
+                    }
+                )
+            )
+        return KernelResult(counts, 1, True, [])
 
     deg_ds = _degree_table(uv)
 
@@ -291,28 +387,10 @@ def triangle_counts(
         def wedge_probe_bcast(batch: dict) -> pa.Table:
             keys = ray.get(keys_ref)
             r = ray.get(ork_ref2)
-            ids_out: list[np.ndarray] = []
-            for a in batch["id"]:
-                lo = np.searchsorted(keys, a * M)
-                hi = np.searchsorted(keys, (a + 1) * M)
-                if hi - lo < 2:
-                    continue
-                nbrs = keys[lo:hi] - a * M
-                nbrs = nbrs[np.argsort(r[nbrs], kind="stable")]
-                i, j = np.triu_indices(len(nbrs), k=1)
-                b, c = nbrs[i], nbrs[j]
-                hit = np.searchsorted(keys, b * M + c)
-                ok = (hit < len(keys)) & (
-                    keys[np.minimum(hit, len(keys) - 1)] == b * M + c
-                )
-                b, c = b[ok], c[ok]
-                if len(b):
-                    ids_out.append(np.full(len(b), a, dtype=np.int64))
-                    ids_out.append(b)
-                    ids_out.append(c)
+            ta, tb, tc = _wedge_probe_vectorized(batch["id"], keys, M, r)
             out = (
-                np.concatenate(ids_out)
-                if ids_out
+                np.concatenate([ta, tb, tc])
+                if ta.size
                 else np.empty(0, dtype=np.int64)
             )
             return pa.table({"id": pa.array(out)})

@@ -197,10 +197,23 @@ def test_local_reduce_agrees(small_graph):
 
 
 def test_triangle_strategies_agree(small_graph):
+    """All three regimes (driver-local, broadcast probe, distributed
+    shuffle) are exact and identical."""
     _, und, earr, V = small_graph
     a = triangle_counts(und, V, strategy="broadcast")
     b = triangle_counts(und, V, strategy="shuffle")
+    c = triangle_counts(und, V, strategy="local")
     assert np.array_equal(a.state, b.state)
+    assert np.array_equal(a.state, c.state)
+    # local as_dataset sparse sink equals dense non-zeros
+    sparse = (
+        triangle_counts(und, V, strategy="local", as_dataset=True)
+        .to_pandas()
+        .sort_values("id")
+    )
+    nz = np.nonzero(c.state)[0]
+    assert list(sparse.id) == list(nz)
+    assert list(sparse.tri_count) == list(c.state[nz])
 
 
 def test_triangles_shuffle_no_driver_broadcast(small_graph, monkeypatch):
