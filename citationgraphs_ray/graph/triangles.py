@@ -20,6 +20,11 @@ Three regimes (same switch family as ``engine._resolve_reduce``):
 - ``local`` (tiny E, ≤ ``LOCAL_KERNEL_MAX_EDGES``): everything after the
   distinct-edge shuffle runs as one in-process numpy computation — at
   this scale the fixed cost of each Ray Data execution dominates.
+  Triangle work scales with wedge pairs Σ C(outdeg, 2), not E, so the
+  local regime self-checks its own cost: tiny-V dense graphs switch to
+  exact diag(A³)/2 counting (one BLAS matmul, ``DENSE_MATMUL_MAX_V``),
+  and anything else above ``LOCAL_TRIANGLE_MAX_PAIRS`` keeps the
+  driver-side orientation but distributes the probe over vertex ranges.
 - ``broadcast`` (small E): the sorted oriented edge-key array (one int64
   per edge) is broadcast once and probed with np.searchsorted inside a
   map over vertex ranges — no shuffle at all.
@@ -64,6 +69,37 @@ BROADCAST_EDGE_KEY_MAX = 50_000_000
 # Cap on the (pair-count) size of one vectorized wedge-expansion slab so a
 # group of many same-degree centers can't allocate an unbounded pair array.
 _WEDGE_SLAB_PAIRS = 8_000_000
+
+# Wedge-pair budget for the driver-local probe. Triangle work scales with
+# Σ_a C(outdeg(a), 2) — NOT with E — so a dense graph can be tiny in edges
+# and huge in wedges (measured: V=1000 / E=349k has 79.5M pairs; the
+# single-core probe takes 14-60 s quiet and minutes under host memory
+# contention, while the distributed range probe over the same broadcast
+# keys takes ~10 s). Above this budget the local regime keeps its
+# driver-computed orientation but ships the probe to a vertex-range map.
+LOCAL_TRIANGLE_MAX_PAIRS = 10_000_000
+
+# Dense micro-regime: for V this small, per-vertex triangles are
+# diag(A³)/2 — one V×V float64 matmul (BLAS) + an O(V²) einsum, exact for
+# any count < 2^53. At V=2048 the matmul is ≤ 2·V³ ≈ 1.7e10 FLOPs (~1-3 s
+# worst case); it is only chosen when the estimated probe cost is higher
+# (n_pairs > V³/625 ≈ matmul FLOPs / measured probe ns-per-pair).
+DENSE_MATMUL_MAX_V = 2048
+
+
+def _dense_matmul_counts(
+    u: np.ndarray, v: np.ndarray, num_vertices: int
+) -> np.ndarray:
+    """Per-vertex triangle counts of the undirected simple graph (u, v)
+    via closed-3-walk counting: diag(A @ A @ A) = 2 · tri(v). float64 is
+    exact here (entries ≤ V² < 2^53); the second matmul is folded into an
+    einsum so the cost is one BLAS GEMM + O(V²)."""
+    A = np.zeros((num_vertices, num_vertices), dtype=np.float64)
+    A[u, v] = 1.0
+    A[v, u] = 1.0
+    B = A @ A
+    walks3 = np.einsum("ij,ji->i", B, A)
+    return np.rint(walks3 / 2.0).astype(np.int64)
 
 
 def _wedge_probe_vectorized(
@@ -272,6 +308,34 @@ def _expand_wedges_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
+def _range_probe(
+    keys: np.ndarray, ork: np.ndarray, M: int, num_vertices: int
+) -> ray.data.Dataset:
+    """Distributed wedge probe over vertex ranges against the broadcast
+    SORTED oriented key array: each task slices its centers' adjacencies
+    out of ``keys`` with two searchsorted calls and probes candidate pairs
+    in-place. Returns the (id,) triangle-hit dataset (3 rows per
+    triangle). Used by both the broadcast strategy and the dense-graph
+    spill of the local regime."""
+    keys_ref = ray.put(keys)
+    ork_ref = ray.put(ork)
+
+    def wedge_probe_bcast(batch: dict) -> pa.Table:
+        k = ray.get(keys_ref)
+        r = ray.get(ork_ref)
+        ta, tb, tc = _wedge_probe_vectorized(batch["id"], k, M, r)
+        out = (
+            np.concatenate([ta, tb, tc])
+            if ta.size
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table({"id": pa.array(out)})
+
+    return ray.data.range(num_vertices, override_num_blocks=64).map_batches(
+        wedge_probe_bcast, batch_format="numpy"
+    )
+
+
 def triangle_counts(
     edges_undirected: ray.data.Dataset,
     num_vertices: int,
@@ -284,7 +348,13 @@ def triangle_counts(
       and the whole orient/wedge/probe runs as in-process numpy (the same
       regime switch as ``engine.pagerank(reduce="local")``: below a few
       million edges every Ray Data execution's fixed cost dominates the
-      arithmetic). Equivalence-tested vs both distributed strategies.
+      arithmetic). Because probe cost is wedge pairs, not edges, the
+      regime sub-switches: V ≤ ``DENSE_MATMUL_MAX_V`` dense graphs use
+      exact diag(A³)/2 (one float64 GEMM; entries < 2^53 so exact), and
+      sparse-but-wedge-heavy graphs above ``LOCAL_TRIANGLE_MAX_PAIRS``
+      spill just the probe to the distributed vertex-range map over the
+      driver-computed key array. Equivalence-tested vs both distributed
+      strategies.
     - "broadcast" (default via auto when E fits an object): wedge generation
       as a map stage over vertex ranges against the broadcast SORTED
       oriented edge-key array — the keys a·M+b are contiguous per center a,
@@ -334,24 +404,39 @@ def triangle_counts(
         a = np.where(swap, v, u)
         b = np.where(swap, u, v)
         keys = np.sort(a * M + b)
-        ta, tb, tc = _wedge_probe_vectorized(np.unique(a), keys, M, ork)
-        hits = np.concatenate([ta, tb, tc])
-        counts = np.bincount(hits, minlength=num_vertices).astype(np.int64)
-        if as_dataset:
-            nz = np.flatnonzero(counts)
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "id": pa.array(nz.astype(np.int64)),
-                        "tri_count": pa.array(counts[nz]),
-                    }
+        out_cnt = np.bincount(a, minlength=num_vertices).astype(np.int64)
+        n_pairs = int(np.sum(out_cnt * (out_cnt - 1) // 2))
+        use_matmul = (
+            num_vertices <= DENSE_MATMUL_MAX_V
+            and n_pairs * 625 > num_vertices**3
+        )
+        if use_matmul or n_pairs <= LOCAL_TRIANGLE_MAX_PAIRS:
+            if use_matmul:
+                counts = _dense_matmul_counts(u, v, num_vertices)
+            else:
+                ta, tb, tc = _wedge_probe_vectorized(
+                    np.unique(a), keys, M, ork
                 )
-            )
-        return KernelResult(counts, 1, True, [])
-
-    deg_ds = _degree_table(uv)
-
-    if strategy == "broadcast":
+                hits = np.concatenate([ta, tb, tc])
+                counts = np.bincount(hits, minlength=num_vertices).astype(
+                    np.int64
+                )
+            if as_dataset:
+                nz = np.flatnonzero(counts)
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "id": pa.array(nz.astype(np.int64)),
+                            "tri_count": pa.array(counts[nz]),
+                        }
+                    )
+                )
+            return KernelResult(counts, 1, True, [])
+        # Dense mid-size graph: few edges, many wedges — keep the
+        # driver-computed orientation (E is small) but distribute the probe.
+        tri_vertices = _range_probe(keys, ork, M, num_vertices)
+    elif strategy == "broadcast":
+        deg_ds = _degree_table(uv)
         M = num_vertices + 1
         deg = dataset_to_dense_array(
             deg_ds, "id", "deg", num_vertices, default=0, dtype=np.int64
@@ -379,26 +464,11 @@ def triangle_counts(
             if edge_keys_parts
             else np.empty(0, dtype=np.int64)
         )
-        keys_ref = ray.put(edge_keys)
-        ork_ref2 = ray.put(ork)
-
-        # map over vertex ranges; adjacency of each center a is the
-        # contiguous key slice [a·M, (a+1)·M) of the broadcast sorted keys
-        def wedge_probe_bcast(batch: dict) -> pa.Table:
-            keys = ray.get(keys_ref)
-            r = ray.get(ork_ref2)
-            ta, tb, tc = _wedge_probe_vectorized(batch["id"], keys, M, r)
-            out = (
-                np.concatenate([ta, tb, tc])
-                if ta.size
-                else np.empty(0, dtype=np.int64)
-            )
-            return pa.table({"id": pa.array(out)})
-
-        tri_vertices = ray.data.range(
-            num_vertices, override_num_blocks=64
-        ).map_batches(wedge_probe_bcast, batch_format="numpy")
+        # adjacency of each center a is the contiguous key slice
+        # [a·M, (a+1)·M) of the broadcast sorted keys
+        tri_vertices = _range_probe(edge_keys, ork, M, num_vertices)
     else:
+        deg_ds = _degree_table(uv)
         cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
         nj = min(64, cpus)
         use_acero = n_edges >= ACERO_JOIN_MIN_ROWS

@@ -253,6 +253,52 @@ def test_triangles_as_dataset(small_graph):
     assert list(sparse.tri_count) == list(dense[nz])
 
 
+def test_triangles_dense_matmul_exact():
+    """Tiny-V dense graphs take the diag(A³)/2 GEMM micro-regime (wedge
+    work scales with pairs, not edges — the sf0.1 1000-vertex graph has
+    79.5M wedge pairs from 349k edges). On K_n every vertex closes
+    C(n-1, 2) triangles — analytic cross-check that the matmul path is
+    exact and actually selected."""
+    import citationgraphs_ray.graph.triangles as tri_mod
+
+    n = 60  # K_60: 1770 edges, each vertex in C(59, 2) = 1711 triangles
+    iu, ju = np.triu_indices(n, k=1)
+    edges = np.stack([iu, ju], axis=1).astype(np.int64)
+    und = symmetrize_edges(_edge_ds(edges))
+    pairs = n * (n - 1) * (n - 2) // 6  # oriented wedge pairs on K_n
+    assert pairs * 625 > n**3 and n <= tri_mod.DENSE_MATMUL_MAX_V
+    res = triangle_counts(und, n, strategy="local")
+    exp = np.full(n, (n - 1) * (n - 2) // 2, dtype=np.int64)
+    assert np.array_equal(res.state, exp)
+    assert np.array_equal(res.state, triangles_oracle(edges, n))
+
+
+def test_triangles_local_spills_probe_when_wedge_heavy(monkeypatch):
+    """Above LOCAL_TRIANGLE_MAX_PAIRS (and outside the matmul regime) the
+    local strategy must NOT run the single-core probe: it keeps the
+    driver orientation but distributes the probe. Force the spill with
+    tiny thresholds and check exactness + that the local probe never ran."""
+    import citationgraphs_ray.graph.triangles as tri_mod
+
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 500, size=(4000, 2), dtype=np.int64)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    und = symmetrize_edges(_edge_ds(edges))
+    monkeypatch.setattr(tri_mod, "DENSE_MATMUL_MAX_V", 0)
+    monkeypatch.setattr(tri_mod, "LOCAL_TRIANGLE_MAX_PAIRS", 10)
+    spilled = []
+    real_range_probe = tri_mod._range_probe
+
+    def spy_range_probe(*a, **k):
+        spilled.append(True)
+        return real_range_probe(*a, **k)
+
+    monkeypatch.setattr(tri_mod, "_range_probe", spy_range_probe)
+    res = tri_mod.triangle_counts(und, 500, strategy="local")
+    assert spilled, "local strategy ran the single-core probe on a wedge-heavy graph"
+    assert np.array_equal(res.state, triangles_oracle(edges, 500))
+
+
 def test_salted_groupby_reduce_agrees(small_graph):
     """The skew-guarded combiner-less reduce (hub dsts split across salt
     sub-keys before the shuffle) must match the driver reduce; the mega
