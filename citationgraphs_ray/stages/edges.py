@@ -449,8 +449,23 @@ def extract_edge_table(
     runs extract+resolve+partial-dedup as ONE actor stage
     (``ExtractResolveEdges``); ``mode="staged"`` keeps the two-pool form —
     the only choice when the vertex map must be joined distributively.
-    Both modes are equivalence-tested.
+    ``mode="distributed"`` forces every sub-stage onto its 10^12-file
+    engine regardless of input size — distributed-sort id mint, staged
+    extraction, hash-join resolve, shuffle dedup; no driver object ever
+    holds the vertex map. It exists so the scale path can be
+    equivalence-tested and scaling-benched end-to-end at sandbox scale
+    (the auto regimes are deliberately driver-assisted below
+    ``BROADCAST_RESOLVE_MAX_ROWS`` and Amdahl-bound in W-scaling).
+    All modes are equivalence-tested.
     """
+    if mode == "distributed":
+        vids = mint_vertex_ids(corpus, mode="distributed")
+        slim = corpus.select_columns(["repo", "path", "lang", "content"])
+        raw = slim.map_batches(
+            ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
+        )
+        edges = dedup_edges(resolve_edges(raw, vids, mode="join"))
+        return edges, vids
     vids = mint_vertex_ids(corpus)
     if mode == "auto":
         mode = (

@@ -79,6 +79,23 @@ def test_extract_fused_equals_staged(small_corpus):
     assert vf.count() == vs.count()
 
 
+def test_extract_distributed_equals_fused(small_corpus):
+    """mode="distributed" (forced 10^12-file engines: distributed-sort
+    mint, hash-join resolve, shuffle dedup) must produce exactly the
+    fused broadcast-regime edge table AND the same vertex-id mapping."""
+    from citationgraphs_ray.stages.edges import extract_edge_table
+
+    ds = ray.data.from_arrow(small_corpus.table)
+    ef, vf = extract_edge_table(ds, mode="fused")
+    ed, vd = extract_edge_table(ds, mode="distributed")
+    a = ef.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = ed.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)
+    mf = vf.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    md = vd.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert mf.equals(md)
+
+
 def test_dedup_idempotent_and_no_self_loops(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()
