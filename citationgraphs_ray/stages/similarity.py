@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..utils import list_column_to_matrix
+from ..utils import collect_table, list_column_to_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -86,6 +86,14 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+# Vector count at/below which kmeans_fit pulls the vectors once and runs
+# Lloyd iterations in-process: each distributed iteration is a full Ray
+# Data execution (~1 s fixed cost) while the local iteration on ≤500k
+# small vectors is milliseconds — the dominant cost of every IVF query at
+# sandbox scale. The distributed path is the 100-TB engine.
+KMEANS_LOCAL_MAX_ROWS = 500_000
+
+
 def kmeans_fit(
     ds: ray.data.Dataset,
     num_clusters: int,
@@ -97,14 +105,38 @@ def kmeans_fit(
 
     Init: seeded sample of rows. Each iteration: per-batch assignment +
     partial (sum, count) per centroid → driver reduce (k×d, tiny) →
-    recompute. Empty clusters keep their previous centroid.
+    recompute. Empty clusters keep their previous centroid. Below
+    ``KMEANS_LOCAL_MAX_ROWS`` the iterations run driver-local on the
+    collected matrix (same init, same update rule; allclose-tested vs
+    the distributed path).
     """
+    n_rows = ds.count()
     sample = ds.random_sample(
-        min(1.0, (num_clusters * 20) / max(1, ds.count())), seed=seed
+        min(1.0, (num_clusters * 20) / max(1, n_rows)), seed=seed
     ).take(num_clusters * 20)
     rng = np.random.default_rng(seed)
     pts = np.array([r[vec_col] for r in sample], dtype=np.float64)
     centroids = pts[rng.choice(len(pts), size=num_clusters, replace=False)]
+
+    if n_rows <= KMEANS_LOCAL_MAX_ROWS:
+        vecs = list_column_to_matrix(
+            collect_table(ds.select_columns([vec_col]))[vec_col]
+        ).astype(np.float64)
+        chunk = 32_768  # bounds the (chunk, k, d) subtract temporary
+        for _ in range(num_iters):
+            sums = np.zeros_like(centroids)
+            counts = np.zeros(num_clusters, dtype=np.float64)
+            for s in range(0, len(vecs), chunk):
+                part = vecs[s : s + chunk]
+                d2 = ((part[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+                assign = np.argmin(d2, axis=1)
+                np.add.at(sums, assign, part)
+                counts += np.bincount(
+                    assign, minlength=num_clusters
+                ).astype(np.float64)
+            nonempty = counts > 0
+            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        return centroids
 
     for _ in range(num_iters):
         c_ref = ray.put(centroids)

@@ -230,6 +230,25 @@ def test_ivf_topk_recall():
     assert np.mean(recalls) >= 0.6
 
 
+def test_kmeans_local_equals_distributed():
+    """kmeans_fit's driver-local regime (vectors ≤ KMEANS_LOCAL_MAX_ROWS:
+    Lloyd iterations on the collected matrix instead of one Ray Data
+    execution per iteration) must produce the same centroids as the
+    distributed partial-sum path up to float merge-order noise."""
+    import citationgraphs_ray.stages.similarity as sim
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).materialize()
+    local = sim.kmeans_fit(emb, num_clusters=8, num_iters=4)
+    try:
+        sim.KMEANS_LOCAL_MAX_ROWS, saved = 0, sim.KMEANS_LOCAL_MAX_ROWS
+        dist = sim.kmeans_fit(emb, num_clusters=8, num_iters=4)
+    finally:
+        sim.KMEANS_LOCAL_MAX_ROWS = saved
+    assert np.allclose(local, dist, rtol=1e-9, atol=1e-12)
+
+
 def test_ivf_read_pruning(tmp_path):
     """A probe must READ fewer rows than the dataset holds: the bucketed
     parquet layout exists on disk, only probed cluster subdirs are read,
