@@ -66,8 +66,30 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 # ---------------------------------------------------------------------------
 
 
+# Session-scoped materialized cache for the shared edge derivation: nine
+# graph queries start from the identical distinct (src, dst) table, and
+# re-deriving it costs a full read + dedup shuffle per query. The result
+# is tiny (≤ GRAPH_MOD² rows) and immutable per sf_dir — same caching
+# rationale as CsrEngine's content-addressed partition layouts.
+_EDGE_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _ray_session_key() -> str | None:
+    """Identifies the live Ray session — a materialized dataset's blocks
+    die with their session, so cache entries must not outlive it."""
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
+
+
 def derive_edges(sf_dir: str) -> ray.data.Dataset:
-    """(src, dst) int64 edge table from lineitem — deduped, no self-loops."""
+    """(src, dst) int64 edge table from lineitem — deduped, no self-loops.
+    Materialized once per (Ray session, sf_dir)."""
+    key = (_ray_session_key(), sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -81,7 +103,11 @@ def derive_edges(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return dedup_edges(li.map_batches(to_edges, batch_format="pyarrow"))
+    edges = dedup_edges(
+        li.map_batches(to_edges, batch_format="pyarrow")
+    ).materialize()
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 _EDGES_SQL = f"""
