@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.num_partitions,
             workdir=args.workdir,
         )
+        # shards mode never assembles the V-sized driver array — the
+        # state is drained straight from the workers via write_states
+        assemble = args.output_mode != "shards"
         if args.kernel == "pagerank":
             state, iters, converged = eng.pagerank(
                 damping=args.damping,
@@ -116,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint_dir,
                 resume=args.resume,
+                assemble=assemble,
             )
             col = "rank"
         elif args.kernel == "cc":
@@ -123,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_iters=args.max_iters,
                 checkpoint_dir=args.checkpoint_dir,
                 resume=args.resume,
+                assemble=assemble,
             )
             col = "component"
         else:
@@ -130,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_rounds=args.max_iters,
                 checkpoint_dir=args.checkpoint_dir,
                 resume=args.resume,
+                assemble=assemble,
             )
             col = "label"
         if args.output_mode == "shards":

@@ -458,7 +458,11 @@ class CsrEngine:
         resume: bool = False,
         checkpoint_every: int = 1,
         checkpoint_keep_last: int | None = None,
-    ) -> tuple[np.ndarray, int, bool]:
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """``assemble=False`` skips the V-sized driver array — state stays
+        in the workers; drain it with ``write_states`` (the 10^12-vertex
+        sink)."""
         dmaps = ray.get([a.pr_init.remote() for a in self.workers])
         dangling = _sum_by_partition(dmaps)
         start = 0
@@ -476,7 +480,11 @@ class CsrEngine:
                 ck = self._resume(mgr, "rank")
                 if ck is not None:
                     if ck.manifest["metric"].get("converged"):
-                        return self._assemble(), ck.iteration + 1, True
+                        return (
+                            self._assemble() if assemble else None,
+                            ck.iteration + 1,
+                            True,
+                        )
                     start = ck.iteration + 1
                     dangling = ck.manifest["metric"]["dangling_mass"]
         converged = False
@@ -508,7 +516,7 @@ class CsrEngine:
                 )
             if converged:
                 break
-        return self._assemble(), it + 1, converged
+        return self._assemble() if assemble else None, it + 1, converged
 
     def connected_components(
         self,
@@ -532,12 +540,14 @@ class CsrEngine:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         checkpoint_keep_last: int | None = None,
-    ) -> tuple[np.ndarray, int, bool]:
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
         """Synchronous LPA (neighbor mode, min tie-break) on the same BSP
-        harness; semantics identical to engine.label_propagation/oracle."""
+        harness; semantics identical to engine.label_propagation/oracle.
+        ``assemble=False`` as in ``connected_components``."""
         return self._label_kernel(
             "lpa", "label", max_rounds, checkpoint_dir, resume,
-            checkpoint_keep_last,
+            checkpoint_keep_last, assemble=assemble,
         )
 
     def _label_kernel(

@@ -66,6 +66,13 @@ from .engine import LOCAL_KERNEL_MAX_EDGES, KernelResult
 # distributed join probe.
 BROADCAST_EDGE_KEY_MAX = 50_000_000
 
+# Vertex-count ceiling for the broadcast strategy under auto: it holds
+# dense V-sized deg/ork arrays on the driver (8 B/vertex each; 800 MB at
+# this bound) and its a·M+b key arithmetic requires (V+1)·V < 2^63.
+# Above it, auto routes to the shuffle path (two-column keys, distributed
+# degrees — no V-sized object anywhere).
+BROADCAST_TRIANGLE_MAX_VERTICES = 100_000_000
+
 # Cap on the (pair-count) size of one vectorized wedge-expansion slab so a
 # group of many same-degree centers can't allocate an unbounded pair array.
 _WEDGE_SLAB_PAIRS = 8_000_000
@@ -385,7 +392,14 @@ def triangle_counts(
     if strategy == "auto":
         if n_edges <= LOCAL_KERNEL_MAX_EDGES and num_vertices <= 50_000_000:
             strategy = "local"
-        elif n_edges <= BROADCAST_EDGE_KEY_MAX:
+        elif (
+            n_edges <= BROADCAST_EDGE_KEY_MAX
+            and num_vertices <= BROADCAST_TRIANGLE_MAX_VERTICES
+        ):
+            # broadcast needs V-sized dense deg/ork driver arrays and an
+            # a·M+b composite key (which would silently wrap int64 above
+            # V ≈ 3.04e9) — huge-V/small-E graphs take the shuffle path's
+            # two-column keys and distributed degrees instead.
             strategy = "broadcast"
         else:
             strategy = "shuffle"

@@ -76,9 +76,12 @@ _EDGE_CACHE: dict[tuple, ray.data.Dataset] = {}
 
 def _ray_session_key() -> str | None:
     """Identifies the live Ray session — a materialized dataset's blocks
-    die with their session, so cache entries must not outlive it."""
+    die with their session, so cache entries must not outlive it. The
+    node id is random per raylet start; the job id is NOT usable here
+    (it restarts at 01000000 for the first driver of every fresh local
+    cluster, verified empirically)."""
     try:
-        return ray.get_runtime_context().get_job_id()
+        return ray.get_runtime_context().get_node_id()
     except Exception:
         return None
 

@@ -27,6 +27,7 @@ with a doc-level resample.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -37,12 +38,14 @@ import ray.data
 
 def _theta_table(ids: np.ndarray, theta: np.ndarray) -> pa.Table:
     """(id, membership list<double>) without a per-row Python loop."""
-    n, k = theta.shape
-    offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
-    memb = pa.ListArray.from_arrays(
-        offsets, pa.array(theta.ravel().astype(np.float64))
+    from ..utils import matrix_to_list_array
+
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "membership": matrix_to_list_array(theta.astype(np.float64)),
+        }
     )
-    return pa.table({"id": pa.array(ids), "membership": memb})
 
 
 @ray.remote(num_cpus=0)
@@ -221,13 +224,20 @@ class _TopicPartition:
 
 # session-level pools keyed by size: creating + killing a P-actor pool
 # costs ~5 s per model query (measured), so sequential engine runs reuse
-# the same actors and just reset their state. NOT safe for two engines
-# training concurrently on the same pool — pass reuse_pool=False there.
+# the same actors and just reset their state. Acquiring a pool RESETS it,
+# so only the most recent acquirer owns it — engines hold an ownership
+# token and every pool-touching method raises if a newer engine has taken
+# the pool since (two engines on one pool would silently merge states).
+# For genuinely concurrent engines pass reuse_pool=False.
 _POOLS: dict[int, list] = {}
+_POOL_OWNERS: dict[int, object] = {}
 
 
-def get_topic_pool(num_partitions: int, num_topics: int, vocab_size: int, seed: int) -> list:
-    """Actors for a P-sized pool, freshly ``reset`` for this run."""
+def get_topic_pool(
+    num_partitions: int, num_topics: int, vocab_size: int, seed: int
+) -> tuple[list, object]:
+    """(actors, ownership token) for a P-sized pool, freshly ``reset``
+    for this run. The token invalidates all previous owners of this P."""
     pool = _POOLS.get(num_partitions)
     if pool is None:
         pool = [
@@ -239,7 +249,21 @@ def get_topic_pool(num_partitions: int, num_topics: int, vocab_size: int, seed: 
         ray.get(
             [a.reset.remote(num_topics, vocab_size, seed) for a in pool]
         )
-    return pool
+    token = object()
+    _POOL_OWNERS[num_partitions] = token
+    return pool, token
+
+
+def _check_pool_ownership(engine) -> None:
+    """Raise if a newer engine re-acquired this engine's shared pool —
+    acquisition resets the actors, so continuing would Gibbs-sample over
+    another engine's documents and silently merge two models' states."""
+    if engine._pooled and _POOL_OWNERS.get(engine.P) is not engine._pool_token:
+        raise RuntimeError(
+            "topic actor pool was re-acquired by a newer engine since this "
+            "engine was constructed (pooled acquisition resets shared "
+            "state); construct concurrent engines with reuse_pool=False"
+        )
 
 
 def shutdown_topic_pools() -> None:
@@ -247,6 +271,7 @@ def shutdown_topic_pools() -> None:
         for a in pool:
             ray.kill(a)
     _POOLS.clear()
+    _POOL_OWNERS.clear()
 
 
 def _load_partitions(
@@ -292,7 +317,7 @@ class LdaEngine:
         self.P = num_partitions
         self._pooled = reuse_pool
         if reuse_pool:
-            self.actors = get_topic_pool(
+            self.actors, self._pool_token = get_topic_pool(
                 num_partitions, num_topics, vocab_size, seed
             )
         else:
@@ -300,12 +325,14 @@ class LdaEngine:
                 _TopicPartition.remote(p, num_topics, vocab_size, seed)
                 for p in range(num_partitions)
             ]
+            self._pool_token = None
         _load_partitions(encoded, self.actors, num_partitions)
         deltas = ray.get([a.lda_init.remote() for a in self.actors])
         self.word_topic = np.sum(deltas, axis=0)
         self.entropy_history: list[float] = []
 
     def train(self, num_iters: int = 20) -> "LdaEngine":
+        _check_pool_ownership(self)
         for _ in range(num_iters):
             wt_ref = ray.put(self.word_topic)
             ts_ref = ray.put(self.word_topic.sum(axis=1))
@@ -325,7 +352,11 @@ class LdaEngine:
         a Dataset (unsorted; nothing doc-sized touches the driver — the
         10^12-doc path). Without it, partitions are concatenated on the
         driver sorted by id (fine for main-node-sized outputs)."""
+        _check_pool_ownership(self)
         if shard_dir is not None:
+            # a reused dir must not leak a previous run's shards into
+            # the read-back (same guard as resolve_dup_clusters' sink)
+            shutil.rmtree(shard_dir, ignore_errors=True)
             os.makedirs(shard_dir, exist_ok=True)
             ray.get(
                 [
@@ -373,7 +404,7 @@ class GsdmmEngine:
         self.P = num_partitions
         self._pooled = reuse_pool
         if reuse_pool:
-            self.actors = get_topic_pool(
+            self.actors, self._pool_token = get_topic_pool(
                 num_partitions, num_topics, vocab_size, seed
             )
         else:
@@ -381,6 +412,7 @@ class GsdmmEngine:
                 _TopicPartition.remote(p, num_topics, vocab_size, seed)
                 for p in range(num_partitions)
             ]
+            self._pool_token = None
         _load_partitions(encoded, self.actors, num_partitions)
         inits = ray.get([a.gsdmm_init.remote() for a in self.actors])
         self.word_topic = np.sum([i[0] for i in inits], axis=0)
@@ -389,6 +421,7 @@ class GsdmmEngine:
         self.changed_history: list[int] = []
 
     def train(self, num_iters: int = 15) -> "GsdmmEngine":
+        _check_pool_ownership(self)
         for _ in range(num_iters):
             wt_ref = ray.put(self.word_topic)
             ws_ref = ray.put(self.word_topic.sum(axis=1))
@@ -412,7 +445,11 @@ class GsdmmEngine:
     def assignments(self, shard_dir: str | None = None) -> ray.data.Dataset:
         """(id, topic). With ``shard_dir``, worker-written shards (unsorted,
         nothing doc-sized on the driver); else driver concat sorted by id."""
+        _check_pool_ownership(self)
         if shard_dir is not None:
+            # a reused dir must not leak a previous run's shards into
+            # the read-back (same guard as resolve_dup_clusters' sink)
+            shutil.rmtree(shard_dir, ignore_errors=True)
             os.makedirs(shard_dir, exist_ok=True)
             ray.get(
                 [

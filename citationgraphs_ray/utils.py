@@ -101,14 +101,23 @@ def list_column_to_matrix(
     return np.ascontiguousarray(flat.reshape(n, d), dtype=dtype)
 
 
-def matrix_to_list_array(mat: np.ndarray, dtype=pa.float64()) -> pa.ListArray:
+def matrix_to_list_array(mat: np.ndarray, dtype=pa.float64()):
     """(n, d) matrix → ``list<dtype>`` Arrow array without per-row Python
-    lists (inverse of ``list_column_to_matrix``)."""
+    lists (inverse of ``list_column_to_matrix``). Blocks whose flat size
+    reaches 2^31 values get int64 offsets (``large_list``) — int32
+    np.arange would silently wrap negative there and corrupt the array."""
     n, d = mat.shape
-    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
-    return pa.ListArray.from_arrays(
-        offsets, pa.array(np.ascontiguousarray(mat).ravel(), type=dtype)
-    )
+    flat = pa.array(np.ascontiguousarray(mat).ravel(), type=dtype)
+    if (n + 1) * d < _LIST_OFFSET32_MAX:
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, flat)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64))
+    return pa.LargeListArray.from_arrays(offsets, flat)
+
+
+# int32 list-offset capacity; module-level so tests can force the
+# large_list branch without allocating 2^31 values
+_LIST_OFFSET32_MAX = 2**31
 
 
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:

@@ -211,3 +211,58 @@ def test_topic_output_shard_path_equals_driver_path(tmp_path):
     g.shutdown()
     assert list(gd.id) == list(gs.id)
     assert list(gd.topic) == list(gs.topic)
+
+
+def test_topic_pool_ownership_guard():
+    """Constructing a second pooled engine with the same P resets the
+    shared actors — the first engine must refuse to keep training (it
+    would silently Gibbs-sample over the second engine's documents)."""
+    texts, _ = _planted_corpus(n_per_topic=5)
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+    e1 = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=2, seed=1)
+    e2 = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=2, seed=2)
+    with pytest.raises(RuntimeError, match="re-acquired"):
+        e1.train(num_iters=1)
+    with pytest.raises(RuntimeError, match="re-acquired"):
+        e1.memberships()
+    e2.train(num_iters=1)  # the current owner keeps working
+    e2.shutdown()
+
+
+def test_topic_shard_dir_cleared_between_runs(tmp_path):
+    """A reused shard_dir must not leak a previous run's shards into the
+    read-back: a 4-partition run followed by a 2-partition run into the
+    same directory returns exactly the fresh run's rows."""
+    texts, _ = _planted_corpus(n_per_topic=5)
+    ds = tokenize_docs(_docs(texts))
+    vocab = build_vocab(ds)
+    W = vocab.count()
+    enc = encode_docs(ds, vocab).materialize()
+    d = str(tmp_path / "shards")
+    e1 = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=4, seed=1)
+    e1.train(num_iters=1)
+    n1 = e1.memberships(shard_dir=d).count()
+    e2 = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=2, seed=1)
+    e2.train(num_iters=1)
+    n2 = e2.memberships(shard_dir=d).count()
+    e2.shutdown()
+    assert n1 == n2 == enc.count()
+
+
+def test_matrix_to_list_array_large_offset_branch(monkeypatch):
+    """Blocks at/above the int32 offset capacity take int64 offsets
+    (large_list) — forced here via the threshold constant — and still
+    round-trip through list_column_to_matrix."""
+    import citationgraphs_ray.utils as u
+
+    mat = np.arange(24, dtype=np.float64).reshape(6, 4)
+    small = u.matrix_to_list_array(mat)
+    assert pa.types.is_list(small.type)
+    monkeypatch.setattr(u, "_LIST_OFFSET32_MAX", 8)
+    large = u.matrix_to_list_array(mat)
+    assert pa.types.is_large_list(large.type)
+    assert np.array_equal(u.list_column_to_matrix(large), mat)
+    assert large.to_pylist() == small.to_pylist()
