@@ -191,11 +191,16 @@ def ivf_build_index(
             vecs = list_column_to_matrix(batch[vec_col])
             d2 = ((vecs[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
             assign = np.argmin(d2, axis=1).astype(np.int64)
+            # cluster twice: as the hive partition key (pruned reads) AND
+            # as a data column — probes then read all needed buckets in
+            # ONE list-of-paths read_parquet instead of a per-bucket
+            # read + constant-column map + N-way union (N× fixed costs).
             return pa.table(
                 {
                     id_col: batch[id_col],
                     vec_col: batch[vec_col],
                     "cluster": pa.array(assign),
+                    "cluster_id": pa.array(assign),
                 }
             )
 
@@ -238,8 +243,9 @@ def ivf_topk(
         fp = hashlib.blake2b(
             np.ascontiguousarray(centroids).tobytes(), digest_size=8
         ).hexdigest()
+        # v2: bucket files carry the cluster_id data column
         index_dir = (
-            f"/tmp/citationgraphs_ray/ivf_index_c{num_clusters}"
+            f"/tmp/citationgraphs_ray/ivf_index_v2_c{num_clusters}"
             f"_n{ds.count()}_{fp}"
         )
     marker = os.path.join(index_dir, "_SUCCESS")
@@ -255,23 +261,28 @@ def ivf_topk(
     needed = sorted(set().union(*probe_sets)) if probe_sets else []
     q_ref = ray.put((Q, probe_sets))
 
-    # read ONLY the probed buckets; each subdir's rows get their constant
-    # cluster id back (the hive column lives in the path, not the files)
-    subs = []
+    # read ONLY the probed buckets — ONE list-of-paths read; the bucket id
+    # rides along as the cluster_id data column written at build time (the
+    # hive `cluster` column lives in the path and Ray infers it for some
+    # layouts but not others, so it is not relied on)
+    paths = []
     for c in needed:
-        sub_dir = os.path.join(index_dir, f"cluster={c}")
-        if not os.path.isdir(sub_dir):
+        sub = os.path.join(index_dir, f"cluster={c}")
+        if not os.path.isdir(sub):
             continue  # empty cluster — nothing was written for it
-        subs.append(
-            # column-pruned read (also drops any hive-inferred cluster
-            # column, which Ray adds for some layouts but not others)
-            ray.data.read_parquet(sub_dir, columns=[id_col, vec_col]).map_batches(
-                lambda t, c=c: t.append_column(
-                    "cluster", pa.array(np.full(t.num_rows, c, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
+        # list-of-paths read_parquet wants FILES, not directories
+        paths.extend(
+            sorted(
+                os.path.join(sub, f)
+                for f in os.listdir(sub)
+                if f.endswith(".parquet")
             )
         )
+    subs = (
+        [ray.data.read_parquet(paths, columns=[id_col, vec_col, "cluster_id"])]
+        if paths
+        else []
+    )
     if not subs:
         return ray.data.from_arrow(
             pa.table(
@@ -291,7 +302,7 @@ def ivf_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             raw = list_column_to_matrix(batch[vec_col])
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+            clusters = batch["cluster_id"].to_numpy(zero_copy_only=False)
             vecs = _normalize(raw)
             sims = self.Q @ vecs.T
             qids_out: list[np.ndarray] = []
