@@ -241,8 +241,18 @@ def test_kmeans_local_equals_distributed():
     strongest property that holds for float Lloyd."""
     import citationgraphs_ray.stages.similarity as sim
 
-    emb = ray.data.read_parquet(
-        "/root/testdata/sf0.001/embeddings.parquet"
+    # single-block from_arrow input: read_parquet's block split (and with
+    # it sample/collect order) varies with session load, which would make
+    # the two fits see different float summation orders by construction
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 16))
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                "embedding": pa.array(list(mat)),
+            }
+        )
     ).materialize()
     local = sim.kmeans_fit(emb, num_clusters=8, num_iters=1)
     try:
