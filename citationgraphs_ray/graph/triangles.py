@@ -73,6 +73,13 @@ BROADCAST_EDGE_KEY_MAX = 50_000_000
 # degrees — no V-sized object anywhere).
 BROADCAST_TRIANGLE_MAX_VERTICES = 100_000_000
 
+# num_vertices cap for the local regime: it allocates two V-sized int64
+# driver arrays (bincount degrees + orientation rank ≈ 16 B/vertex →
+# ~800 MB at the cap) even when E is tiny — a driver-memory budget on the
+# 128-GiB node class, not a speed tradeoff (huge-V/small-E graphs take the
+# shuffle path's distributed degrees instead).
+LOCAL_TRIANGLE_MAX_VERTICES = 50_000_000
+
 # Cap on the (pair-count) size of one vectorized wedge-expansion slab so a
 # group of many same-degree centers can't allocate an unbounded pair array.
 _WEDGE_SLAB_PAIRS = 8_000_000
@@ -390,7 +397,10 @@ def triangle_counts(
             )
         return KernelResult(np.zeros(num_vertices, dtype=np.int64), 1, True, [])
     if strategy == "auto":
-        if n_edges <= LOCAL_KERNEL_MAX_EDGES and num_vertices <= 50_000_000:
+        if (
+            n_edges <= LOCAL_KERNEL_MAX_EDGES
+            and num_vertices <= LOCAL_TRIANGLE_MAX_VERTICES
+        ):
             strategy = "local"
         elif (
             n_edges <= BROADCAST_EDGE_KEY_MAX

@@ -89,10 +89,14 @@ def _ray_session_key() -> str | None:
 def derive_edges(sf_dir: str) -> ray.data.Dataset:
     """(src, dst) int64 edge table from lineitem — deduped, no self-loops.
     Materialized once per (Ray session, sf_dir)."""
-    key = (_ray_session_key(), sf_dir)
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    skey = _ray_session_key()
+    # no live session → no cache (a None key would alias across sessions
+    # and serve blocks whose owning raylet is gone, ADVICE r3)
+    key = (skey, sf_dir) if skey is not None else None
+    if key is not None:
+        cached = _EDGE_CACHE.get(key)
+        if cached is not None:
+            return cached
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -109,7 +113,8 @@ def derive_edges(sf_dir: str) -> ray.data.Dataset:
     edges = dedup_edges(
         li.map_batches(to_edges, batch_format="pyarrow")
     ).materialize()
-    _EDGE_CACHE[key] = edges
+    if key is not None:
+        _EDGE_CACHE[key] = edges
     return edges
 
 

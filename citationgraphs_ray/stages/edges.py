@@ -459,7 +459,10 @@ def extract_edge_table(
     All modes are equivalence-tested.
     """
     if mode == "distributed":
-        vids = mint_vertex_ids(corpus, mode="distributed")
+        # materialize: vids is consumed three times (src join, dst join,
+        # caller) — unmaterialized, the distributed mint re-executes per
+        # consumer (ADVICE r3)
+        vids = mint_vertex_ids(corpus, mode="distributed").materialize()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
         raw = slim.map_batches(
             ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)

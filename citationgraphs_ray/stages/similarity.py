@@ -248,7 +248,10 @@ def ivf_topk(
             f"/tmp/citationgraphs_ray/ivf_index_v2_c{num_clusters}"
             f"_n{ds.count()}_{fp}"
         )
-    marker = os.path.join(index_dir, "_SUCCESS")
+    # versioned marker: a caller-supplied index_dir holding a pre-v2
+    # (no cluster_id column) layout has plain _SUCCESS and must be
+    # rebuilt, not reused (ADVICE r3)
+    marker = os.path.join(index_dir, "_SUCCESS_v2")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
         ivf_build_index(ds, centroids, index_dir, vec_col, id_col)

@@ -26,8 +26,8 @@ with a doc-level resample.
 
 from __future__ import annotations
 
+import glob
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -274,6 +274,22 @@ def shutdown_topic_pools() -> None:
     _POOL_OWNERS.clear()
 
 
+def _prepare_shard_dir(shard_dir: str, num_partitions: int) -> list[str]:
+    """Shard paths for a worker-written output dir, clearing ONLY this
+    module's own shard pattern first. ``shard_dir`` is a caller-supplied
+    public parameter (unlike the fingerprinted internal dirs in dedup/
+    similarity), so an rmtree would silently delete unrelated caller files
+    (ADVICE r3); stale shards from a previous (possibly wider) run are
+    removed by pattern and the read-back uses the exact written paths."""
+    os.makedirs(shard_dir, exist_ok=True)
+    for old in glob.glob(os.path.join(shard_dir, "part-*.parquet")):
+        os.remove(old)
+    return [
+        os.path.join(shard_dir, f"part-{p:05d}.parquet")
+        for p in range(num_partitions)
+    ]
+
+
 def _load_partitions(
     encoded: ray.data.Dataset, actors: list, num_partitions: int
 ) -> None:
@@ -354,20 +370,17 @@ class LdaEngine:
         driver sorted by id (fine for main-node-sized outputs)."""
         _check_pool_ownership(self)
         if shard_dir is not None:
-            # a reused dir must not leak a previous run's shards into
-            # the read-back (same guard as resolve_dup_clusters' sink)
-            shutil.rmtree(shard_dir, ignore_errors=True)
-            os.makedirs(shard_dir, exist_ok=True)
+            # shard_dir is a public API parameter that may contain unrelated
+            # files — clear only this engine's own shard pattern and read
+            # back the exact paths written, never rmtree the whole dir
+            paths = _prepare_shard_dir(shard_dir, self.P)
             ray.get(
                 [
-                    a.write_lda_doc_topics.remote(
-                        os.path.join(shard_dir, f"part-{p:05d}.parquet"),
-                        self.alpha,
-                    )
-                    for p, a in enumerate(self.actors)
+                    a.write_lda_doc_topics.remote(path, self.alpha)
+                    for path, a in zip(paths, self.actors)
                 ]
             )
-            return ray.data.read_parquet(shard_dir)
+            return ray.data.read_parquet(paths)
         parts = ray.get([a.lda_doc_topics.remote(self.alpha) for a in self.actors])
         ids = np.concatenate([p[0] for p in parts])
         thetas = np.concatenate([p[1] for p in parts])
@@ -447,19 +460,15 @@ class GsdmmEngine:
         nothing doc-sized on the driver); else driver concat sorted by id."""
         _check_pool_ownership(self)
         if shard_dir is not None:
-            # a reused dir must not leak a previous run's shards into
-            # the read-back (same guard as resolve_dup_clusters' sink)
-            shutil.rmtree(shard_dir, ignore_errors=True)
-            os.makedirs(shard_dir, exist_ok=True)
+            # same non-destructive shard management as LdaEngine.memberships
+            paths = _prepare_shard_dir(shard_dir, self.P)
             ray.get(
                 [
-                    a.write_gsdmm_assignments.remote(
-                        os.path.join(shard_dir, f"part-{p:05d}.parquet")
-                    )
-                    for p, a in enumerate(self.actors)
+                    a.write_gsdmm_assignments.remote(path)
+                    for path, a in zip(paths, self.actors)
                 ]
             )
-            return ray.data.read_parquet(shard_dir)
+            return ray.data.read_parquet(paths)
         parts = ray.get([a.gsdmm_assignments.remote() for a in self.actors])
         ids = np.concatenate([p[0] for p in parts])
         z = np.concatenate([p[1] for p in parts])

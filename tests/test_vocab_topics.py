@@ -1,5 +1,7 @@
 """Vocab/encoding, Word2Phrase, and topic-model behavior tests."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -242,6 +244,12 @@ def test_topic_shard_dir_cleared_between_runs(tmp_path):
     W = vocab.count()
     enc = encode_docs(ds, vocab).materialize()
     d = str(tmp_path / "shards")
+    # shard_dir is a public parameter: caller files in it must SURVIVE
+    # (the old rmtree deleted the whole directory, ADVICE r3)
+    os.makedirs(d)
+    foreign = os.path.join(d, "caller_output.txt")
+    with open(foreign, "w") as f:
+        f.write("not a shard")
     e1 = LdaEngine(enc, num_topics=2, vocab_size=W, num_partitions=4, seed=1)
     e1.train(num_iters=1)
     n1 = e1.memberships(shard_dir=d).count()
@@ -250,6 +258,7 @@ def test_topic_shard_dir_cleared_between_runs(tmp_path):
     n2 = e2.memberships(shard_dir=d).count()
     e2.shutdown()
     assert n1 == n2 == enc.count()
+    assert open(foreign).read() == "not a shard"
 
 
 def test_matrix_to_list_array_large_offset_branch(monkeypatch):
