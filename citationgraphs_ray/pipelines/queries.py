@@ -983,16 +983,23 @@ def q_corpusx_concurrence(sf_dir: str):
 def q_word2phrase_accepted(sf_dir: str):
     """A7 accepted-bigram table: freq ≥ 10 and (freq-10)/(f1·f2) ≥ 3e-5
     (thresholds chosen to be non-empty on the short-doc testdata)."""
-    from ..functions.vocab import _bigram_tables, accepted_bigrams, tokenize_docs
+    from ..functions.vocab import (
+        accepted_bigrams,
+        bigram_counts,
+        tokenize_docs,
+        unigram_counts,
+    )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    uni_df, bi_df = _bigram_tables(tokenize_docs(docs).materialize())
-    acc = accepted_bigrams(uni_df, bi_df, 10, 3e-5).sort_values(["w1", "w2"])
+    tok = tokenize_docs(docs).materialize()
+    acc = accepted_bigrams(
+        unigram_counts(tok), bigram_counts(tok), 10, 3e-5
+    ).sort_values(["w1", "w2"])
     return pa.table(
         {
             "w1": pa.array(acc["w1"].tolist()),
             "w2": pa.array(acc["w2"].tolist()),
-            "n": pa.array(acc["count()"].to_numpy(), type=pa.int64()),
+            "n": pa.array(acc["n"].to_numpy(), type=pa.int64()),
         }
     )
 

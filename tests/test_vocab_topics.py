@@ -68,6 +68,49 @@ def test_word2phrase_promotes_frequent_bigram():
     assert any("new_york" in " ".join(t) for t in out2.tokens)
 
 
+def test_word2phrase_no_unthresholded_driver_collect(monkeypatch):
+    """word2phrase/word2phrase_ex must never collect the UNTHRESHOLDED
+    grouped bigram/unigram tables to the driver (VERDICT r3 #1: the
+    distinct-bigram table is corpus-sized at 100-TB scale). Every
+    vocab-level driver collect during the run is size-guarded well below
+    the distinct-bigram count, and the rewrite must still promote exactly
+    the frequent bigram."""
+    import citationgraphs_ray.functions.vocab as vocab_mod
+
+    # 40 repeats of one hot bigram, one-off successors/predecessors of its
+    # words (diluting the ex-variant's conditional means), and ~120
+    # distinct one-off bigrams
+    texts = (
+        ["new york opens"] * 40
+        + [f"new a{i}" for i in range(10)]
+        + [f"b{i} york" for i in range(10)]
+        + [f"u{i} v{i} w{i} x{i}" for i in range(40)]
+    )
+    ds = tokenize_docs(_docs(texts)).materialize()
+    n_distinct_bigrams = vocab_mod.bigram_counts(ds).count()
+    assert n_distinct_bigrams > 100  # the guard below is meaningful
+
+    real_collect = vocab_mod.collect_table
+    max_rows = 20
+
+    def guarded_collect(d):
+        tbl = real_collect(d)
+        assert tbl.num_rows <= max_rows, (
+            f"driver collect of {tbl.num_rows} rows inside word2phrase "
+            f"(distinct bigrams: {n_distinct_bigrams}) — the threshold "
+            "filter must run distributed BEFORE any collect"
+        )
+        return tbl
+
+    monkeypatch.setattr(vocab_mod, "collect_table", guarded_collect)
+    out = word2phrase(ds, num_iters=1, min_freq=20, min_score=1e-6).to_pandas()
+    joined = [" ".join(t) for t in out.sort_values("doc_id").tokens]
+    assert joined[0] == "new_york opens"
+    assert "u0 v0 w0 x0" in joined  # one-off bigrams untouched
+    out2 = word2phrase_ex(ds, num_iters=1, min_freq=20, min_score=1.2)
+    assert any("new_york" in " ".join(t) for t in out2.to_pandas().tokens)
+
+
 def _planted_corpus(n_per_topic=30, seed=0):
     """Two disjoint vocabularies → trivially separable topics."""
     rng = np.random.default_rng(seed)
