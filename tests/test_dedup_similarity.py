@@ -47,6 +47,20 @@ def test_exact_dedup():
     assert out.content_hash.nunique() == 2
 
 
+def test_exact_dedup_partition_invariant_many_unique_hashes():
+    """The coarse-bucket mark (dispatch bounded by num_partitions, not
+    #unique hashes — VERDICT r3 #2) must be partition-count invariant,
+    including when nearly every doc is unique."""
+    texts = [f"unique document number {i} with payload" for i in range(200)]
+    texts[7] = texts[3]  # one duplicate pair
+    ds = _docs(texts)
+    a = exact_dedup(ds, num_partitions=2).to_pandas().sort_values("doc_id")
+    b = exact_dedup(ds, num_partitions=32).to_pandas().sort_values("doc_id")
+    assert list(a.is_representative) == list(b.is_representative)
+    assert a.is_representative.sum() == 199
+    assert not bool(a.is_representative.iloc[7])
+
+
 def test_minhash_lsh_dedup():
     ds = _docs([BASE, NEAR, OTHER, BASE])
     out = minhash_lsh_dedup(ds, threshold=0.7).to_pandas().sort_values("id")
