@@ -155,25 +155,58 @@ def exclusions(
 # ---------------------------------------------------------------------------
 
 
+# Row guard for phrase_similarity_from_cooccurrence: the result is a
+# broadcast driver dict by design (the reference also broadcasts this
+# matrix, T5), so the input MUST be thresholded upstream. 2M pair rows
+# ≈ a few hundred MB of dict — a driver-memory budget, beyond which the
+# caller forgot the frequency threshold.
+PHRASE_SIM_MAX_ROWS = 2_000_000
+
+
 def phrase_similarity_from_cooccurrence(
     pair_counts: ray.data.Dataset,
     exclusion_pairs: set[tuple[str, str]] | None = None,
+    max_rows: int = PHRASE_SIM_MAX_ROWS,
 ) -> dict[tuple[str, str], float]:
     """T3 boundary (cm.SetConcurrences → similarity, 2342-2360): cosine-
     normalized co-occurrence — sim(a,b) = cooc(a,b) / sqrt(tot(a)·tot(b)),
-    excluded pairs forced to 0. Input (w1, w2, freq); returns the (small,
-    thresholded upstream) symmetric similarity dict for broadcast."""
+    excluded pairs forced to 0. Input (w1, w2, freq); returns the symmetric
+    similarity dict for broadcast.
+
+    The docstring precondition "small, thresholded upstream" is ENFORCED:
+    more than ``max_rows`` pair rows raises instead of silently building a
+    corpus-sized driver dict (VERDICT r3 #4). Totals and scores are
+    vectorized; only the final dict build touches Python rows."""
+    pair_counts = pair_counts.materialize()
+    n = pair_counts.count()
+    if n > max_rows:
+        raise ValueError(
+            f"phrase_similarity_from_cooccurrence got {n} pair rows "
+            f"(max {max_rows}): the result is a broadcast driver dict — "
+            "threshold the co-occurrence counts upstream (freq cutoff) "
+            "before building the similarity matrix"
+        )
     df = pair_counts.to_pandas()
-    tot: dict[str, float] = {}
-    for w1, w2, f in zip(df["w1"], df["w2"], df["freq"]):
-        tot[w1] = tot.get(w1, 0.0) + f
-        tot[w2] = tot.get(w2, 0.0) + f
+    import pandas as pd
+
+    tot = (
+        pd.concat(
+            [
+                df[["w1", "freq"]].rename(columns={"w1": "w"}),
+                df[["w2", "freq"]].rename(columns={"w2": "w"}),
+            ]
+        )
+        .groupby("w")["freq"]
+        .sum()
+    )
+    t1 = df["w1"].map(tot).to_numpy(dtype=np.float64)
+    t2 = df["w2"].map(tot).to_numpy(dtype=np.float64)
+    scores = df["freq"].to_numpy(dtype=np.float64) / np.sqrt(t1 * t2)
     excl = exclusion_pairs or set()
     sims: dict[tuple[str, str], float] = {}
-    for w1, w2, f in zip(df["w1"], df["w2"], df["freq"]):
+    for w1, w2, s in zip(df["w1"], df["w2"], scores):
         if (w1, w2) in excl or (w2, w1) in excl:
             continue
-        s = f / np.sqrt(tot[w1] * tot[w2])
         sims[(w1, w2)] = s
         sims[(w2, w1)] = s
     return sims

@@ -99,6 +99,22 @@ def test_phrase_similarity_and_sim_tfidf():
     assert len(scored2) == len(scored)
 
 
+def test_phrase_similarity_row_guard():
+    """The thresholded-upstream precondition is enforced: an oversized
+    pair table raises instead of silently building a corpus-sized
+    broadcast dict (VERDICT r3 #4)."""
+    import pytest
+
+    pair_counts = ray.data.from_items(
+        [{"w1": f"a{i}", "w2": f"b{i}", "freq": 1} for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        phrase_similarity_from_cooccurrence(pair_counts, max_rows=5)
+    # at or under the cap it still works
+    sims = phrase_similarity_from_cooccurrence(pair_counts, max_rows=10)
+    assert sims[("a0", "b0")] == sims[("b0", "a0")] > 0
+
+
 def test_titles_by_year():
     ds = ray.data.from_items(
         [
