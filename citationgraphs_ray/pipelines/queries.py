@@ -1173,6 +1173,68 @@ def q_ivf_knn_exact(sf_dir: str):
     return _ranked_topk(top)
 
 
+def q_minhash_exact(sf_dir: str):
+    """Exact-mode gate for the MinHash machinery (the ivf_knn_exact trick,
+    VERDICT r3 #6): sketching/banding is skipped and ALL pairs of a small
+    doc subset are fed through the SAME ``_verify_jaccard`` +
+    ``resolve_dup_clusters`` code the banded-LSH path uses, hash-checked
+    against an all-pairs Jaccard + recursive-CTE CC SQL oracle. The
+    all-pairs candidate table is a deliberate small-subset driver build —
+    the LSH path replaces it with banded blocking at scale."""
+    from itertools import combinations
+
+    from ..stages.dedup import _verify_jaccard, resolve_dup_clusters
+
+    cap = 120
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .filter(expr=f"doc_id < {cap}")
+        .materialize()
+    )
+    num_ids = int(docs.max("doc_id")) + 1
+    src, dst = zip(*combinations(range(num_ids), 2))
+    cand = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+    )
+    verified = _verify_jaccard(
+        cand, docs, 0.8, 3, "text", "doc_id", num_ids
+    )
+    return resolve_dup_clusters(verified, num_ids)
+
+
+def q_rank_jumps(sf_dir: str):
+    """Leap2Trend T5 (all-pairs cosine vs high-freq set) + T6 (neighbor
+    ranks) + T7 (prev-year join → rank jumps) over deterministic per-
+    "year" vectors both Ray and SQL can produce: year-1 = the embeddings
+    table, year-2 = phrase i reassigned to vector (i+1) mod 40 (a cyclic
+    drift that permutes the pairwise geometry — an element-wise reversal
+    would be orthogonal and leave every cosine unchanged). First oracle
+    row for the Leap2Trend pipeline (VERDICT r3 missing #2; reference
+    CitationGraphs.go:4237-4331)."""
+    from ..functions.leap2trend import phrase_similarities
+    from ..functions.trends import neighbor_ranks, rank_jumps
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 40"
+    )
+    df = emb.to_pandas().sort_values("vec_id")
+    v1 = {
+        f"p{int(i)}": np.asarray(list(v), dtype=np.float64)
+        for i, v in zip(df.vec_id, df.embedding)
+    }
+    n = len(v1)
+    v2 = {f"p{i}": v1[f"p{(i + 1) % n}"] for i in range(n)}
+    phrases = sorted(v1)
+    ranks1 = neighbor_ranks(phrase_similarities(v1, phrases)).materialize()
+    ranks2 = neighbor_ranks(phrase_similarities(v2, phrases)).materialize()
+    return rank_jumps(ranks1, ranks2, min_jump=1)
+
+
 def q_fingerprints(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
@@ -1244,6 +1306,8 @@ QUERIES.update(
         "ivf_knn_top5": q_ivf_knn_top5,
         "ivf_knn_exact": q_ivf_knn_exact,
         "triangles_shuffle": q_triangles_shuffle,
+        "minhash_exact": q_minhash_exact,
+        "rank_jumps": q_rank_jumps,
         "fingerprints": q_fingerprints,
         "modularity_cpm": q_modularity_cpm,
         "sim_tfidf_top3": q_sim_tfidf_top3,
@@ -1466,6 +1530,84 @@ FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
 ORDER BY id
 """
 
+# All-pairs Jaccard + recursive-CTE CC over a small doc subset — the SQL
+# twin of q_minhash_exact (same shingle semantics as _NGRAM_DEDUP_SQL but
+# with NO blocking: every pair with any shared shingle is scored, matching
+# the forced all-pairs candidate set). Hashed vs string shingle sets give
+# identical Jaccard barring 2^-62 collisions.
+_MINHASH_EXACT_SQL = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs),
+ids AS (SELECT doc_id AS i FROM docs),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+    FROM tok)
+  WHERE s <> ''),
+nsh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+isz AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ver AS (
+  SELECT isz.src, isz.dst FROM isz
+  JOIN nsh na ON na.doc_id = isz.src
+  JOIN nsh nb ON nb.doc_id = isz.dst
+  WHERE isz.i::DOUBLE / (na.n + nb.n - isz.i) >= 0.8),
+sym AS (SELECT src, dst FROM ver UNION SELECT dst AS src, src AS dst FROM ver),
+cc(it, labels, changed) AS (
+  SELECT 0, (SELECT list(t.i ORDER BY t.i) FROM ids t), 1
+  UNION ALL
+  SELECT it + 1, new_labels,
+    len(list_filter(list_zip(new_labels, labels), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, labels,
+      (SELECT list(LEAST(labels[n.i + 1], COALESCE(
+          (SELECT MIN(labels[e.src + 1]) FROM sym e WHERE e.dst = n.i),
+          labels[n.i + 1])) ORDER BY n.i)
+       FROM ids n) AS new_labels
+    FROM cc WHERE changed > 0 AND it < 1000
+  )
+)
+SELECT n.i AS id, l.labels[n.i + 1] AS cluster_id
+FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
+ORDER BY id
+"""
+
+# Leap2Trend T5/T6/T7: per-"year" cosine neighbor ranks + prev-year join +
+# jump filter. Year-1 vectors = embeddings; year-2 reassigns phrase i the
+# vector of (i+1) mod 40 — a cyclic drift that permutes pairwise geometry
+# (an element-wise reversal would be orthogonal: cosines unchanged).
+_RANK_JUMPS_SQL = """
+WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 40),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 40),
+y1 AS (SELECT 'p' || vec_id AS phrase, v FROM e),
+y2 AS (SELECT 'p' || ((e.vec_id - 1 + cnt.n) % cnt.n) AS phrase, e.v
+       FROM e CROSS JOIN cnt),
+r1 AS (
+  SELECT a.phrase AS phrase1, b.phrase AS phrase2,
+         row_number() OVER (PARTITION BY a.phrase
+             ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                      b.phrase ASC) AS rank
+  FROM y1 a JOIN y1 b ON a.phrase <> b.phrase),
+r2 AS (
+  SELECT a.phrase AS phrase1, b.phrase AS phrase2,
+         row_number() OVER (PARTITION BY a.phrase
+             ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                      b.phrase ASC) AS rank
+  FROM y2 a JOIN y2 b ON a.phrase <> b.phrase)
+SELECT r2.phrase1, r2.phrase2, (r1.rank - r2.rank)::BIGINT AS jump
+FROM r2 JOIN r1 ON r1.phrase1 = r2.phrase1 AND r1.phrase2 = r2.phrase2
+WHERE r1.rank - r2.rank >= 1
+"""
+
 # A10 SimTFIDF end-to-end: cosine-normalized co-occurrence similarities
 # (pairs with >=50 shared docs), SimTF = count + sum sim*count over
 # neighbors, idf = ln(N/df), then top-3 per doc. On the documents table
@@ -1520,6 +1662,8 @@ ORACLE_SQL.update(
         "lang_id": _LANG_ID_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
+        "minhash_exact": _MINHASH_EXACT_SQL,
+        "rank_jumps": _RANK_JUMPS_SQL,
         "corpusx_concurrence": """
             WITH tok AS (
               SELECT doc_id, string_split(lower(text), ' ') AS words
