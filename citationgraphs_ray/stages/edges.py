@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..utils import collect_table, fast_distinct, fast_grouped_agg, zip_with_index
+from ..utils import collect_table, fast_distinct, fast_grouped_agg
 
 # Regexes matching the synthetic corpus grammar (corpus.py): same-repo
 # ``import m<k>`` lines and cross-repo ``from org<A>/repo<B>.m<k> import``
@@ -86,6 +86,38 @@ class ExtractImportEdges:
         )
 
 
+# The extraction regexes are MODULE-LEVEL compiled constants, so the
+# extractor carries no per-actor state worth amortizing — the task-pool
+# form below avoids the actor-pool ramp entirely (measured on the 770k-file
+# bench corpus: actor pool 7.7 s @ 8 cpus / 4.9 s @ 32; task pool 5.5 s /
+# 2.3 s — the ramp was the flat cost capping extraction's 8→32 scaling).
+_MODULE_EXTRACTOR = ExtractImportEdges()
+
+
+def extract_import_edges_batch(batch: pa.Table) -> pa.Table:
+    """Stateless task-pool form of ``ExtractImportEdges``."""
+    return _MODULE_EXTRACTOR(batch)
+
+
+def extract_hashed_edges_batch(batch: pa.Table) -> pa.Table:
+    """Fused extract → row-hash for the distributed resolve: emits
+    ``(s1, s2, d1, d2)`` 128-bit endpoint hashes right where edges are
+    born, so no string edge row ever enters the join exchange (the
+    hash-keyed resolve's map-side hashing cost, folded into the
+    extraction pass)."""
+    raw = _MODULE_EXTRACTOR(batch)
+    s1, s2 = _row_hashes(raw["src_repo"], raw["src_path"])
+    d1, d2 = _row_hashes(raw["dst_repo"], raw["dst_path"])
+    return pa.table(
+        {
+            "s1": pa.array(s1.view(np.int64)),
+            "s2": pa.array(s2.view(np.int64)),
+            "d1": pa.array(d1.view(np.int64)),
+            "d2": pa.array(d2.view(np.int64)),
+        }
+    )
+
+
 def sha256_content(batch: pa.Table) -> pa.Table:
     """Append per-row sha256(content) — the input_hint invariant column.
 
@@ -124,8 +156,16 @@ def mint_vertex_ids(
       distributed sort costs ~2-4 s of sample/range-partition fixed
       overhead that dominates small-table minting — the profiled residual
       in the round-2 extraction scaling numbers.
-    - ``distributed`` (the 10^12-file path): Ray range-partitioned sort +
-      block-offset ``zip_with_index``; no driver object ever holds V rows.
+    - ``distributed`` (the 10^12-file path): distributed distinct, then a
+      sampled-splitter bucketed rank (``_ranked_ids_distributed``) — ONE
+      int-keyed coarse-bucket shuffle with the sort and the id assignment
+      fused into each bucket task; no driver object ever holds V rows on
+      the above-threshold paths. (Previously Ray's string range-
+      partitioned sort + a separate two-pass ``zip_with_index`` — the
+      profiled fixed-cost residual in the r2/r3 extraction scaling.
+      Folding the distinct into the rank shuffle was measured and
+      REJECTED: shipping the pre-distinct key rows through the bucket
+      exchange cost more than fast_distinct's combiner saves.)
     """
     verts = fast_distinct(
         corpus.select_columns(["repo", "path"]), ["repo", "path"]
@@ -143,13 +183,154 @@ def mint_vertex_ids(
             "id", pa.array(np.arange(len(tbl), dtype=np.int64))
         )
         return ray.data.from_arrow(tbl)
-    return zip_with_index(verts.sort(["repo", "path"]), col="id")
+    return _ranked_ids_distributed(verts)
+
+
+def _ranked_ids_distributed(
+    verts: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Dense global sorted-rank ids over distinct ``(repo, path)`` rows
+    without Ray's range-partitioned string sort.
+
+    Plan: (1) deterministic evenly-spaced key samples per block → driver
+    splitters (tiny); (2) map-side vectorized ``searchsorted`` assigns each
+    row a range bucket; (3) a tiny grouped count yields per-bucket offsets;
+    (4) ONE int-keyed coarse-bucket shuffle where each bucket C++-sorts
+    in-task and assigns ``id = offset + arange`` — the sort comparisons and
+    the id append both happen inside the bucket task, replacing Ray sort's
+    string-keyed exchange plus ``zip_with_index``'s extra materialize +
+    count + append passes. Ids equal the global sorted rank regardless of
+    splitter quality (splitters only balance bucket sizes; correctness
+    needs only range-disjoint buckets).
+    """
+    if num_buckets is None:
+        num_buckets = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # '\0' join preserves (repo, path) tuple order: NUL sorts below
+        # every key byte, so prefix repos rank first exactly like the
+        # 2-column sort (same trick as _exact_keys)
+        return t.append_column("__key", _exact_keys(t["repo"], t["path"]))
+
+    def sample(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"__key": pa.array([], type=pa.string())})
+        idx = np.unique(np.linspace(0, n - 1, min(n, 32)).astype(np.int64))
+        return pa.table({"__key": t["__key"].take(pa.array(idx))})
+
+    with_key = verts.map_batches(keyed, batch_format="pyarrow").materialize()
+    samp = collect_table(
+        with_key.map_batches(sample, batch_format="pyarrow")
+    )
+    keys_sorted = np.sort(samp["__key"].to_numpy(zero_copy_only=False))
+    if len(keys_sorted) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array([], type=pa.string()),
+                    "path": pa.array([], type=pa.string()),
+                    "id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    q = np.linspace(0, len(keys_sorted) - 1, num_buckets + 1).astype(np.int64)
+    splitters = keys_sorted[q[1:-1]]  # num_buckets - 1 boundaries
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t["__key"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(splitters, keys, side="right").astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = collect_table(
+        fast_grouped_agg(
+            assigned.map_batches(
+                lambda t: t.select(["__bucket"]), batch_format="pyarrow"
+            ),
+            ["__bucket"],
+            count_as="n",
+        )
+    )
+    offsets = np.zeros(num_buckets + 1, dtype=np.int64)
+    bk = counts["__bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = np.zeros(num_buckets, dtype=np.int64)
+    sizes[bk] = cn
+    offsets[1:] = np.cumsum(sizes)
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        b = int(t["__bucket"][0].as_py())
+        t = t.sort_by([("__key", "ascending")])
+        ids = np.arange(offsets[b], offsets[b] + t.num_rows, dtype=np.int64)
+        return pa.table(
+            {"repo": t["repo"], "path": t["path"], "id": pa.array(ids)}
+        )
+
+    return (
+        assigned.groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
 
 
 # Vertex-map rows above which resolve_edges switches from the broadcast
 # dict probe to distributed hash joins (the map no longer fits one object
 # at 10^12-file scale).
 BROADCAST_RESOLVE_MAX_ROWS = 5_000_000
+
+
+def _finish_edges(t: pa.Table) -> pa.Table:
+    """Post-join projection: (src, dst) int64, self-loops dropped."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = src != dst
+    return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+
+def _hash_vertices(t: pa.Table) -> pa.Table:
+    """(repo, path, id) → (h1, h2, id): the 128-bit row-hash pair the
+    hash-keyed distributed resolve joins on (same hashes VertexProbe
+    probes with; uint64 reinterpreted as int64 for Arrow join keys)."""
+    h1, h2 = _row_hashes(t["repo"], t["path"])
+    return pa.table(
+        {
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "id": t["id"],
+        }
+    )
+
+
+def _vertex_hash_collisions(vh: ray.data.Dataset) -> int:
+    """Distributed uniqueness guard on the map's (h1, h2): any collision
+    (P ≈ V²/2^129) forces the exact string join."""
+    return (
+        fast_grouped_agg(vh, ["h1", "h2"], count_as="n")
+        .filter(expr="n > 1")
+        .count()
+    )
+
+
+def _resolve_hashed(
+    hashed_edges: ray.data.Dataset,
+    vh: ray.data.Dataset,
+    num_join_partitions: int,
+) -> ray.data.Dataset:
+    """Two int-keyed hash joins: (s1, s2) → src id, (d1, d2) → dst id.
+    Only int64 columns cross the exchange; inner joins drop dangling
+    endpoints exactly like the broadcast probe."""
+    vs = vh.map_batches(
+        lambda t: pa.table({"s1": t["h1"], "s2": t["h2"], "src": t["id"]}),
+        batch_format="pyarrow",
+    )
+    vd = vh.map_batches(
+        lambda t: pa.table({"d1": t["h1"], "d2": t["h2"], "dst": t["id"]}),
+        batch_format="pyarrow",
+    )
+    j = hashed_edges.join(
+        vs, "inner", num_join_partitions, on=("s1", "s2")
+    ).join(vd, "inner", num_join_partitions, on=("d1", "d2"))
+    return j.map_batches(_finish_edges, batch_format="pyarrow")
 
 
 def resolve_edges(
@@ -166,9 +347,16 @@ def resolve_edges(
       probed per batch — the SURVEY.md §2.7 broadcast-join pattern for
       the reference's ``Nodes`` dict probes (CitationGraphs.go:1536-1537).
     - ``join`` (the 10^12-file path, where no single object can hold the
-      map): two distributed hash joins on (repo, path) — resolve src,
-      then dst; inner joins drop unresolvable endpoints exactly like the
-      broadcast probe drops them.
+      map): two distributed hash joins — but on 128-bit ROW HASHES of
+      (repo, path), not the strings. Both sides are hashed map-side
+      (vectorized polars ``hash_rows``, the same pair ``VertexProbe``
+      probes with), so the join exchange ships only int64 columns: the
+      edge side shrinks from 4 string columns (~100+ B/row) to four
+      int64s, and key comparison in the hash join is integer, not string
+      (profiled: the string-keyed form was 33 s of a 51 s extraction at
+      8 CPUs). A distributed uniqueness guard on the map's (h1, h2) falls
+      back to the exact string join on any collision (P ≈ V²/2^129 —
+      the same documented risk bound as ``VertexProbe``'s fast path).
 
     ``mode="auto"`` picks by vertex-map size. Self-loops are dropped in
     both. Unresolvable dsts (dangling imports) are dropped, mirroring
@@ -180,7 +368,7 @@ def resolve_edges(
             if vertex_ids.count() <= BROADCAST_RESOLVE_MAX_ROWS
             else "join"
         )
-    if mode == "join":
+    if mode in ("join", "join_strings"):
         if num_join_partitions is None:
             # Ray's hash-shuffle join schedules one aggregator actor per
             # partition; more partitions than CPUs deadlocks a small
@@ -188,6 +376,31 @@ def resolve_edges(
             num_join_partitions = min(
                 64, max(2, int(ray.cluster_resources().get("CPU", 8)))
             )
+
+        finish = _finish_edges
+
+        if mode == "join":
+            vh = vertex_ids.map_batches(
+                _hash_vertices, batch_format="pyarrow"
+            ).materialize()
+            if not _vertex_hash_collisions(vh):
+
+                def hash_edges(t: pa.Table) -> pa.Table:
+                    s1, s2 = _row_hashes(t["src_repo"], t["src_path"])
+                    d1, d2 = _row_hashes(t["dst_repo"], t["dst_path"])
+                    return pa.table(
+                        {
+                            "s1": pa.array(s1.view(np.int64)),
+                            "s2": pa.array(s2.view(np.int64)),
+                            "d1": pa.array(d1.view(np.int64)),
+                            "d2": pa.array(d2.view(np.int64)),
+                        }
+                    )
+
+                eh = raw_edges.map_batches(hash_edges, batch_format="pyarrow")
+                return _resolve_hashed(eh, vh, num_join_partitions)
+            # fall through to the exact string join on collision
+
         vs = vertex_ids.map_batches(
             lambda t: pa.table(
                 {"src_repo": t["repo"], "src_path": t["path"], "src": t["id"]}
@@ -203,15 +416,6 @@ def resolve_edges(
         j = raw_edges.join(
             vs, "inner", num_join_partitions, on=("src_repo", "src_path")
         ).join(vd, "inner", num_join_partitions, on=("dst_repo", "dst_path"))
-
-        def finish(t: pa.Table) -> pa.Table:
-            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = src != dst
-            return pa.table(
-                {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
-            )
-
         return j.map_batches(finish, batch_format="pyarrow")
 
     keys_ref = ray.put(_vertex_lookup(vertex_ids))
@@ -464,10 +668,21 @@ def extract_edge_table(
         # consumer (ADVICE r3)
         vids = mint_vertex_ids(corpus, mode="distributed").materialize()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
-        raw = slim.map_batches(
-            ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
-        )
-        edges = dedup_edges(resolve_edges(raw, vids, mode="join"))
+        P = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        vh = vids.map_batches(_hash_vertices, batch_format="pyarrow").materialize()
+        if _vertex_hash_collisions(vh):
+            # exact string path (P ≈ V²/2^129 — effectively never)
+            raw = slim.map_batches(
+                extract_import_edges_batch, batch_format="pyarrow"
+            )
+            edges = dedup_edges(
+                resolve_edges(raw, vids, mode="join_strings")
+            )
+        else:
+            hashed = slim.map_batches(
+                extract_hashed_edges_batch, batch_format="pyarrow"
+            )
+            edges = dedup_edges(_resolve_hashed(hashed, vh, P))
         return edges, vids
     vids = mint_vertex_ids(corpus)
     if mode == "auto":
@@ -498,7 +713,7 @@ def extract_edge_table(
             edges = fast_distinct(partial, ["src", "dst"])
     else:
         raw = slim.map_batches(
-            ExtractImportEdges, batch_format="pyarrow", concurrency=(1, 32)
+            extract_import_edges_batch, batch_format="pyarrow"
         )
         edges = dedup_edges(resolve_edges(raw, vids))
     return edges, vids

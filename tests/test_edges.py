@@ -140,6 +140,25 @@ def test_vertex_ids_driver_equals_distributed(small_corpus):
     assert drv.equals(dst)
 
 
+def test_vertex_ids_distributed_dedups_duplicated_keys(small_corpus):
+    """The distributed mint folds the distinct into its bucket shuffle —
+    a doubled corpus must mint the exact same (repo, path, id) table."""
+    doubled = pa.concat_tables([small_corpus.table, small_corpus.table])
+    a = (
+        mint_vertex_ids(ray.data.from_arrow(small_corpus.table), mode="distributed")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        mint_vertex_ids(ray.data.from_arrow(doubled), mode="distributed")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_degrees_consistent(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()
