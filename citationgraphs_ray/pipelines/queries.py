@@ -1207,6 +1207,42 @@ def q_minhash_exact(sf_dir: str):
     return resolve_dup_clusters(verified, num_ids)
 
 
+def q_embedding_exact(sf_dir: str):
+    """Exact-mode gate for the embedding near-dup machinery (the
+    minhash_exact / ivf_knn_exact trick): sign-LSH bucketing is skipped
+    and ALL pairs of a small vector subset are fed through the SAME
+    ``_verify_cosine`` + ``resolve_dup_clusters`` code the LSH path uses,
+    hash-checked against an all-pairs ``list_cosine_similarity`` +
+    recursive-CTE CC SQL oracle. Threshold 0.38 sits in a measured ≥2e-3
+    gap of the synthetic cosine distribution at both sf0.001 and sf0.01,
+    so float round-off cannot flip a pair."""
+    from itertools import combinations
+
+    from ..stages.dedup import _verify_cosine, resolve_dup_clusters
+
+    cap = 150
+    emb = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {cap}")
+        .materialize()
+    )
+    num_ids = int(emb.max("vec_id")) + 1
+    dim = len(emb.take(1)[0]["embedding"])
+    src, dst = zip(*combinations(range(num_ids), 2))
+    cand = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+    )
+    verified = _verify_cosine(
+        cand, emb, 0.38, "embedding", "vec_id", num_ids, dim
+    )
+    return resolve_dup_clusters(verified, num_ids)
+
+
 def q_rank_jumps(sf_dir: str):
     """Leap2Trend T5 (all-pairs cosine vs high-freq set) + T6 (neighbor
     ranks) + T7 (prev-year join → rank jumps) over deterministic per-
@@ -1307,6 +1343,7 @@ QUERIES.update(
         "ivf_knn_exact": q_ivf_knn_exact,
         "triangles_shuffle": q_triangles_shuffle,
         "minhash_exact": q_minhash_exact,
+        "embedding_exact": q_embedding_exact,
         "rank_jumps": q_rank_jumps,
         "fingerprints": q_fingerprints,
         "modularity_cpm": q_modularity_cpm,
@@ -1578,6 +1615,40 @@ FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
 ORDER BY id
 """
 
+# All-pairs cosine + recursive-CTE CC over a small vector subset — the SQL
+# twin of q_embedding_exact (same CC skeleton as _MINHASH_EXACT_SQL; the
+# verify predicate is DuckDB's list_cosine_similarity, which matches the
+# Ray side's normalize-then-dot to ~1e-15 — threshold 0.38 sits in a
+# measured ≥2e-3 gap of the synthetic cosine distribution).
+_EMBEDDING_EXACT_SQL = """
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE vec_id < 150),
+ids AS (SELECT vec_id AS i FROM e),
+ver AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.38),
+sym AS (SELECT src, dst FROM ver UNION SELECT dst AS src, src AS dst FROM ver),
+cc(it, labels, changed) AS (
+  SELECT 0, (SELECT list(t.i ORDER BY t.i) FROM ids t), 1
+  UNION ALL
+  SELECT it + 1, new_labels,
+    len(list_filter(list_zip(new_labels, labels), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, labels,
+      (SELECT list(LEAST(labels[n.i + 1], COALESCE(
+          (SELECT MIN(labels[e.src + 1]) FROM sym e WHERE e.dst = n.i),
+          labels[n.i + 1])) ORDER BY n.i)
+       FROM ids n) AS new_labels
+    FROM cc WHERE changed > 0 AND it < 1000
+  )
+)
+SELECT n.i AS id, l.labels[n.i + 1] AS cluster_id
+FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
+ORDER BY id
+"""
+
 # Leap2Trend T5/T6/T7: per-"year" cosine neighbor ranks + prev-year join +
 # jump filter. Year-1 vectors = embeddings; year-2 reassigns phrase i the
 # vector of (i+1) mod 40 — a cyclic drift that permutes pairwise geometry
@@ -1663,6 +1734,7 @@ ORACLE_SQL.update(
         "fingerprints": _FINGERPRINTS_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
         "minhash_exact": _MINHASH_EXACT_SQL,
+        "embedding_exact": _EMBEDDING_EXACT_SQL,
         "rank_jumps": _RANK_JUMPS_SQL,
         "corpusx_concurrence": """
             WITH tok AS (

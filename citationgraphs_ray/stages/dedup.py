@@ -848,6 +848,29 @@ def embedding_cosine_dedup(
         ["src", "dst"],
     )
 
+    verified = _verify_cosine(
+        cand, ds, threshold, vec_col, id_col, num_ids, dim, verify
+    )
+    return resolve_dup_clusters(verified, num_ids)
+
+
+def _verify_cosine(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    num_ids: int,
+    dim: int,
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    """Exact-cosine verification of candidate ``(src, dst)`` pairs against
+    the vectors in ``ds`` — the shared verify stage of the embedding
+    near-dup path (LSH candidates) and its all-pairs exact-mode oracle
+    twin. Normalizes map-side, then either broadcasts one dense
+    ``(num_ids, dim)`` matrix (small-id fast path) or attaches both
+    endpoint features via partitioned joins (the 10^12-doc path)."""
+
     def norm_feats(batch: pa.Table) -> pa.Table:
         vecs = list_column_to_matrix(batch[vec_col])
         if vecs.size == 0:
@@ -921,4 +944,4 @@ def embedding_cosine_dedup(
             return batch.select(["src", "dst"]).filter(keep)
 
         verified = with_both.map_batches(cos_verify, batch_format="pyarrow")
-    return resolve_dup_clusters(verified, num_ids)
+    return verified
