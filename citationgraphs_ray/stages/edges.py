@@ -311,6 +311,27 @@ def _vertex_hash_collisions(vh: ray.data.Dataset) -> int:
     )
 
 
+def _join_partitions() -> int:
+    """Join partition count: half the cluster's CPU slots, floored at 2.
+
+    Ray's hash-shuffle join schedules one aggregator ACTOR per partition,
+    and those actors compete with the map-side tasks for CPU slots:
+    P = CPUs starves the producers (observed: P=32 hangs outright at
+    num_cpus=4, and at num_cpus=32 the measured curve over the 6.1M-edge
+    bench corpus is P=4: 18.2 s, P=8: 15.4 s, P=16: **14.4 s**, P=32:
+    18.9 s — and at num_cpus=8 it is P=4: **40.3 s**, P=8: 42.0 s,
+    P=16: 48.6 s; interleaved fresh-process legs, best of 2-3).
+    CPUs/2 is the optimum at both levels, leaving half the slots for the
+    map side. Sizing by exchange bytes instead (materialize + ceil(nbytes
+    / 32 MiB)) was measured and REJECTED: the materialize barrier between
+    extraction and join cost ~2.5 s more than pipelining at every P. On a
+    multi-node cluster CPUs scales with the cluster, so partition count
+    (and with it per-partition memory) tracks cluster size; aggregators
+    spill to plasma when a partition outgrows its slot.
+    """
+    return max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+
 def _resolve_hashed(
     hashed_edges: ray.data.Dataset,
     vh: ray.data.Dataset,
@@ -370,12 +391,7 @@ def resolve_edges(
         )
     if mode in ("join", "join_strings"):
         if num_join_partitions is None:
-            # Ray's hash-shuffle join schedules one aggregator actor per
-            # partition; more partitions than CPUs deadlocks a small
-            # session (observed: p=32 hangs at num_cpus=4).
-            num_join_partitions = min(
-                64, max(2, int(ray.cluster_resources().get("CPU", 8)))
-            )
+            num_join_partitions = _join_partitions()
 
         finish = _finish_edges
 
@@ -668,7 +684,7 @@ def extract_edge_table(
         # consumer (ADVICE r3)
         vids = mint_vertex_ids(corpus, mode="distributed").materialize()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
-        P = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        P = _join_partitions()
         vh = vids.map_batches(_hash_vertices, batch_format="pyarrow").materialize()
         if _vertex_hash_collisions(vh):
             # exact string path (P ≈ V²/2^129 — effectively never)
