@@ -428,6 +428,16 @@ def scaling_mode() -> None:
     dist: dict[int, list] = {8: [], 32: []}
     denv = dict(env)
     denv["GRAFT_BENCH_SECTIONS"] = "extract_dist"
+    # 4x corpus (vs the headline legs): the forced-distributed job on
+    # the 34400-repo corpus is ~8 s of cluster-size-independent fixed
+    # coordination (mint barriers, sort sampling, exchange setup) over
+    # ~81 MB of data — its 8→32 ratio measures the Amdahl floor of the
+    # COORDINATION, not the engine. At 137600 repos (~2.9M files /
+    # ~24M edges) the exchanges and extraction compute dominate, which
+    # is the regime every real multi-node run of this path lives in.
+    denv["GRAFT_BENCH_REPOS"] = os.environ.get(
+        "GRAFT_SCALING_DIST_REPOS", "137600"
+    )
     for r in range(rounds):
         for n in (8, 32):
             denv["RAY_GRAFT_CPUS"] = str(n)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -156,17 +157,25 @@ def mint_vertex_ids(
       distributed sort costs ~2-4 s of sample/range-partition fixed
       overhead that dominates small-table minting — the profiled residual
       in the round-2 extraction scaling numbers.
-    - ``distributed`` (the 10^12-file path): distributed distinct, then a
-      sampled-splitter bucketed rank (``_ranked_ids_distributed``) — ONE
-      int-keyed coarse-bucket shuffle with the sort and the id assignment
-      fused into each bucket task; no driver object ever holds V rows on
-      the above-threshold paths. (Previously Ray's string range-
-      partitioned sort + a separate two-pass ``zip_with_index`` — the
-      profiled fixed-cost residual in the r2/r3 extraction scaling.
-      Folding the distinct into the rank shuffle was measured and
-      REJECTED: shipping the pre-distinct key rows through the bucket
-      exchange cost more than fast_distinct's combiner saves.)
+    - ``distributed`` (the 10^12-file path): ONE sampled-splitter
+      coarse-bucket exchange (``_ranked_ids_distributed``) with the
+      per-block distinct COMBINER map-side and the global distinct, the
+      sort, and the local-rank assignment all fused into each bucket
+      task (buckets are key-range-disjoint, so per-bucket distinct IS
+      global distinct); no driver object ever holds V rows on the
+      above-threshold paths. (Previously a separate fast_distinct
+      exchange fed a rank-only shuffle — two exchanges and ~6 Ray
+      barriers of fixed cost, the profiled anti-scaling residual in the
+      r3/r4 extraction scaling: ~2.7 s at BOTH 8 and 32 cpus on the
+      733k-vertex bench corpus. The distinct exchange was pure overhead
+      for corpus input, where (repo, path) is already ~unique per row;
+      the map-side combiner keeps the exchange volume identical to the
+      old post-distinct partials when duplicates do exist.)
     """
+    if mode == "distributed":
+        return _ranked_ids_distributed(
+            corpus.select_columns(["repo", "path"])
+        )
     verts = fast_distinct(
         corpus.select_columns(["repo", "path"]), ["repo", "path"]
     )
@@ -187,26 +196,33 @@ def mint_vertex_ids(
 
 
 def _ranked_ids_distributed(
-    verts: ray.data.Dataset, num_buckets: int | None = None
+    rows: ray.data.Dataset, num_buckets: int | None = None
 ) -> ray.data.Dataset:
-    """Dense global sorted-rank ids over distinct ``(repo, path)`` rows
-    without Ray's range-partitioned string sort.
+    """Dense global sorted-rank ids over the distinct ``(repo, path)``
+    rows of ``rows`` (which may contain duplicates) without Ray's
+    range-partitioned string sort and without a separate distinct pass.
 
-    Plan: (1) deterministic evenly-spaced key samples per block → driver
-    splitters (tiny); (2) map-side vectorized ``searchsorted`` assigns each
-    row a range bucket; (3) a tiny grouped count yields per-bucket offsets;
-    (4) ONE int-keyed coarse-bucket shuffle where each bucket C++-sorts
-    in-task and assigns ``id = offset + arange`` — the sort comparisons and
-    the id append both happen inside the bucket task, replacing Ray sort's
-    string-keyed exchange plus ``zip_with_index``'s extra materialize +
-    count + append passes. Ids equal the global sorted rank regardless of
-    splitter quality (splitters only balance bucket sizes; correctness
-    needs only range-disjoint buckets).
+    Plan: (1) per-block distinct COMBINER + sort key, coalesced to
+    ``num_buckets`` blocks (Ray's sort cost is shuffle-object-count-
+    bound, see ``_resolve_hashed``); (2) deterministic evenly-spaced key
+    samples per block → driver splitters (tiny); (3) map-side vectorized
+    ``searchsorted`` assigns each row a range bucket; (4) ONE int-keyed
+    coarse-bucket exchange where each bucket task C++-sorts, drops
+    cross-block duplicates (buckets are key-range-disjoint, so per-
+    bucket distinct IS global distinct), and emits its LOCAL rank;
+    (5) a tiny int-only grouped count over the materialized buckets
+    yields per-bucket offsets, and a lazy final map adds
+    ``id = offset[bucket] + local_rank``. Ids equal the global sorted
+    rank regardless of splitter quality (splitters only balance bucket
+    sizes; correctness needs only range-disjoint buckets).
     """
     if num_buckets is None:
         num_buckets = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
 
     def keyed(t: pa.Table) -> pa.Table:
+        # per-block distinct combiner: keeps the exchange volume at the
+        # old post-distinct level when the input has duplicate keys
+        t = t.select(["repo", "path"]).group_by(["repo", "path"]).aggregate([])
         # '\0' join preserves (repo, path) tuple order: NUL sorts below
         # every key byte, so prefix repos rank first exactly like the
         # 2-column sort (same trick as _exact_keys)
@@ -219,7 +235,11 @@ def _ranked_ids_distributed(
         idx = np.unique(np.linspace(0, n - 1, min(n, 32)).astype(np.int64))
         return pa.table({"__key": t["__key"].take(pa.array(idx))})
 
-    with_key = verts.map_batches(keyed, batch_format="pyarrow").materialize()
+    with_key = (
+        rows.map_batches(keyed, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .materialize()
+    )
     samp = collect_table(
         with_key.map_batches(sample, batch_format="pyarrow")
     )
@@ -242,10 +262,45 @@ def _ranked_ids_distributed(
         b = np.searchsorted(splitters, keys, side="right").astype(np.int64)
         return t.append_column("__bucket", pa.array(b))
 
-    assigned = with_key.map_batches(assign, batch_format="pyarrow").materialize()
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("__key", "ascending")])
+        k = t["__key"].combine_chunks()
+        if isinstance(k, pa.ChunkedArray):
+            k = (
+                k.chunk(0)
+                if k.num_chunks == 1
+                else pa.concat_arrays(k.chunks)
+            )
+        n = len(k)
+        if n > 1:
+            # adjacent-unique over the sorted keys: drops cross-block
+            # duplicates the map-side combiner couldn't see
+            neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            if not neq.all():
+                keep = np.empty(n, dtype=bool)
+                keep[0] = True
+                keep[1:] = neq
+                t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "__bucket": t["__bucket"],
+                "__r": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    bucketed = (
+        with_key.map_batches(assign, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+        .materialize()
+    )
     counts = collect_table(
         fast_grouped_agg(
-            assigned.map_batches(
+            bucketed.map_batches(
                 lambda t: t.select(["__bucket"]), batch_format="pyarrow"
             ),
             ["__bucket"],
@@ -259,18 +314,18 @@ def _ranked_ids_distributed(
     sizes[bk] = cn
     offsets[1:] = np.cumsum(sizes)
 
-    def rank_bucket(t: pa.Table) -> pa.Table:
-        b = int(t["__bucket"][0].as_py())
-        t = t.sort_by([("__key", "ascending")])
-        ids = np.arange(offsets[b], offsets[b] + t.num_rows, dtype=np.int64)
+    def attach(t: pa.Table) -> pa.Table:
+        b = t["__bucket"].to_numpy(zero_copy_only=False)
+        r = t["__r"].to_numpy(zero_copy_only=False)
         return pa.table(
-            {"repo": t["repo"], "path": t["path"], "id": pa.array(ids)}
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "id": pa.array(offsets[b] + r),
+            }
         )
 
-    return (
-        assigned.groupby("__bucket")
-        .map_groups(rank_bucket, batch_format="pyarrow")
-    )
+    return bucketed.map_batches(attach, batch_format="pyarrow")
 
 
 # Vertex-map rows above which resolve_edges switches from the broadcast
@@ -312,7 +367,8 @@ def _vertex_hash_collisions(vh: ray.data.Dataset) -> int:
 
 
 def _join_partitions() -> int:
-    """Join partition count: half the cluster's CPU slots, floored at 2.
+    """Ray-JoinOperator partition count (used only by the exact-string
+    collision-fallback join): half the cluster's CPU slots, floored at 2.
 
     Ray's hash-shuffle join schedules one aggregator ACTOR per partition,
     and those actors compete with the map-side tasks for CPU slots:
@@ -332,26 +388,171 @@ def _join_partitions() -> int:
     return max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
 
 
+# Rows per coarse partition in the bucketed reduce-side resolve exchange:
+# a bucket (rows/P × ~40 B of int64 columns) must fit a worker's heap, so
+# P tracks DATA volume (cluster-size-independent at scale) with a 2×CPU
+# floor for parallelism on small inputs. Measured on the 7M-edge bench
+# corpus: P=64 @ 32 cpus 5.1 s/exchange, P=16 @ 8 cpus 9.9 s — both the
+# optimum of their curve, and both what this rule picks.
+EXCHANGE_ROWS_PER_PARTITION = 500_000
+_BUCKET_MASK = np.int64(2**62 - 1)
+
+
+def _exchange_partitions(approx_rows: int) -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    by_data = -(-int(approx_rows) // EXCHANGE_ROWS_PER_PARTITION)
+    return max(2 * cpus, by_data, 2)
+
+
+def _bucketed_resolve_pass(
+    left: ray.data.Dataset,
+    vh: ray.data.Dataset,
+    key_cols: tuple[str, str],
+    carry_cols: list[str],
+    out_name: str,
+    num_partitions: int,
+    post=None,
+) -> ray.data.Dataset:
+    """One reduce-side resolve exchange: co-locate edge rows with the
+    vertex-map rows sharing their 128-bit key bucket (ONE union +
+    groupby(__part) shuffle), then match exactly inside each bucket with
+    a vectorized sort + searchsorted probe over the (h1, h2) pair.
+
+    Replaces Ray's ``Dataset.join`` here: the JoinOperator's per-partition
+    aggregator ACTORS pay an actor-pool ramp per join and starve the map
+    side when they and the producers share slots (measured on the
+    6.1M-edge bench corpus: two joins + separate dedup 13.5 s @ 32 cpus /
+    23.5 s @ 8 STAGED, and 41.7 s @ 8 PIPELINED — aggregator/producer
+    thrash; this task-based exchange: 10.3 s @ 32, 20 s @ 8, no actors,
+    no thrash). Matching is exact on the full 128-bit pair: the probe
+    walks duplicate-h1 runs to their end, so it needs only the same
+    (h1, h2)-uniqueness guard as ``VertexProbe``.
+
+    ``post`` (optional) runs inside each bucket task on the matched
+    output — pass-2 uses it to drop self-loops and (fused) dedup.
+    """
+    k1, k2 = key_cols
+    P = num_partitions
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = (t[k1].to_numpy(zero_copy_only=False) & _BUCKET_MASK) % P
+        cols = {"__k1": t[k1], "__k2": t[k2]}
+        for c in carry_cols:
+            cols[c] = t[c]
+        cols["__id"] = pa.array(np.zeros(n, dtype=np.int64))
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__part"] = pa.array(b.astype(np.int32))
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        b = (t["h1"].to_numpy(zero_copy_only=False) & _BUCKET_MASK) % P
+        z64 = pa.array(np.zeros(n, dtype=np.int64))
+        cols = {"__k1": t["h1"], "__k2": t["h2"]}
+        for c in carry_cols:
+            cols[c] = z64
+        cols["__id"] = t["id"]
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["__part"] = pa.array(b.astype(np.int32))
+        return pa.table(cols)
+
+    out_cols = list(carry_cols) + [out_name]
+
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lm = side == 0
+        rm = ~lm
+        a1 = t["__k1"].to_numpy(zero_copy_only=False)
+        a2 = t["__k2"].to_numpy(zero_copy_only=False)
+        rs1, rs2 = a1[rm], a2[rm]
+        rid = t["__id"].to_numpy(zero_copy_only=False)[rm]
+        ls1, ls2 = a1[lm], a2[lm]
+        if not len(rs1) or not len(ls1):
+            empty = {
+                c: pa.array(np.array([], dtype=np.int64)) for c in out_cols
+            }
+            return pa.table(empty) if post is None else post(pa.table(empty))
+        order = np.lexsort((rs2, rs1))
+        rs1, rs2, rid = rs1[order], rs2[order], rid[order]
+        cur = np.minimum(np.searchsorted(rs1, ls1), len(rs1) - 1)
+        res = np.full(len(ls1), -1, dtype=np.int64)
+        hit = np.zeros(len(ls1), dtype=bool)
+        active = np.ones(len(ls1), dtype=bool)
+        # exact scan over the (rare) duplicate-h1 run: each probe advances
+        # until its full 128-bit pair matches or the h1 run ends
+        while active.any():
+            ok = active & (rs1[cur] == ls1) & (rs2[cur] == ls2)
+            res[ok] = rid[cur[ok]]
+            hit |= ok
+            active = active & ~ok & (rs1[cur] == ls1) & (cur < len(rs1) - 1)
+            cur[active] += 1
+        out = {}
+        for c in carry_cols:
+            out[c] = pa.array(t[c].to_numpy(zero_copy_only=False)[lm][hit])
+        out[out_name] = pa.array(res[hit])
+        tbl = pa.table(out)
+        return tbl if post is None else post(tbl)
+
+    u = left.map_batches(pad_left, batch_format="pyarrow").union(
+        vh.map_batches(pad_right, batch_format="pyarrow")
+    )
+    return u.groupby("__part").map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
+
+
 def _resolve_hashed(
     hashed_edges: ray.data.Dataset,
     vh: ray.data.Dataset,
-    num_join_partitions: int,
+    num_partitions: int | None = None,
+    dedup: bool = False,
 ) -> ray.data.Dataset:
-    """Two int-keyed hash joins: (s1, s2) → src id, (d1, d2) → dst id.
-    Only int64 columns cross the exchange; inner joins drop dangling
-    endpoints exactly like the broadcast probe."""
-    vs = vh.map_batches(
-        lambda t: pa.table({"s1": t["h1"], "s2": t["h2"], "src": t["id"]}),
-        batch_format="pyarrow",
+    """Resolve (s1,s2)→src then (d1,d2)→dst with two bucketed reduce-side
+    exchanges (see ``_bucketed_resolve_pass``). Only int64 columns cross
+    the exchange; unmatched endpoints drop exactly like the broadcast
+    probe, and self-loops drop in the pass-2 bucket task.
+
+    ``dedup=True`` additionally emits globally-distinct (src, dst) with
+    NO extra shuffle: a given (src, dst) pair always carries the same
+    (d1, d2) key, so it always lands in the same pass-2 bucket —
+    per-bucket distinct is global distinct.
+    """
+    if num_partitions is None:
+        # E ≈ O(10·V) working estimate; callers with a better edge-count
+        # estimate pass num_partitions explicitly
+        num_partitions = _exchange_partitions(vh.count() * 10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        if dedup and len(src):
+            pairs = np.empty((len(src), 2), dtype=np.int64)
+            pairs[:, 0] = src
+            pairs[:, 1] = dst
+            uniq = np.unique(
+                pairs.view([("s", np.int64), ("d", np.int64)]).reshape(-1)
+            )
+            src, dst = uniq["s"], uniq["d"]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    # materialize between the passes: two groupby shuffles chained
+    # lazily re-execute the whole upstream (pass 2's sort-boundary
+    # sampling runs the pipeline once, the sort itself again — measured
+    # 44.8 s chained vs 10.3 s with the barrier on the 6.1M-edge corpus).
+    # COALESCE to P blocks before each exchange: Ray's sort cost is
+    # dominated by the map×reduce shuffle-object count, not bytes —
+    # feeding pass 1 the extractor's ~256 ~1 MB blocks costs 5.5 s/
+    # exchange vs 0.8 s after repartition(P) (measured, 6.1M-edge
+    # corpus @ 32 cpus; extract+resolve 14.5 s → 5.0 s end-to-end).
+    stage1 = _bucketed_resolve_pass(
+        hashed_edges, vh, ("s1", "s2"), ["d1", "d2"], "src", num_partitions
+    ).repartition(num_partitions).materialize()
+    return _bucketed_resolve_pass(
+        stage1, vh, ("d1", "d2"), ["src"], "dst", num_partitions, post=finish
     )
-    vd = vh.map_batches(
-        lambda t: pa.table({"d1": t["h1"], "d2": t["h2"], "dst": t["id"]}),
-        batch_format="pyarrow",
-    )
-    j = hashed_edges.join(
-        vs, "inner", num_join_partitions, on=("s1", "s2")
-    ).join(vd, "inner", num_join_partitions, on=("d1", "d2"))
-    return j.map_batches(_finish_edges, batch_format="pyarrow")
 
 
 def resolve_edges(
@@ -368,16 +569,17 @@ def resolve_edges(
       probed per batch — the SURVEY.md §2.7 broadcast-join pattern for
       the reference's ``Nodes`` dict probes (CitationGraphs.go:1536-1537).
     - ``join`` (the 10^12-file path, where no single object can hold the
-      map): two distributed hash joins — but on 128-bit ROW HASHES of
-      (repo, path), not the strings. Both sides are hashed map-side
-      (vectorized polars ``hash_rows``, the same pair ``VertexProbe``
-      probes with), so the join exchange ships only int64 columns: the
-      edge side shrinks from 4 string columns (~100+ B/row) to four
-      int64s, and key comparison in the hash join is integer, not string
-      (profiled: the string-keyed form was 33 s of a 51 s extraction at
-      8 CPUs). A distributed uniqueness guard on the map's (h1, h2) falls
-      back to the exact string join on any collision (P ≈ V²/2^129 —
-      the same documented risk bound as ``VertexProbe``'s fast path).
+      map): two bucketed reduce-side exchanges (``_bucketed_resolve_pass``)
+      — on 128-bit ROW HASHES of (repo, path), not the strings. Both
+      sides are hashed map-side (vectorized polars ``hash_rows``, the
+      same pair ``VertexProbe`` probes with), so the exchange ships only
+      int64 columns: the edge side shrinks from 4 string columns
+      (~100+ B/row) to four int64s, and in-bucket matching is integer,
+      not string (profiled: the string-keyed form was 33 s of a 51 s
+      extraction at 8 CPUs). A distributed uniqueness guard on the map's
+      (h1, h2) falls back to the exact string Ray join on any collision
+      (P ≈ V²/2^129 — the same documented risk bound as
+      ``VertexProbe``'s fast path).
 
     ``mode="auto"`` picks by vertex-map size. Self-loops are dropped in
     both. Unresolvable dsts (dangling imports) are dropped, mirroring
@@ -390,9 +592,6 @@ def resolve_edges(
             else "join"
         )
     if mode in ("join", "join_strings"):
-        if num_join_partitions is None:
-            num_join_partitions = _join_partitions()
-
         finish = _finish_edges
 
         if mode == "join":
@@ -413,10 +612,24 @@ def resolve_edges(
                         }
                     )
 
-                eh = raw_edges.map_batches(hash_edges, batch_format="pyarrow")
-                return _resolve_hashed(eh, vh, num_join_partitions)
+                # materialized (sort-boundary sampling re-runs lazy
+                # upstreams) and coalesced to P blocks (exchange cost is
+                # shuffle-object-count-bound, see _resolve_hashed)
+                P = num_join_partitions or _exchange_partitions(
+                    vh.count() * 10
+                )
+                eh = (
+                    raw_edges.map_batches(hash_edges, batch_format="pyarrow")
+                    .repartition(P)
+                    .materialize()
+                )
+                return _resolve_hashed(eh, vh, num_partitions=P)
             # fall through to the exact string join on collision
 
+        if num_join_partitions is None:
+            # the string-keyed Ray-join fallback (collision path) keeps
+            # the aggregator-actor-aware CPUs/2 sizing
+            num_join_partitions = _join_partitions()
         vs = vertex_ids.map_batches(
             lambda t: pa.table(
                 {"src_repo": t["repo"], "src_path": t["path"], "src": t["id"]}
@@ -670,24 +883,80 @@ def extract_edge_table(
     (``ExtractResolveEdges``); ``mode="staged"`` keeps the two-pool form —
     the only choice when the vertex map must be joined distributively.
     ``mode="distributed"`` forces every sub-stage onto its 10^12-file
-    engine regardless of input size — distributed-sort id mint, staged
-    extraction, hash-join resolve, shuffle dedup; no driver object ever
-    holds the vertex map. It exists so the scale path can be
+    engine regardless of input size — distributed bucketed-rank id mint,
+    staged extraction, bucketed-exchange resolve with the global dedup
+    fused into the dst-keyed pass; no driver object ever holds the
+    vertex map. It exists so the scale path can be
     equivalence-tested and scaling-benched end-to-end at sandbox scale
     (the auto regimes are deliberately driver-assisted below
     ``BROADCAST_RESOLVE_MAX_ROWS`` and Amdahl-bound in W-scaling).
     All modes are equivalence-tested.
     """
     if mode == "distributed":
-        # materialize: vids is consumed three times (src join, dst join,
-        # caller) — unmaterialized, the distributed mint re-executes per
-        # consumer (ADVICE r3)
-        vids = mint_vertex_ids(corpus, mode="distributed").materialize()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
-        P = _join_partitions()
-        vh = vids.map_batches(_hash_vertices, batch_format="pyarrow").materialize()
-        if _vertex_hash_collisions(vh):
-            # exact string path (P ≈ V²/2^129 — effectively never)
+        # V ≈ corpus rows (one file per row; parquet-metadata-fast count),
+        # E ≈ 10·V — decouples the partition pick from the mint chain so
+        # the two subtrees below can run concurrently
+        P = _exchange_partitions(corpus.count() * 10)
+
+        # The id-mint chain (mint → hash → collision guard) and the
+        # hashed-edge extraction are INDEPENDENT subtrees that only meet
+        # at the resolve exchange — run them concurrently on two driver
+        # threads (each materialize drives its own streaming executor;
+        # the slots are shared, so this pipelines the mint chain's
+        # barrier-bound tail under the extraction's compute).
+        out: dict = {}
+
+        def _mint_chain() -> None:
+            # materialize: vids is consumed three times (src join, dst
+            # join, caller) — unmaterialized, the distributed mint
+            # re-executes per consumer (ADVICE r3)
+            vids = mint_vertex_ids(corpus, mode="distributed").materialize()
+            vh = vids.map_batches(
+                _hash_vertices, batch_format="pyarrow"
+            ).materialize()
+            out["vids"], out["vh"] = vids, vh
+            out["collisions"] = _vertex_hash_collisions(vh)
+
+        def _extract_chain() -> None:
+            # materialized: pass-1's sort-boundary sampling would re-run
+            # the whole extraction if this stayed lazy (int64-only table,
+            # ~32 B/row — cheap to hold). Coalesced to P blocks in the
+            # same pass: the exchange cost is shuffle-object-count-bound
+            # (see _resolve_hashed).
+            out["hashed"] = (
+                slim.map_batches(
+                    extract_hashed_edges_batch, batch_format="pyarrow"
+                )
+                .repartition(P)
+                .materialize()
+            )
+
+        errs: list[BaseException] = []
+
+        def _guard(fn):
+            def run():
+                try:
+                    fn()
+                except BaseException as e:  # propagate to the driver
+                    errs.append(e)
+
+            return run
+
+        threads = [
+            threading.Thread(target=_guard(_mint_chain), daemon=True),
+            threading.Thread(target=_guard(_extract_chain), daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+        vids, vh = out["vids"], out["vh"]
+        if out["collisions"]:
+            # exact string path (P ≈ V²/2^129 — effectively never); the
+            # hashed extraction above is discarded on this path
             raw = slim.map_batches(
                 extract_import_edges_batch, batch_format="pyarrow"
             )
@@ -695,10 +964,10 @@ def extract_edge_table(
                 resolve_edges(raw, vids, mode="join_strings")
             )
         else:
-            hashed = slim.map_batches(
-                extract_hashed_edges_batch, batch_format="pyarrow"
+            # dedup fused into the pass-2 buckets — no separate shuffle
+            edges = _resolve_hashed(
+                out["hashed"], vh, num_partitions=P, dedup=True
             )
-            edges = dedup_edges(_resolve_hashed(hashed, vh, P))
         return edges, vids
     vids = mint_vertex_ids(corpus)
     if mode == "auto":
