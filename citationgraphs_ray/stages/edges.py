@@ -199,25 +199,105 @@ def _ranked_ids_distributed(
     rows: ray.data.Dataset, num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Dense global sorted-rank ids over the distinct ``(repo, path)``
-    rows of ``rows`` (which may contain duplicates) without Ray's
-    range-partitioned string sort and without a separate distinct pass.
+    rows of ``rows`` (which may contain duplicates) — Dataset wrapper
+    around ``_ranked_ids_refs`` (see there for the plan)."""
+    vid_refs, _ = _ranked_ids_refs(rows, num_buckets)
+    if not vid_refs:
+        return ray.data.from_arrow(_VIDS_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs(vid_refs)
 
-    Plan: (1) per-block distinct COMBINER + sort key, coalesced to
-    ``num_buckets`` blocks (Ray's sort cost is shuffle-object-count-
-    bound, see ``_resolve_hashed``); (2) deterministic evenly-spaced key
-    samples per block → driver splitters (tiny); (3) map-side vectorized
-    ``searchsorted`` assigns each row a range bucket; (4) ONE int-keyed
-    coarse-bucket exchange where each bucket task C++-sorts, drops
-    cross-block duplicates (buckets are key-range-disjoint, so per-
-    bucket distinct IS global distinct), and emits its LOCAL rank;
-    (5) a tiny int-only grouped count over the materialized buckets
-    yields per-bucket offsets, and a lazy final map adds
-    ``id = offset[bucket] + local_rank``. Ids equal the global sorted
-    rank regardless of splitter quality (splitters only balance bucket
-    sizes; correctness needs only range-disjoint buckets).
+
+_VIDS_SCHEMA = pa.schema(
+    [("repo", pa.string()), ("path", pa.string()), ("id", pa.int64())]
+)
+_VH_SCHEMA = pa.schema(
+    [("h1", pa.int64()), ("h2", pa.int64()), ("id", pa.int64())]
+)
+
+
+def _mint_rank_reduce(t: pa.Table | None) -> tuple[pa.Table, int]:
+    """Per-bucket mint reduce: C++ sort by __key, adjacent-unique dedup
+    (buckets are key-range-disjoint, so per-bucket distinct IS global
+    distinct), emit (repo, path) in global sorted order + the bucket's
+    distinct row count (→ driver offsets)."""
+    if t is None:
+        e = pa.table(
+            {
+                "repo": pa.array([], type=pa.string()),
+                "path": pa.array([], type=pa.string()),
+            }
+        )
+        return e, 0
+    t = t.sort_by([("__key", "ascending")])
+    k = t["__key"].combine_chunks()
+    if isinstance(k, pa.ChunkedArray):
+        k = k.chunk(0) if k.num_chunks == 1 else pa.concat_arrays(k.chunks)
+    n = len(k)
+    if n > 1:
+        # adjacent-unique over the sorted keys: drops cross-block
+        # duplicates the map-side combiner couldn't see
+        neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        if not neq.all():
+            keep = np.empty(n, dtype=bool)
+            keep[0] = True
+            keep[1:] = neq
+            t = t.filter(pa.array(keep))
+    out = t.select(["repo", "path"])
+    return out, out.num_rows
+
+
+@ray.remote(num_returns=2)
+def _attach_ids(t: pa.Table, offset: int) -> tuple[pa.Table, pa.Table]:
+    """Bucket finalizer: ids = offset + local rank; emits the vids block
+    AND its hashed twin (h1, h2, id) in one task, so the distributed
+    extraction needs no separate hash_vertices pass."""
+    ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+    vids = pa.table({"repo": t["repo"], "path": t["path"], "id": ids})
+    if t.num_rows:
+        h1, h2 = _row_hashes(t["repo"], t["path"])
+        vh = pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+                "id": ids,
+            }
+        )
+    else:
+        vh = _VH_SCHEMA.empty_table()
+    return vids, vh
+
+
+def _ranked_ids_refs(
+    rows: ray.data.Dataset, num_buckets: int | None = None
+) -> tuple[list, list]:
+    """Distributed mint on the raw-task exchange: returns
+    ``(vids_block_refs, vh_block_refs)`` in global-rank order (empty
+    lists for empty input); no driver object ever holds V rows.
+
+    Plan: (1) per-block distinct COMBINER + sort key (map_batches);
+    (2) deterministic evenly-spaced key samples per block → driver
+    splitters (tiny); (3) ONE raw-task bucket exchange
+    (``_split_blocks``/``_reduce_buckets``) where the split task assigns
+    range buckets via vectorized ``searchsorted`` and the reduce task
+    sorts, drops cross-block duplicates and emits its local rank count;
+    (4) per-bucket ``_attach_ids`` adds ``id = offset + rank`` and the
+    hashed twin. Ids equal the global sorted rank regardless of splitter
+    quality (splitters only balance bucket sizes; correctness needs only
+    range-disjoint buckets).
+
+    vs the previous ``groupby(__bucket).map_groups`` form (Ray Data's
+    sort-based shuffle + a separate counts aggregate + a repartition):
+    measured on the 2.9M-vertex bench corpus the sort-shuffle mint cost
+    4.5 s @ 8 cpus and ANTI-scaled to 5.5 s @ 32 (barrier/sampling fixed
+    cost); this form is ~1.5 s at both.
     """
     if num_buckets is None:
-        num_buckets = min(64, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        num_buckets = min(
+            128, max(2, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        )
+    P = num_buckets
 
     def keyed(t: pa.Table) -> pa.Table:
         # per-block distinct combiner: keeps the exchange volume at the
@@ -235,97 +315,31 @@ def _ranked_ids_distributed(
         idx = np.unique(np.linspace(0, n - 1, min(n, 32)).astype(np.int64))
         return pa.table({"__key": t["__key"].take(pa.array(idx))})
 
-    with_key = (
-        rows.map_batches(keyed, batch_format="pyarrow")
-        .repartition(num_buckets)
-        .materialize()
-    )
+    with_key = rows.map_batches(keyed, batch_format="pyarrow").materialize()
     samp = collect_table(
         with_key.map_batches(sample, batch_format="pyarrow")
     )
     keys_sorted = np.sort(samp["__key"].to_numpy(zero_copy_only=False))
     if len(keys_sorted) == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "repo": pa.array([], type=pa.string()),
-                    "path": pa.array([], type=pa.string()),
-                    "id": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-    q = np.linspace(0, len(keys_sorted) - 1, num_buckets + 1).astype(np.int64)
-    splitters = keys_sorted[q[1:-1]]  # num_buckets - 1 boundaries
+        return [], []
+    q = np.linspace(0, len(keys_sorted) - 1, P + 1).astype(np.int64)
+    splitters = keys_sorted[q[1:-1]]  # P - 1 boundaries
 
-    def assign(t: pa.Table) -> pa.Table:
+    def bucket_fn(t: pa.Table, nparts: int) -> np.ndarray:
         keys = t["__key"].to_numpy(zero_copy_only=False)
-        b = np.searchsorted(splitters, keys, side="right").astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
+        return np.searchsorted(splitters, keys, side="right").astype(np.int64)
 
-    def rank_bucket(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("__key", "ascending")])
-        k = t["__key"].combine_chunks()
-        if isinstance(k, pa.ChunkedArray):
-            k = (
-                k.chunk(0)
-                if k.num_chunks == 1
-                else pa.concat_arrays(k.chunks)
-            )
-        n = len(k)
-        if n > 1:
-            # adjacent-unique over the sorted keys: drops cross-block
-            # duplicates the map-side combiner couldn't see
-            neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            if not neq.all():
-                keep = np.empty(n, dtype=bool)
-                keep[0] = True
-                keep[1:] = neq
-                t = t.filter(pa.array(keep))
-        return pa.table(
-            {
-                "repo": t["repo"],
-                "path": t["path"],
-                "__bucket": t["__bucket"],
-                "__r": pa.array(np.arange(t.num_rows, dtype=np.int64)),
-            }
-        )
-
-    bucketed = (
-        with_key.map_batches(assign, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(rank_bucket, batch_format="pyarrow")
-        .materialize()
-    )
-    counts = collect_table(
-        fast_grouped_agg(
-            bucketed.map_batches(
-                lambda t: t.select(["__bucket"]), batch_format="pyarrow"
-            ),
-            ["__bucket"],
-            count_as="n",
-        )
-    )
-    offsets = np.zeros(num_buckets + 1, dtype=np.int64)
-    bk = counts["__bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sizes = np.zeros(num_buckets, dtype=np.int64)
-    sizes[bk] = cn
-    offsets[1:] = np.cumsum(sizes)
-
-    def attach(t: pa.Table) -> pa.Table:
-        b = t["__bucket"].to_numpy(zero_copy_only=False)
-        r = t["__r"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "repo": t["repo"],
-                "path": t["path"],
-                "id": pa.array(offsets[b] + r),
-            }
-        )
-
-    return bucketed.map_batches(attach, batch_format="pyarrow")
+    splits = _split_side(with_key, bucket_fn, P)
+    outs, metas = _reduce_exchange([splits], P, _mint_rank_reduce)
+    sizes = np.asarray(ray.get(metas), dtype=np.int64)
+    offsets = np.zeros(P, dtype=np.int64)
+    offsets[1:] = np.cumsum(sizes)[:-1]
+    vid_refs, vh_refs = [], []
+    for p in range(P):
+        v, h = _attach_ids.remote(outs[p], int(offsets[p]))
+        vid_refs.append(v)
+        vh_refs.append(h)
+    return vid_refs, vh_refs
 
 
 # Vertex-map rows above which resolve_edges switches from the broadcast
@@ -356,14 +370,12 @@ def _hash_vertices(t: pa.Table) -> pa.Table:
     )
 
 
-def _vertex_hash_collisions(vh: ray.data.Dataset) -> int:
-    """Distributed uniqueness guard on the map's (h1, h2): any collision
-    (P ≈ V²/2^129) forces the exact string join."""
-    return (
-        fast_grouped_agg(vh, ["h1", "h2"], count_as="n")
-        .filter(expr="n > 1")
-        .count()
-    )
+class _VertexHashCollision(Exception):
+    """A (h1, h2) collision in the vertex map (P ≈ V²/2^129): the
+    hash-keyed resolve is unsafe — callers fall back to the exact string
+    join. Detected for free inside pass-1's reduce tasks (same-h1 rows
+    land in the same bucket, so per-bucket adjacent-duplicate detection
+    over the lexsorted (h1, h2) IS the global uniqueness guard)."""
 
 
 def _join_partitions() -> int:
@@ -404,77 +416,172 @@ def _exchange_partitions(approx_rows: int) -> int:
     return max(2 * cpus, by_data, 2)
 
 
-def _bucketed_resolve_pass(
-    left: ray.data.Dataset,
-    vh: ray.data.Dataset,
+# ---------------------------------------------------------------------------
+# Raw-task bucketed exchange
+#
+# The resolve passes and the distributed id mint all need the same shape:
+# co-locate rows by a coarse bucket key, then run a vectorized kernel per
+# bucket. Ray Data expresses that as groupby(bucket).map_groups — a
+# sort-based shuffle whose boundary-sampling pass, string/sort-key
+# comparisons and operator barriers cost ~2.5-5 s PER EXCHANGE at bench
+# scale and barely scale 8→32 cpus (measured on the 24M-edge corpus:
+# sort-shuffle pass 3.6 s @ 8 / 2.7 s @ 32; this raw-task exchange
+# 1.4 s / 1.05 s for the identical pass). So the exchange is the one
+# place this engine drops below the Dataset API, per the build brief's
+# escape hatch: P split tasks (each concatenating ~1/P of the input
+# blocks, bucketing rows with one vectorized argsort, and returning P
+# zero-copy slices via num_returns=P) feed P reduce tasks (concat + the
+# per-bucket kernel) — the canonical Ray MapReduce shuffle, with P² small
+# objects and NO sort-boundary sampling, no padded union schema, and no
+# aggregator actors. Datasets remain the interface at both ends
+# (materialized blocks in, ``from_arrow_refs`` out); lineage-based
+# reconstruction still covers worker loss because every piece is a task
+# output. On a multi-node cluster P tracks data volume
+# (``_exchange_partitions``), exactly like the old form.
+# ---------------------------------------------------------------------------
+
+
+def _materialized_block_refs(ds: ray.data.Dataset) -> list:
+    refs: list = []
+    for b in ds.iter_internal_ref_bundles():
+        refs.extend(b.block_refs)
+    return refs
+
+
+def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def _grouped(refs: list, max_groups: int) -> list[list]:
+    """Contiguous ref groups: ≤max_groups split tasks regardless of input
+    block count (replaces a repartition() coalesce pass)."""
+    if not refs:
+        return []
+    g = min(max_groups, len(refs))
+    bounds = np.linspace(0, len(refs), g + 1).astype(np.int64)
+    return [
+        refs[bounds[i]: bounds[i + 1]]
+        for i in range(g)
+        if bounds[i + 1] > bounds[i]
+    ]
+
+
+@ray.remote
+def _split_blocks(bucket_fn, P: int, schema: pa.Schema, *blocks):
+    """Map side: concat this task's blocks, bucket every row with ONE
+    vectorized bucket_fn + argsort, return P zero-copy slices."""
+    tabs = [t for t in blocks if t.num_rows]
+    if not tabs:
+        e = schema.empty_table()
+        return [e] * P
+    t = pa.concat_tables(tabs)
+    b = bucket_fn(t, P)
+    order = np.argsort(b, kind="stable")
+    t = t.take(pa.array(order))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(P + 1))
+    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+
+
+@ray.remote(num_returns=2)
+def _reduce_buckets(reduce_fn, counts, *pieces):
+    """Reduce side: concat each side's pieces (None for an empty side)
+    and run the bucket kernel. Returns (table, meta) — meta carries tiny
+    per-bucket facts (row counts, collision counts) back to the driver
+    without another pass."""
+    sides: list = []
+    i = 0
+    for c in counts:
+        ts = [p for p in pieces[i: i + c] if p.num_rows]
+        sides.append(pa.concat_tables(ts) if ts else None)
+        i += c
+    return reduce_fn(*sides)
+
+
+def _split_refs(refs: list, schema: pa.Schema, bucket_fn, P: int) -> list:
+    return [
+        _split_blocks.options(num_returns=P).remote(bucket_fn, P, schema, *g)
+        for g in _grouped(refs, P)
+    ]
+
+
+def _split_side(ds: ray.data.Dataset, bucket_fn, P: int) -> list:
+    """Split a MATERIALIZED dataset's blocks into P buckets."""
+    return _split_refs(_materialized_block_refs(ds), _pa_schema(ds), bucket_fn, P)
+
+
+def _reduce_exchange(splits_per_side: list, P: int, reduce_fn):
+    """Wire P reduce tasks over the per-side split outputs. Returns
+    (P output-table refs in bucket order, P meta refs)."""
+    counts = [len(s) for s in splits_per_side]
+    outs, metas = [], []
+    for p in range(P):
+        pieces = [m[p] for side in splits_per_side for m in side]
+        o, meta = _reduce_buckets.remote(reduce_fn, counts, *pieces)
+        outs.append(o)
+        metas.append(meta)
+    return outs, metas
+
+
+def _bucket_on(col: str):
+    """Bucket by the low bits of an int64 hash column."""
+
+    def f(t: pa.Table, P: int) -> np.ndarray:
+        h = t[col].to_numpy(zero_copy_only=False)
+        return ((h & _BUCKET_MASK) % P).astype(np.int64)
+
+    return f
+
+
+def _probe_reduce(
     key_cols: tuple[str, str],
     carry_cols: list[str],
     out_name: str,
-    num_partitions: int,
     post=None,
-) -> ray.data.Dataset:
-    """One reduce-side resolve exchange: co-locate edge rows with the
-    vertex-map rows sharing their 128-bit key bucket (ONE union +
-    groupby(__part) shuffle), then match exactly inside each bucket with
-    a vectorized sort + searchsorted probe over the (h1, h2) pair.
+    guard: bool = False,
+):
+    """Per-bucket resolve kernel factory: match the left side's 128-bit
+    (k1, k2) keys against the vertex map's (h1, h2) with a vectorized
+    lexsort + searchsorted probe (the probe walks duplicate-h1 runs to
+    their end, so matching is exact on the full 128-bit pair). Unmatched
+    left rows drop (dangling imports), exactly like the broadcast probe.
 
-    Replaces Ray's ``Dataset.join`` here: the JoinOperator's per-partition
-    aggregator ACTORS pay an actor-pool ramp per join and starve the map
-    side when they and the producers share slots (measured on the
-    6.1M-edge bench corpus: two joins + separate dedup 13.5 s @ 32 cpus /
-    23.5 s @ 8 STAGED, and 41.7 s @ 8 PIPELINED — aggregator/producer
-    thrash; this task-based exchange: 10.3 s @ 32, 20 s @ 8, no actors,
-    no thrash). Matching is exact on the full 128-bit pair: the probe
-    walks duplicate-h1 runs to their end, so it needs only the same
-    (h1, h2)-uniqueness guard as ``VertexProbe``.
-
-    ``post`` (optional) runs inside each bucket task on the matched
-    output — pass-2 uses it to drop self-loops and (fused) dedup.
+    ``guard=True`` (pass 1) additionally counts duplicate (h1, h2) pairs
+    in this bucket's vertex-map rows — same-h1 rows always share a
+    bucket, so the summed per-bucket counts ARE the global uniqueness
+    guard that used to be a separate fast_grouped_agg shuffle (~1 s).
+    ``post`` runs on the matched output (pass 2: self-loop drop + fused
+    dedup). Returns (table, collision_count).
     """
     k1, k2 = key_cols
-    P = num_partitions
-
-    def pad_left(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        b = (t[k1].to_numpy(zero_copy_only=False) & _BUCKET_MASK) % P
-        cols = {"__k1": t[k1], "__k2": t[k2]}
-        for c in carry_cols:
-            cols[c] = t[c]
-        cols["__id"] = pa.array(np.zeros(n, dtype=np.int64))
-        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
-        cols["__part"] = pa.array(b.astype(np.int32))
-        return pa.table(cols)
-
-    def pad_right(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        b = (t["h1"].to_numpy(zero_copy_only=False) & _BUCKET_MASK) % P
-        z64 = pa.array(np.zeros(n, dtype=np.int64))
-        cols = {"__k1": t["h1"], "__k2": t["h2"]}
-        for c in carry_cols:
-            cols[c] = z64
-        cols["__id"] = t["id"]
-        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
-        cols["__part"] = pa.array(b.astype(np.int32))
-        return pa.table(cols)
-
     out_cols = list(carry_cols) + [out_name]
 
-    def resolve_bucket(t: pa.Table) -> pa.Table:
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        lm = side == 0
-        rm = ~lm
-        a1 = t["__k1"].to_numpy(zero_copy_only=False)
-        a2 = t["__k2"].to_numpy(zero_copy_only=False)
-        rs1, rs2 = a1[rm], a2[rm]
-        rid = t["__id"].to_numpy(zero_copy_only=False)[rm]
-        ls1, ls2 = a1[lm], a2[lm]
-        if not len(rs1) or not len(ls1):
-            empty = {
-                c: pa.array(np.array([], dtype=np.int64)) for c in out_cols
-            }
-            return pa.table(empty) if post is None else post(pa.table(empty))
-        order = np.lexsort((rs2, rs1))
-        rs1, rs2, rid = rs1[order], rs2[order], rid[order]
+    def empty_out() -> pa.Table:
+        return pa.table(
+            {c: pa.array(np.array([], dtype=np.int64)) for c in out_cols}
+        )
+
+    def reduce(lt: pa.Table | None, rt: pa.Table | None):
+        collisions = 0
+        if rt is not None and (guard or lt is not None):
+            rs1 = rt["h1"].to_numpy(zero_copy_only=False)
+            rs2 = rt["h2"].to_numpy(zero_copy_only=False)
+            rid = rt["id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((rs2, rs1))
+            rs1, rs2, rid = rs1[order], rs2[order], rid[order]
+            if guard and len(rs1) > 1:
+                collisions = int(
+                    ((rs1[1:] == rs1[:-1]) & (rs2[1:] == rs2[:-1])).sum()
+                )
+        if lt is None or rt is None:
+            tbl = empty_out()
+            return (tbl if post is None else post(tbl)), collisions
+        ls1 = lt[k1].to_numpy(zero_copy_only=False)
+        ls2 = lt[k2].to_numpy(zero_copy_only=False)
         cur = np.minimum(np.searchsorted(rs1, ls1), len(rs1) - 1)
         res = np.full(len(ls1), -1, dtype=np.int64)
         hit = np.zeros(len(ls1), dtype=bool)
@@ -489,39 +596,19 @@ def _bucketed_resolve_pass(
             cur[active] += 1
         out = {}
         for c in carry_cols:
-            out[c] = pa.array(t[c].to_numpy(zero_copy_only=False)[lm][hit])
+            out[c] = pa.array(lt[c].to_numpy(zero_copy_only=False)[hit])
         out[out_name] = pa.array(res[hit])
         tbl = pa.table(out)
-        return tbl if post is None else post(tbl)
+        return (tbl if post is None else post(tbl)), collisions
 
-    u = left.map_batches(pad_left, batch_format="pyarrow").union(
-        vh.map_batches(pad_right, batch_format="pyarrow")
-    )
-    return u.groupby("__part").map_groups(
-        resolve_bucket, batch_format="pyarrow"
-    )
+    return reduce
 
 
-def _resolve_hashed(
-    hashed_edges: ray.data.Dataset,
-    vh: ray.data.Dataset,
-    num_partitions: int | None = None,
-    dedup: bool = False,
-) -> ray.data.Dataset:
-    """Resolve (s1,s2)→src then (d1,d2)→dst with two bucketed reduce-side
-    exchanges (see ``_bucketed_resolve_pass``). Only int64 columns cross
-    the exchange; unmatched endpoints drop exactly like the broadcast
-    probe, and self-loops drop in the pass-2 bucket task.
-
-    ``dedup=True`` additionally emits globally-distinct (src, dst) with
-    NO extra shuffle: a given (src, dst) pair always carries the same
-    (d1, d2) key, so it always lands in the same pass-2 bucket —
-    per-bucket distinct is global distinct.
-    """
-    if num_partitions is None:
-        # E ≈ O(10·V) working estimate; callers with a better edge-count
-        # estimate pass num_partitions explicitly
-        num_partitions = _exchange_partitions(vh.count() * 10)
+def _make_finish(dedup: bool):
+    """Pass-2 post kernel: drop self-loops; ``dedup=True`` additionally
+    emits per-bucket-distinct (src, dst) — globally distinct because a
+    given (src, dst) always carries the same (d1, d2) key and so always
+    lands in the same pass-2 bucket."""
 
     def finish(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -538,21 +625,69 @@ def _resolve_hashed(
             src, dst = uniq["s"], uniq["d"]
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
-    # materialize between the passes: two groupby shuffles chained
-    # lazily re-execute the whole upstream (pass 2's sort-boundary
-    # sampling runs the pipeline once, the sort itself again — measured
-    # 44.8 s chained vs 10.3 s with the barrier on the 6.1M-edge corpus).
-    # COALESCE to P blocks before each exchange: Ray's sort cost is
-    # dominated by the map×reduce shuffle-object count, not bytes —
-    # feeding pass 1 the extractor's ~256 ~1 MB blocks costs 5.5 s/
-    # exchange vs 0.8 s after repartition(P) (measured, 6.1M-edge
-    # corpus @ 32 cpus; extract+resolve 14.5 s → 5.0 s end-to-end).
-    stage1 = _bucketed_resolve_pass(
-        hashed_edges, vh, ("s1", "s2"), ["d1", "d2"], "src", num_partitions
-    ).repartition(num_partitions).materialize()
-    return _bucketed_resolve_pass(
-        stage1, vh, ("d1", "d2"), ["src"], "dst", num_partitions, post=finish
+    return finish
+
+
+_STAGE1_SCHEMA = pa.schema(
+    [("d1", pa.int64()), ("d2", pa.int64()), ("src", pa.int64())]
+)
+
+
+def _resolve_hashed(
+    hashed_edges: ray.data.Dataset,
+    vh: "ray.data.Dataset | list",
+    num_partitions: int | None = None,
+    dedup: bool = False,
+) -> ray.data.Dataset:
+    """Resolve (s1,s2)→src then (d1,d2)→dst with two raw-task bucket
+    exchanges (see the exchange block above). Only int64 columns cross
+    the exchange; unmatched endpoints drop exactly like the broadcast
+    probe, and self-loops drop in the pass-2 bucket task.
+
+    ``vh`` is the hashed vertex map — a materialized Dataset or a list
+    of block refs (the distributed mint hands refs straight over). Both
+    passes bucket the map by h1, so it is SPLIT ONCE and the split
+    outputs are reused. Pass 2 consumes pass 1's bucket outputs directly
+    as refs — per-bucket pipelined, no barrier, no repartition.
+
+    ``dedup=True`` fuses the global edge dedup into the pass-2 buckets
+    (see ``_make_finish``) — no extra shuffle.
+
+    Raises ``_VertexHashCollision`` if the map's (h1, h2) pairs are not
+    unique (P ≈ V²/2^129) — callers fall back to the exact string join.
+    """
+    vh_is_refs = isinstance(vh, list)
+    if num_partitions is None:
+        if vh_is_refs:
+            raise ValueError("num_partitions required when vh is refs")
+        # E ≈ O(10·V) working estimate; callers with a better edge-count
+        # estimate pass num_partitions explicitly
+        num_partitions = _exchange_partitions(vh.count() * 10)
+    P = num_partitions
+    if vh_is_refs:
+        r_splits = _split_refs(vh, _VH_SCHEMA, _bucket_on("h1"), P)
+    else:
+        r_splits = _split_side(vh, _bucket_on("h1"), P)
+    l1 = _split_side(hashed_edges, _bucket_on("s1"), P)
+    out1, metas1 = _reduce_exchange(
+        [l1, r_splits],
+        P,
+        _probe_reduce(("s1", "s2"), ["d1", "d2"], "src", guard=True),
     )
+    # pass 2 is submitted before the collision check so its splits
+    # pipeline behind pass 1's buckets; on the effectively-never
+    # collision path the in-flight work is simply discarded
+    l2 = _split_refs(out1, _STAGE1_SCHEMA, _bucket_on("d1"), P)
+    out2, _ = _reduce_exchange(
+        [l2, r_splits],
+        P,
+        _probe_reduce(
+            ("d1", "d2"), ["src"], "dst", post=_make_finish(dedup)
+        ),
+    )
+    if sum(ray.get(metas1)):
+        raise _VertexHashCollision
+    return ray.data.from_arrow_refs(out2)
 
 
 def resolve_edges(
@@ -569,17 +704,17 @@ def resolve_edges(
       probed per batch — the SURVEY.md §2.7 broadcast-join pattern for
       the reference's ``Nodes`` dict probes (CitationGraphs.go:1536-1537).
     - ``join`` (the 10^12-file path, where no single object can hold the
-      map): two bucketed reduce-side exchanges (``_bucketed_resolve_pass``)
-      — on 128-bit ROW HASHES of (repo, path), not the strings. Both
-      sides are hashed map-side (vectorized polars ``hash_rows``, the
-      same pair ``VertexProbe`` probes with), so the exchange ships only
+      map): two raw-task bucket exchanges (``_resolve_hashed``) — on
+      128-bit ROW HASHES of (repo, path), not the strings. Both sides
+      are hashed map-side (vectorized polars ``hash_rows``, the same
+      pair ``VertexProbe`` probes with), so the exchange ships only
       int64 columns: the edge side shrinks from 4 string columns
       (~100+ B/row) to four int64s, and in-bucket matching is integer,
       not string (profiled: the string-keyed form was 33 s of a 51 s
-      extraction at 8 CPUs). A distributed uniqueness guard on the map's
-      (h1, h2) falls back to the exact string Ray join on any collision
-      (P ≈ V²/2^129 — the same documented risk bound as
-      ``VertexProbe``'s fast path).
+      extraction at 8 CPUs). A uniqueness guard on the map's (h1, h2) —
+      fused into pass-1's reduce tasks — falls back to the exact string
+      Ray join on any collision (P ≈ V²/2^129 — the same documented
+      risk bound as ``VertexProbe``'s fast path).
 
     ``mode="auto"`` picks by vertex-map size. Self-loops are dropped in
     both. Unresolvable dsts (dangling imports) are dropped, mirroring
@@ -598,33 +733,32 @@ def resolve_edges(
             vh = vertex_ids.map_batches(
                 _hash_vertices, batch_format="pyarrow"
             ).materialize()
-            if not _vertex_hash_collisions(vh):
 
-                def hash_edges(t: pa.Table) -> pa.Table:
-                    s1, s2 = _row_hashes(t["src_repo"], t["src_path"])
-                    d1, d2 = _row_hashes(t["dst_repo"], t["dst_path"])
-                    return pa.table(
-                        {
-                            "s1": pa.array(s1.view(np.int64)),
-                            "s2": pa.array(s2.view(np.int64)),
-                            "d1": pa.array(d1.view(np.int64)),
-                            "d2": pa.array(d2.view(np.int64)),
-                        }
-                    )
+            def hash_edges(t: pa.Table) -> pa.Table:
+                s1, s2 = _row_hashes(t["src_repo"], t["src_path"])
+                d1, d2 = _row_hashes(t["dst_repo"], t["dst_path"])
+                return pa.table(
+                    {
+                        "s1": pa.array(s1.view(np.int64)),
+                        "s2": pa.array(s2.view(np.int64)),
+                        "d1": pa.array(d1.view(np.int64)),
+                        "d2": pa.array(d2.view(np.int64)),
+                    }
+                )
 
-                # materialized (sort-boundary sampling re-runs lazy
-                # upstreams) and coalesced to P blocks (exchange cost is
-                # shuffle-object-count-bound, see _resolve_hashed)
-                P = num_join_partitions or _exchange_partitions(
-                    vh.count() * 10
-                )
-                eh = (
-                    raw_edges.map_batches(hash_edges, batch_format="pyarrow")
-                    .repartition(P)
-                    .materialize()
-                )
+            # materialized: the exchange splits need block refs (and
+            # the split tasks coalesce blocks themselves — no
+            # repartition pass)
+            P = num_join_partitions or _exchange_partitions(
+                vh.count() * 10
+            )
+            eh = raw_edges.map_batches(
+                hash_edges, batch_format="pyarrow"
+            ).materialize()
+            try:
                 return _resolve_hashed(eh, vh, num_partitions=P)
-            # fall through to the exact string join on collision
+            except _VertexHashCollision:
+                pass  # exact string join below
 
         if num_join_partitions is None:
             # the string-keyed Ray-join fallback (collision path) keeps
@@ -899,38 +1033,32 @@ def extract_edge_table(
         # the two subtrees below can run concurrently
         P = _exchange_partitions(corpus.count() * 10)
 
-        # The id-mint chain (mint → hash → collision guard) and the
-        # hashed-edge extraction are INDEPENDENT subtrees that only meet
-        # at the resolve exchange — run them concurrently on two driver
-        # threads (each materialize drives its own streaming executor;
-        # the slots are shared, so this pipelines the mint chain's
-        # barrier-bound tail under the extraction's compute).
+        # The id mint and the hashed-edge extraction are INDEPENDENT
+        # subtrees that only meet at the resolve exchange — run them
+        # concurrently on two driver threads (each materialize drives
+        # its own streaming executor; the slots are shared, so this
+        # pipelines the mint's combiner pass under the extraction's
+        # compute; the mint's exchange itself is raw tasks and overlaps
+        # anything).
         out: dict = {}
 
         def _mint_chain() -> None:
-            # materialize: vids is consumed three times (src join, dst
-            # join, caller) — unmaterialized, the distributed mint
-            # re-executes per consumer (ADVICE r3)
-            vids = mint_vertex_ids(corpus, mode="distributed").materialize()
-            vh = vids.map_batches(
-                _hash_vertices, batch_format="pyarrow"
-            ).materialize()
-            out["vids"], out["vh"] = vids, vh
-            out["collisions"] = _vertex_hash_collisions(vh)
+            # refs, not a Dataset: the exchange consumes the mint's
+            # bucket outputs (and their hashed twins from _attach_ids)
+            # directly — no re-execution per consumer (ADVICE r3), no
+            # separate hash_vertices pass, no separate collision guard
+            # (fused into resolve pass 1).
+            out["vid_refs"], out["vh_refs"] = _ranked_ids_refs(
+                corpus.select_columns(["repo", "path"])
+            )
 
         def _extract_chain() -> None:
-            # materialized: pass-1's sort-boundary sampling would re-run
-            # the whole extraction if this stayed lazy (int64-only table,
-            # ~32 B/row — cheap to hold). Coalesced to P blocks in the
-            # same pass: the exchange cost is shuffle-object-count-bound
-            # (see _resolve_hashed).
-            out["hashed"] = (
-                slim.map_batches(
-                    extract_hashed_edges_batch, batch_format="pyarrow"
-                )
-                .repartition(P)
-                .materialize()
-            )
+            # materialized: the exchange splits need block refs
+            # (int64-only table, ~32 B/row — cheap to hold); the split
+            # tasks coalesce blocks themselves, so no repartition pass.
+            out["hashed"] = slim.map_batches(
+                extract_hashed_edges_batch, batch_format="pyarrow"
+            ).materialize()
 
         errs: list[BaseException] = []
 
@@ -953,8 +1081,17 @@ def extract_edge_table(
             t.join()
         if errs:
             raise errs[0]
-        vids, vh = out["vids"], out["vh"]
-        if out["collisions"]:
+        vids = (
+            ray.data.from_arrow_refs(out["vid_refs"])
+            if out["vid_refs"]
+            else ray.data.from_arrow(_VIDS_SCHEMA.empty_table())
+        )
+        try:
+            # dedup fused into the pass-2 buckets — no separate shuffle
+            edges = _resolve_hashed(
+                out["hashed"], out["vh_refs"], num_partitions=P, dedup=True
+            )
+        except _VertexHashCollision:
             # exact string path (P ≈ V²/2^129 — effectively never); the
             # hashed extraction above is discarded on this path
             raw = slim.map_batches(
@@ -962,11 +1099,6 @@ def extract_edge_table(
             )
             edges = dedup_edges(
                 resolve_edges(raw, vids, mode="join_strings")
-            )
-        else:
-            # dedup fused into the pass-2 buckets — no separate shuffle
-            edges = _resolve_hashed(
-                out["hashed"], vh, num_partitions=P, dedup=True
             )
         return edges, vids
     vids = mint_vertex_ids(corpus)
