@@ -213,6 +213,14 @@ _VIDS_SCHEMA = pa.schema(
 _VH_SCHEMA = pa.schema(
     [("h1", pa.int64()), ("h2", pa.int64()), ("id", pa.int64())]
 )
+_EH_SCHEMA = pa.schema(
+    [
+        ("s1", pa.int64()),
+        ("s2", pa.int64()),
+        ("d1", pa.int64()),
+        ("d2", pa.int64()),
+    ]
+)
 
 
 def _mint_rank_reduce(t: pa.Table | None) -> tuple[pa.Table, int]:
@@ -319,9 +327,11 @@ def _ranked_ids_refs(
     samp = collect_table(
         with_key.map_batches(sample, batch_format="pyarrow")
     )
-    keys_sorted = np.sort(samp["__key"].to_numpy(zero_copy_only=False))
-    if len(keys_sorted) == 0:
+    # empty input: the collected sample may carry the INPUT schema (Ray
+    # infers an empty mapped dataset's schema without running the UDF)
+    if samp.num_rows == 0 or "__key" not in samp.column_names:
         return [], []
+    keys_sorted = np.sort(samp["__key"].to_numpy(zero_copy_only=False))
     q = np.linspace(0, len(keys_sorted) - 1, P + 1).astype(np.int64)
     splitters = keys_sorted[q[1:-1]]  # P - 1 boundaries
 
@@ -448,8 +458,16 @@ def _materialized_block_refs(ds: ray.data.Dataset) -> list:
     return refs
 
 
-def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
+def _pa_schema(
+    ds: ray.data.Dataset, fallback: pa.Schema | None = None
+) -> pa.Schema:
     s = ds.schema()
+    if s is None:
+        # zero-row materialized dataset: schema is unknowable — use the
+        # caller's static schema (all exchange inputs have one)
+        if fallback is None:
+            raise ValueError("empty dataset with no fallback schema")
+        return fallback
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -509,9 +527,16 @@ def _split_refs(refs: list, schema: pa.Schema, bucket_fn, P: int) -> list:
     ]
 
 
-def _split_side(ds: ray.data.Dataset, bucket_fn, P: int) -> list:
+def _split_side(
+    ds: ray.data.Dataset,
+    bucket_fn,
+    P: int,
+    schema: pa.Schema | None = None,
+) -> list:
     """Split a MATERIALIZED dataset's blocks into P buckets."""
-    return _split_refs(_materialized_block_refs(ds), _pa_schema(ds), bucket_fn, P)
+    return _split_refs(
+        _materialized_block_refs(ds), _pa_schema(ds, schema), bucket_fn, P
+    )
 
 
 def _reduce_exchange(splits_per_side: list, P: int, reduce_fn):
@@ -667,8 +692,10 @@ def _resolve_hashed(
     if vh_is_refs:
         r_splits = _split_refs(vh, _VH_SCHEMA, _bucket_on("h1"), P)
     else:
-        r_splits = _split_side(vh, _bucket_on("h1"), P)
-    l1 = _split_side(hashed_edges, _bucket_on("s1"), P)
+        r_splits = _split_side(vh, _bucket_on("h1"), P, schema=_VH_SCHEMA)
+    l1 = _split_side(
+        hashed_edges, _bucket_on("s1"), P, schema=_EH_SCHEMA
+    )
     out1, metas1 = _reduce_exchange(
         [l1, r_splits],
         P,

@@ -96,6 +96,75 @@ def test_extract_distributed_equals_fused(small_corpus):
     assert mf.equals(md)
 
 
+def test_resolve_hashed_collision_guard_raises():
+    """A duplicated (h1, h2) pair in the vertex map must trip the guard
+    fused into pass-1's reduce tasks (same-h1 rows share a bucket, so
+    per-bucket adjacent-duplicate detection IS the global check)."""
+    from citationgraphs_ray.stages.edges import (
+        _resolve_hashed,
+        _VertexHashCollision,
+    )
+
+    vh = pa.table(
+        {
+            "h1": pa.array([1, 1, 2], type=pa.int64()),
+            "h2": pa.array([5, 5, 6], type=pa.int64()),
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    eh = pa.table(
+        {
+            "s1": pa.array([1], type=pa.int64()),
+            "s2": pa.array([5], type=pa.int64()),
+            "d1": pa.array([2], type=pa.int64()),
+            "d2": pa.array([6], type=pa.int64()),
+        }
+    )
+    with pytest.raises(_VertexHashCollision):
+        _resolve_hashed(
+            ray.data.from_arrow(eh).materialize(),
+            ray.data.from_arrow(vh).materialize(),
+            num_partitions=4,
+        )
+
+
+def test_extract_distributed_collision_fallback(small_corpus, monkeypatch):
+    """When the hashed resolve reports a collision, the distributed path
+    must fall back to the exact string join and still produce the
+    correct edge table."""
+    from citationgraphs_ray.stages import edges as edges_mod
+
+    def always_collide(*a, **k):
+        raise edges_mod._VertexHashCollision
+
+    monkeypatch.setattr(edges_mod, "_resolve_hashed", always_collide)
+    ds = ray.data.from_arrow(small_corpus.table)
+    ed, vd = edges_mod.extract_edge_table(ds, mode="distributed")
+    vt = vd.to_pandas()
+    id2key = {r.id: (r.repo, r.path) for r in vt.itertuples()}
+    got = {
+        (*id2key[s], *id2key[d])
+        for s, d in zip(*ed.to_pandas()[["src", "dst"]].T.values)
+    }
+    assert got == small_corpus.expected_edges
+
+
+def test_extract_distributed_empty_corpus():
+    """Zero-row corpus through the forced-distributed path: no edges,
+    no vertex ids, no crash in the empty-exchange wiring."""
+    empty = pa.table(
+        {
+            "repo": pa.array([], type=pa.string()),
+            "path": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "content": pa.array([], type=pa.string()),
+        }
+    )
+    ed, vd = extract_edge_table(ray.data.from_arrow(empty), mode="distributed")
+    assert ed.count() == 0
+    assert vd.count() == 0
+
+
 def test_dedup_idempotent_and_no_self_loops(small_edges):
     edges, _ = small_edges
     df = edges.to_pandas()
