@@ -413,10 +413,14 @@ def _join_partitions() -> int:
 # Rows per coarse partition in the bucketed reduce-side resolve exchange:
 # a bucket (rows/P × ~40 B of int64 columns) must fit a worker's heap, so
 # P tracks DATA volume (cluster-size-independent at scale) with a 2×CPU
-# floor for parallelism on small inputs. Measured on the 7M-edge bench
-# corpus: P=64 @ 32 cpus 5.1 s/exchange, P=16 @ 8 cpus 9.9 s — both the
-# optimum of their curve, and both what this rule picks.
-EXCHANGE_ROWS_PER_PARTITION = 500_000
+# floor for parallelism on small inputs. 4M rows × ~40 B ≈ 160 MB per
+# reduce input — comfortably inside a worker heap while keeping the
+# exchange's P² small-object count (and the driver's P×2P ref-submission
+# work) from exploding: at 500k rows/partition the 97M-edge corpus got
+# P=232 → 54k objects per pass and seconds of pure driver submission;
+# P=64 moves the same bytes in ~4k objects. The 2×CPU floor, not this
+# divisor, is what sets P on every input that fits the sandbox.
+EXCHANGE_ROWS_PER_PARTITION = 4_000_000
 _BUCKET_MASK = np.int64(2**62 - 1)
 
 
