@@ -509,19 +509,47 @@ def _split_blocks(bucket_fn, P: int, schema: pa.Schema, *blocks):
     return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
 
 
-@ray.remote(num_returns=2)
-def _reduce_buckets(reduce_fn, counts, *pieces):
-    """Reduce side: concat each side's pieces (None for an empty side)
-    and run the bucket kernel. Returns (table, meta) — meta carries tiny
-    per-bucket facts (row counts, collision counts) back to the driver
-    without another pass."""
+def _gather_sides(counts, pieces) -> list:
     sides: list = []
     i = 0
     for c in counts:
         ts = [p for p in pieces[i: i + c] if p.num_rows]
         sides.append(pa.concat_tables(ts) if ts else None)
         i += c
-    return reduce_fn(*sides)
+    return sides
+
+
+@ray.remote(num_returns=2)
+def _reduce_buckets(reduce_fn, counts, *pieces):
+    """Reduce side: concat each side's pieces (None for an empty side)
+    and run the bucket kernel. Returns (table, meta) — meta carries tiny
+    per-bucket facts (row counts, collision counts) back to the driver
+    without another pass."""
+    return reduce_fn(*_gather_sides(counts, pieces))
+
+
+@ray.remote
+def _reduce_and_resplit(
+    reduce_fn, counts, bucket_fn, P_next: int, schema: pa.Schema, *pieces
+):
+    """Reduce + map fused in one task: run the bucket kernel, then
+    immediately re-bucket its OUTPUT for the next exchange and return
+    ``P_next`` zero-copy slices plus the meta — the classic two-phase
+    shuffle fusion. vs a separate split stage this saves one full plasma
+    write+read of the intermediate table and a P-task scheduling wave
+    (measured on the 96M-edge corpus: the standalone stage-1 re-split
+    cost 2.6-3.8 s on top of the reduce)."""
+    tbl, meta = reduce_fn(*_gather_sides(counts, pieces))
+    if tbl.num_rows == 0:
+        return [schema.empty_table()] * P_next + [meta]
+    b = bucket_fn(tbl, P_next)
+    order = np.argsort(b, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(P_next + 1))
+    return [
+        tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(P_next)
+    ] + [meta]
 
 
 def _split_refs(refs: list, schema: pa.Schema, bucket_fn, P: int) -> list:
@@ -702,22 +730,35 @@ def _resolve_hashed(
     l1 = _split_side(
         hashed_edges, _bucket_on("s1"), P, schema=_EH_SCHEMA
     )
-    out1, metas1 = _reduce_exchange(
-        [l1, r_splits],
-        P,
-        _probe_reduce(("s1", "s2"), ["d1", "d2"], "src", guard=True),
+    # pass 1 reduces are FUSED with pass 2's map side
+    # (_reduce_and_resplit): each bucket task probes src and immediately
+    # re-buckets its output by d1 into P slices — the stage-1 table is
+    # never written whole and never re-read by a separate split wave.
+    reduce1 = _probe_reduce(("s1", "s2"), ["d1", "d2"], "src", guard=True)
+    counts1 = [len(l1), len(r_splits)]
+    out1_slices: list[list] = []
+    metas1 = []
+    for p in range(P):
+        pieces = [m[p] for m in l1] + [m[p] for m in r_splits]
+        refs = _reduce_and_resplit.options(num_returns=P + 1).remote(
+            reduce1, counts1, _bucket_on("d1"), P, _STAGE1_SCHEMA, *pieces
+        )
+        out1_slices.append(refs[:P])
+        metas1.append(refs[P])
+    # pass 2 is submitted before the collision check so it pipelines
+    # behind pass 1's buckets; on the effectively-never collision path
+    # the in-flight work is simply discarded
+    reduce2 = _probe_reduce(
+        ("d1", "d2"), ["src"], "dst", post=_make_finish(dedup)
     )
-    # pass 2 is submitted before the collision check so its splits
-    # pipeline behind pass 1's buckets; on the effectively-never
-    # collision path the in-flight work is simply discarded
-    l2 = _split_refs(out1, _STAGE1_SCHEMA, _bucket_on("d1"), P)
-    out2, _ = _reduce_exchange(
-        [l2, r_splits],
-        P,
-        _probe_reduce(
-            ("d1", "d2"), ["src"], "dst", post=_make_finish(dedup)
-        ),
-    )
+    counts2 = [P, len(r_splits)]
+    out2 = []
+    for q in range(P):
+        pieces = [out1_slices[p][q] for p in range(P)] + [
+            m[q] for m in r_splits
+        ]
+        o, _ = _reduce_buckets.remote(reduce2, counts2, *pieces)
+        out2.append(o)
     if sum(ray.get(metas1)):
         raise _VertexHashCollision
     return ray.data.from_arrow_refs(out2)
