@@ -210,6 +210,7 @@ def _ranked_ids_distributed(
 _VIDS_SCHEMA = pa.schema(
     [("repo", pa.string()), ("path", pa.string()), ("id", pa.int64())]
 )
+_VERT_SCHEMA = pa.schema([("repo", pa.string()), ("path", pa.string())])
 _VH_SCHEMA = pa.schema(
     [("h1", pa.int64()), ("h2", pa.int64()), ("id", pa.int64())]
 )
@@ -223,11 +224,26 @@ _EH_SCHEMA = pa.schema(
 )
 
 
+@ray.remote
+def _sample_vertex_keys(t: pa.Table) -> pa.Table:
+    """Evenly-spaced per-block (repo, path) sample — splitter input."""
+    n = t.num_rows
+    if n == 0:
+        return _VERT_SCHEMA.empty_table()
+    idx = np.unique(np.linspace(0, n - 1, min(n, 32)).astype(np.int64))
+    return t.select(["repo", "path"]).take(pa.array(idx))
+
+
+def _vert_distinct(t: pa.Table) -> pa.Table:
+    """Split-task combiner: per-task distinct (repo, path)."""
+    return t.group_by(["repo", "path"]).aggregate([])
+
+
 def _mint_rank_reduce(t: pa.Table | None) -> tuple[pa.Table, int]:
-    """Per-bucket mint reduce: C++ sort by __key, adjacent-unique dedup
-    (buckets are key-range-disjoint, so per-bucket distinct IS global
-    distinct), emit (repo, path) in global sorted order + the bucket's
-    distinct row count (→ driver offsets)."""
+    """Per-bucket mint reduce: C++ sort by the NUL-joined key,
+    adjacent-unique dedup (buckets are key-range-disjoint, so per-bucket
+    distinct IS global distinct), emit (repo, path) in global sorted
+    order + the bucket's distinct row count (→ driver offsets)."""
     if t is None:
         e = pa.table(
             {
@@ -236,6 +252,7 @@ def _mint_rank_reduce(t: pa.Table | None) -> tuple[pa.Table, int]:
             }
         )
         return e, 0
+    t = t.append_column("__key", _exact_keys(t["repo"], t["path"]))
     t = t.sort_by([("__key", "ascending")])
     k = t["__key"].combine_chunks()
     if isinstance(k, pa.ChunkedArray):
@@ -307,39 +324,45 @@ def _ranked_ids_refs(
         )
     P = num_buckets
 
-    def keyed(t: pa.Table) -> pa.Table:
-        # per-block distinct combiner: keeps the exchange volume at the
-        # old post-distinct level when the input has duplicate keys
-        t = t.select(["repo", "path"]).group_by(["repo", "path"]).aggregate([])
-        # '\0' join preserves (repo, path) tuple order: NUL sorts below
-        # every key byte, so prefix repos rank first exactly like the
-        # 2-column sort (same trick as _exact_keys)
-        return t.append_column("__key", _exact_keys(t["repo"], t["path"]))
-
-    def sample(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return pa.table({"__key": pa.array([], type=pa.string())})
-        idx = np.unique(np.linspace(0, n - 1, min(n, 32)).astype(np.int64))
-        return pa.table({"__key": t["__key"].take(pa.array(idx))})
-
-    with_key = rows.map_batches(keyed, batch_format="pyarrow").materialize()
-    samp = collect_table(
-        with_key.map_batches(sample, batch_format="pyarrow")
-    )
-    # empty input: the collected sample may carry the INPUT schema (Ray
-    # infers an empty mapped dataset's schema without running the UDF)
-    if samp.num_rows == 0 or "__key" not in samp.column_names:
+    src = rows.select_columns(["repo", "path"]).materialize()
+    refs = _materialized_block_refs(src)
+    if not refs:
         return [], []
-    keys_sorted = np.sort(samp["__key"].to_numpy(zero_copy_only=False))
+    # tiny per-block sample tasks (≤32 rows each) → driver splitters;
+    # no keyed/materialized intermediate — the '\0'-joined sort key
+    # (NUL sorts below every key byte, so prefix repos rank first
+    # exactly like the 2-column sort) is computed where it's consumed:
+    # driver-side on the samples, split-side for bucketing, reduce-side
+    # for the sort.
+    samp = pa.concat_tables(
+        ray.get([_sample_vertex_keys.remote(r) for r in refs])
+    )
+    if samp.num_rows == 0:
+        return [], []
+    keys_sorted = np.sort(
+        _exact_keys(samp["repo"], samp["path"]).to_numpy(
+            zero_copy_only=False
+        )
+    )
     q = np.linspace(0, len(keys_sorted) - 1, P + 1).astype(np.int64)
     splitters = keys_sorted[q[1:-1]]  # P - 1 boundaries
 
     def bucket_fn(t: pa.Table, nparts: int) -> np.ndarray:
-        keys = t["__key"].to_numpy(zero_copy_only=False)
+        keys = _exact_keys(t["repo"], t["path"]).to_numpy(
+            zero_copy_only=False
+        )
         return np.searchsorted(splitters, keys, side="right").astype(np.int64)
 
-    splits = _split_side(with_key, bucket_fn, P)
+    # the per-group distinct COMBINER is fused into the split tasks
+    # (prep_fn) — same duplicate-volume protection as the old dedicated
+    # map_batches pass, zero extra plasma round-trips
+    splits = _split_refs(
+        refs,
+        _pa_schema(src, _VERT_SCHEMA),
+        bucket_fn,
+        P,
+        prep_fn=_vert_distinct,
+    )
     outs, metas = _reduce_exchange([splits], P, _mint_rank_reduce)
     sizes = np.asarray(ray.get(metas), dtype=np.int64)
     offsets = np.zeros(P, dtype=np.int64)
@@ -493,14 +516,18 @@ def _grouped(refs: list, max_groups: int) -> list[list]:
 
 
 @ray.remote
-def _split_blocks(bucket_fn, P: int, schema: pa.Schema, *blocks):
+def _split_blocks(bucket_fn, P: int, schema: pa.Schema, prep_fn, *blocks):
     """Map side: concat this task's blocks, bucket every row with ONE
-    vectorized bucket_fn + argsort, return P zero-copy slices."""
+    vectorized bucket_fn + argsort, return P zero-copy slices.
+    ``prep_fn`` (optional) runs on the concatenated table first — the
+    fused map-side combiner hook (e.g. per-task distinct)."""
     tabs = [t for t in blocks if t.num_rows]
     if not tabs:
         e = schema.empty_table()
         return [e] * P
     t = pa.concat_tables(tabs)
+    if prep_fn is not None:
+        t = prep_fn(t)
     b = bucket_fn(t, P)
     order = np.argsort(b, kind="stable")
     t = t.take(pa.array(order))
@@ -552,9 +579,13 @@ def _reduce_and_resplit(
     ] + [meta]
 
 
-def _split_refs(refs: list, schema: pa.Schema, bucket_fn, P: int) -> list:
+def _split_refs(
+    refs: list, schema: pa.Schema, bucket_fn, P: int, prep_fn=None
+) -> list:
     return [
-        _split_blocks.options(num_returns=P).remote(bucket_fn, P, schema, *g)
+        _split_blocks.options(num_returns=P).remote(
+            bucket_fn, P, schema, prep_fn, *g
+        )
         for g in _grouped(refs, P)
     ]
 
