@@ -92,6 +92,35 @@ def parallel_canary(procs: int = 8, seconds: float = 2.0) -> float:
     return round(sum(res) / seconds / 1e6, 1)
 
 
+def _stream(args) -> int:
+    seconds, nbytes = args
+    a = np.ones(nbytes // 8, dtype=np.int64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # warm: fault both buffers in before timing
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(b, a)
+        n += 1
+    return n * nbytes * 2  # bytes read + written
+
+
+def stream_canary(procs: int = 8, seconds: float = 2.0, mb: int = 64) -> float:
+    """Aggregate MEMORY-BANDWIDTH capacity (GB/s of memcpy over
+    ``procs`` OS processes, 64 MB buffers — LLC-busting). A single box
+    does NOT scale bandwidth with process count the way a real N- vs
+    4N-node cluster does (each node brings its own memory bus), so a
+    shuffle-heavy job's single-box 8→32 ratio is bounded by THIS ratio,
+    not the CPU-spin one (measured here: ~24 GB/s × 1 proc, ~87 × 8,
+    ~220 × 32 — the bus saturates, ratio ≈ 2.5 where the CPU canary
+    says ≈ 3.2)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        res = pool.map(_stream, [(seconds, mb << 20)] * procs)
+    return round(sum(res) / seconds / 2**30, 1)
+
+
 def ensure_bench_corpus() -> str:
     out = f"/tmp/graft_bench/corpus_r{CORPUS_REPOS}"
     marker = os.path.join(out, "_SUCCESS")
@@ -428,20 +457,23 @@ def scaling_mode() -> None:
     dist: dict[int, list] = {8: [], 32: []}
     denv = dict(env)
     denv["GRAFT_BENCH_SECTIONS"] = "extract_dist"
-    # 4x corpus (vs the headline legs): the forced-distributed job on
-    # the 34400-repo corpus is ~8 s of cluster-size-independent fixed
-    # coordination (mint barriers, sort sampling, exchange setup) over
-    # ~81 MB of data — its 8→32 ratio measures the Amdahl floor of the
-    # COORDINATION, not the engine. At 137600 repos (~2.9M files /
-    # ~24M edges) the exchanges and extraction compute dominate, which
-    # is the regime every real multi-node run of this path lives in.
+    # 16x corpus (vs the headline legs): the forced-distributed job
+    # must be dominated by its parallel work (extraction compute +
+    # exchange volume) for the 8→32 ratio to measure the engine rather
+    # than cluster-size-independent coordination (mint barriers,
+    # exchange setup, driver ref bookkeeping). At 550400 repos (~11.6M
+    # files / ~96M edges) the job runs ~30-55 s — the regime every real
+    # multi-node run of this path lives in. (One-time corpus generation
+    # at this size takes ~15 min; it is cached under /tmp/graft_bench.)
     denv["GRAFT_BENCH_REPOS"] = os.environ.get(
-        "GRAFT_SCALING_DIST_REPOS", "137600"
+        "GRAFT_SCALING_DIST_REPOS", "550400"
     )
+    scanaries: dict[int, list] = {8: [], 32: []}
     for r in range(rounds):
         for n in (8, 32):
             denv["RAY_GRAFT_CPUS"] = str(n)
             canaries[n].append(parallel_canary(procs=n))
+            scanaries[n].append(stream_canary(procs=n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=denv,
@@ -453,7 +485,8 @@ def scaling_mode() -> None:
             dist[n].append(res["extract_dist_sec"])
             log(
                 f"dist round {r} cpus {n}: extract_dist "
-                f"{res['extract_dist_sec']}s"
+                f"{res['extract_dist_sec']}s (cpu canary "
+                f"{canaries[n][-1]}, stream {scanaries[n][-1]} GB/s)"
             )
     best_p8, best_p32 = min(pipe[8]), min(pipe[32])
     best_e8, best_e32 = min(extract[8]), min(extract[32])
@@ -461,6 +494,7 @@ def scaling_mode() -> None:
     best_d8, best_d32 = min(dist[8]), min(dist[32])
     # host-delivered 8→32 capacity ratio (4.0 on real hardware / cluster)
     cap_ratio = max(canaries[32]) / max(canaries[8])
+    stream_ratio = max(scanaries[32]) / max(scanaries[8])
     print(
         json.dumps(
             {
@@ -499,6 +533,19 @@ def scaling_mode() -> None:
                 "extract_dist_efficiency_vs_capacity": round(
                     (best_d8 / best_d32) / cap_ratio, 3
                 ),
+                # the exchange-heavy path moves ~4 bytes/row-op through
+                # plasma per pass — on one box its 8→32 ceiling is the
+                # MEMORY-BANDWIDTH ratio (a real 4x cluster adds memory
+                # buses with nodes; this box doesn't), so the honest
+                # vs-capacity denominator for this job is bounded by
+                # both canaries: CPU for the extract/probe compute,
+                # stream for the shuffle traffic.
+                "stream_capacity_ratio_8_to_32": round(stream_ratio, 2),
+                "extract_dist_efficiency_vs_stream": round(
+                    (best_d8 / best_d32) / stream_ratio, 3
+                ),
+                "stream_canary_8": scanaries[8],
+                "stream_canary_32": scanaries[32],
                 "extract_dist_samples_8": dist[8],
                 "extract_dist_samples_32": dist[32],
                 "pipeline_samples_8": pipe[8],
