@@ -470,7 +470,11 @@ def _exchange_partitions(approx_rows: int) -> int:
 # zero-copy slices via num_returns=P) feed P reduce tasks (concat + the
 # per-bucket kernel) — the canonical Ray MapReduce shuffle, with P² small
 # objects and NO sort-boundary sampling, no padded union schema, and no
-# aggregator actors. Datasets remain the interface at both ends
+# aggregator actors. Consecutive exchanges FUSE: a reduce task can
+# re-bucket its own output for the next pass (``_reduce_and_resplit``),
+# and a split task can run a map-side combiner first (``prep_fn``), so a
+# two-pass resolve touches the object store exactly once per pass.
+# Datasets remain the interface at both ends
 # (materialized blocks in, ``from_arrow_refs`` out); lineage-based
 # reconstruction still covers worker loss because every piece is a task
 # output. On a multi-node cluster P tracks data volume
