@@ -1329,6 +1329,143 @@ def q_sim_tfidf_top3(sf_dir: str):
     )
 
 
+def q_asof_prior_purchase(sf_dir: str):
+    """First-class backward AS-OF JOIN (stages/temporal.py:asof_join —
+    the build brief's custom-operator list): each event matched to the
+    same user's most recent purchase event at-or-before its timestamp;
+    the right side is pre-deduped to unique (user_id, ts) by max
+    event_id, the DuckDB ASOF JOIN contract."""
+    from ..stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    pur = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type == 'purchase'")
+    right = fast_grouped_agg(
+        pur.map_batches(
+            lambda t: pa.table(
+                {"user_id": t["user_id"], "ts": t["ts"], "eid": t["event_id"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "ts"],
+        {"purchase_id": ("eid", "max")},
+    )
+    j = asof_join(ev, right, key="user_id", ts="ts")
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "purchase_id": t["purchase_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization (stages/temporal.py:sessionize): per-user sessions
+    split on >30-minute gaps, aggregated to (start, end, n, value)."""
+    from ..stages.temporal import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    s = sessionize(
+        ev, key="user_id", ts="ts", gap=pd.Timedelta(minutes=30), tiebreak="event_id"
+    )
+    agg = fast_grouped_agg(
+        s.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "session_idx": t["session_idx"],
+                    "ts": t["ts"],
+                    "value": t["value"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id", "session_idx"],
+        {
+            "smin": ("ts", "min"),
+            "smax": ("ts", "max"),
+            "sv": ("value", "sum"),
+        },
+        count_as="n_events",
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "session_idx": t["session_idx"],
+                "start_us": t["smin"].cast(pa.int64()),
+                "end_us": t["smax"].cast(pa.int64()),
+                "n_events": t["n_events"],
+                "total_value": pa.array(
+                    _round6(t["sv"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_purchase_followup(sf_dir: str):
+    """Banded range join (stages/temporal.py:range_join): per purchase
+    event, count + value of the same user's events within the following
+    hour (band (ts, ts+1h], inner semantics)."""
+    from ..stages.temporal import range_join
+
+    pur = (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .filter(expr="event_type == 'purchase'")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "purchase_id": t["event_id"],
+                    "pts": t["ts"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    j = range_join(
+        pur,
+        ev,
+        key="user_id",
+        left_ts="pts",
+        right_ts="ts",
+        width=pd.Timedelta(hours=1),
+        inclusive="right",
+    )
+    agg = fast_grouped_agg(
+        j.map_batches(
+            lambda t: pa.table(
+                {"purchase_id": t["purchase_id"], "value": t["value"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["purchase_id"],
+        {"fv": ("value", "sum")},
+        count_as="n_follow",
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "purchase_id": t["purchase_id"],
+                "n_follow": t["n_follow"],
+                "follow_value": pa.array(
+                    _round6(t["fv"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES.update(
     {
         "bigram_counts": q_bigram_counts,
@@ -1349,6 +1486,9 @@ QUERIES.update(
         "modularity_cpm": q_modularity_cpm,
         "sim_tfidf_top3": q_sim_tfidf_top3,
         "corpusx_concurrence": q_corpusx_concurrence,
+        "asof_prior_purchase": q_asof_prior_purchase,
+        "user_sessions": q_user_sessions,
+        "purchase_followup": q_purchase_followup,
     }
 )
 
@@ -1736,6 +1876,39 @@ ORACLE_SQL.update(
         "minhash_exact": _MINHASH_EXACT_SQL,
         "embedding_exact": _EMBEDDING_EXACT_SQL,
         "rank_jumps": _RANK_JUMPS_SQL,
+        "asof_prior_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, max(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   p.purchase_id
+            FROM events e
+            ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+                   COUNT(*) AS n_events, round(SUM(value), 6) AS total_value
+            FROM s GROUP BY 1, 2""",
+        "purchase_followup": """
+            SELECT p.event_id AS purchase_id, COUNT(*) AS n_follow,
+                   round(SUM(f.value), 6) AS follow_value
+            FROM events p
+            JOIN events f ON f.user_id = p.user_id
+              AND f.ts > p.ts AND f.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1""",
         "corpusx_concurrence": """
             WITH tok AS (
               SELECT doc_id, string_split(lower(text), ' ') AS words

@@ -1,0 +1,220 @@
+"""Temporal operators (stages/temporal.py): as-of join, range join,
+sessionization — pandas oracles, partition invariance, edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.stages.temporal import asof_join, range_join, sessionize
+
+
+def _ds(df: pd.DataFrame) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(sorted(df.columns))
+        .reset_index(drop=True)[sorted(df.columns)]
+    )
+
+
+@pytest.fixture(scope="module")
+def event_frames():
+    rng = np.random.default_rng(7)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="m"),
+        }
+    )
+    m = 60
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 12, m).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, m), unit="m"),
+            "mark_id": np.arange(m, dtype=np.int64) + 1000,
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    return left, right
+
+
+def _asof_oracle(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    l = left.sort_values("ts", kind="mergesort")
+    r = right.sort_values("ts", kind="mergesort")
+    m = pd.merge_asof(l, r, on="ts", by="user_id", direction="backward")
+    m = m[m["mark_id"].notna()].copy()
+    m["mark_id"] = m["mark_id"].astype(np.int64)
+    return m
+
+
+def test_asof_join_matches_pandas_oracle(event_frames):
+    left, right = event_frames
+    got = asof_join(_ds(left), _ds(right), key="user_id", ts="ts").to_pandas()
+    exp = _asof_oracle(left, right)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_asof_join_partition_invariant(event_frames):
+    left, right = event_frames
+    a = asof_join(
+        _ds(left), _ds(right), key="user_id", ts="ts", num_partitions=1
+    ).to_pandas()
+    b = asof_join(
+        _ds(left), _ds(right), key="user_id", ts="ts", num_partitions=8
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+def test_asof_join_exact_ts_match_included(event_frames):
+    """ts' == ts counts as at-or-before (>= semantics, like DuckDB ASOF)."""
+    left = pd.DataFrame(
+        {
+            "event_id": np.array([0], dtype=np.int64),
+            "user_id": np.array([5], dtype=np.int64),
+            "ts": [pd.Timestamp("2024-02-01 10:00:00")],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([5], dtype=np.int64),
+            "ts": [pd.Timestamp("2024-02-01 10:00:00")],
+            "mark_id": np.array([77], dtype=np.int64),
+        }
+    )
+    got = asof_join(_ds(left), _ds(right), key="user_id", ts="ts").to_pandas()
+    assert got["mark_id"].tolist() == [77]
+
+
+def test_asof_join_unmatched_left_rows_drop():
+    left = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1], dtype=np.int64),
+            "user_id": np.array([1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-05", "2024-01-05"]),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2], dtype=np.int64),
+            # user 1's mark is AFTER the event; user 2's is before
+            "ts": pd.to_datetime(["2024-01-09", "2024-01-02"]),
+            "mark_id": np.array([10, 20], dtype=np.int64),
+        }
+    )
+    got = asof_join(_ds(left), _ds(right), key="user_id", ts="ts").to_pandas()
+    assert got["event_id"].tolist() == [1]
+    assert got["mark_id"].tolist() == [20]
+
+
+def test_range_join_matches_bruteforce(event_frames):
+    left, right = event_frames
+    l = left.rename(columns={"ts": "lts"})
+    width = pd.Timedelta(hours=6)
+    got = range_join(
+        _ds(l),
+        _ds(right),
+        key="user_id",
+        left_ts="lts",
+        right_ts="ts",
+        width=width,
+        inclusive="right",
+    ).to_pandas()
+    m = l.merge(right, on="user_id", how="inner")
+    delta = m["ts"] - m["lts"]
+    exp = m[(delta > pd.Timedelta(0)) & (delta <= width)]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+@pytest.mark.parametrize("inclusive", ["neither", "left", "right", "both"])
+def test_range_join_closures_numeric(inclusive):
+    """Numeric ts columns: band endpoints respect the closure exactly."""
+    left = pd.DataFrame(
+        {"k": np.array([1], dtype=np.int64), "lt": np.array([10.0])}
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 1], dtype=np.int64),
+            "rt": np.array([10.0, 11.0, 15.0, 16.0]),
+            "rid": np.array([0, 1, 2, 3], dtype=np.int64),
+        }
+    )
+    got = range_join(
+        _ds(left),
+        _ds(right),
+        key="k",
+        left_ts="lt",
+        right_ts="rt",
+        width=5.0,
+        inclusive=inclusive,
+    ).to_pandas()
+    expected = {
+        "neither": [1],
+        "left": [0, 1],
+        "right": [1, 2],
+        "both": [0, 1, 2],
+    }[inclusive]
+    assert sorted(got["rid"].tolist()) == expected
+
+
+def test_sessionize_matches_bruteforce(event_frames):
+    left, _ = event_frames
+    gap = pd.Timedelta(minutes=45)
+    got = sessionize(
+        _ds(left), key="user_id", ts="ts", gap=gap, tiebreak="event_id"
+    ).to_pandas()
+    # brute-force oracle: per user, walk sorted events
+    exp_rows = []
+    for uid, g in left.sort_values(["ts", "event_id"]).groupby("user_id"):
+        idx = 0
+        prev = None
+        for _, row in g.iterrows():
+            if prev is None or (row["ts"] - prev) > gap:
+                idx += 1
+            exp_rows.append((row["event_id"], uid, row["ts"], idx))
+            prev = row["ts"]
+    exp = pd.DataFrame(
+        exp_rows, columns=["event_id", "user_id", "ts", "session_idx"]
+    ).astype({"event_id": np.int64, "user_id": np.int64, "session_idx": np.int64})
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+    # 1-based contiguous per key
+    assert got.groupby("user_id")["session_idx"].min().eq(1).all()
+
+
+def test_sessionize_partition_invariant(event_frames):
+    left, _ = event_frames
+    gap = pd.Timedelta(minutes=45)
+    a = sessionize(
+        _ds(left), key="user_id", ts="ts", gap=gap, num_partitions=1
+    ).to_pandas()
+    b = sessionize(
+        _ds(left), key="user_id", ts="ts", gap=gap, num_partitions=16
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+def test_sessionize_gap_boundary_is_strict():
+    """Gap exactly equal to the threshold does NOT split (> semantics)."""
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 01:01"]
+            ),
+        }
+    )
+    got = (
+        sessionize(_ds(ev), key="user_id", ts="ts", gap=pd.Timedelta(minutes=30))
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert got["session_idx"].tolist() == [1, 1, 2]
