@@ -1998,3 +1998,123 @@ ORACLE_SQL.update(
 # hash-checked, not just rows-only
 ORACLE_SQL["triangles_shuffle"] = ORACLE_SQL["triangles_per_vertex"]
 ORACLE_SQL["ivf_knn_exact"] = ORACLE_SQL["knn_top5"]
+
+
+# ---------------------------------------------------------------------------
+# Sampling / quantile / sketch queries (stages/sketches.py — the build
+# brief's pipeline-hygiene operators, first-class alongside dedup/ANN)
+# ---------------------------------------------------------------------------
+
+
+def q_hash_sample_orders(sf_dir: str):
+    """Deterministic 5% hash sample of orders keyed on o_orderkey —
+    map-only, partition-invariant; the SQL twin reproduces the exact
+    Fibonacci-hash arithmetic in HUGEINT, so the driver verifies
+    row-for-row equality."""
+    from ..stages.sketches import hash_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_sample(ds, "o_orderkey", 0.05, seed=41)
+
+
+def q_stratified_sample_orders(sf_dir: str):
+    """Deterministic 20-per-stratum sample of orders stratified by
+    o_orderpriority (hash-ordered, key tie-break) — one coarse-bucket
+    pass, no per-stratum dispatch."""
+    from ..stages.sketches import stratified_sample
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return stratified_sample(
+        ds, "o_orderpriority", "o_orderkey", n=20, seed=7
+    )
+
+
+def q_quantiles_price(sf_dir: str):
+    """EXACT distributed quantiles of l_extendedprice via multi-pass
+    histogram refinement (quantile_disc semantics — bit-exact order
+    statistics, not an approximation)."""
+    from ..stages.sketches import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    res = exact_quantiles(ds, "l_extendedprice", qs)
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in res], pa.float64()),
+            "value": pa.array([v for _, v in res], pa.float64()),
+        }
+    )
+
+
+def q_heavy_hitters_suppliers(sf_dir: str):
+    """Exact top-10 suppliers by lineitem row count via Misra-Gries
+    candidates + one exact recount pass (count desc, key asc)."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return heavy_hitters(ds, "l_suppkey", k=10, capacity=8192)
+
+
+def q_distinct_parts(sf_dir: str):
+    """Exact COUNT(DISTINCT l_partkey) through the distributed
+    fast_distinct combiner — the exact twin of the HLL sketch below."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    n = fast_distinct(ds, ["l_partkey"]).count()
+    return pa.table({"n_parts": pa.array([n], pa.int64())})
+
+
+def q_approx_distinct_parts(sf_dir: str):
+    """HyperLogLog estimate of distinct l_partkey (p=12, ~1.6% standard
+    error; mergeable 4 KiB registers per block). Approximate by design →
+    no SQL oracle; accuracy and mergeability are pytest-gated
+    (tests/test_sketches.py), and q_distinct_parts gates the exact
+    distinct machinery with a full oracle."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = approx_distinct(ds, "l_partkey", p=12)
+    return pa.table({"approx_parts": pa.array([est], pa.int64())})
+
+
+QUERIES.update(
+    {
+        "hash_sample_orders": q_hash_sample_orders,
+        "stratified_sample_orders": q_stratified_sample_orders,
+        "quantiles_price": q_quantiles_price,
+        "heavy_hitters_suppliers": q_heavy_hitters_suppliers,
+        "distinct_parts": q_distinct_parts,
+        "approx_distinct_parts": q_approx_distinct_parts,
+    }
+)
+
+_FIB_SQL = "11400714819323198485"
+_M64_SQL = "18446744073709551616"
+
+ORACLE_SQL.update(
+    {
+        "hash_sample_orders": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE ((((o_orderkey + 41)::HUGEINT * {_FIB_SQL}) % {_M64_SQL})
+                   // 4294967296) % 10000 < 500""",
+        "stratified_sample_orders": f"""
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY (((o_orderkey + 7)::HUGEINT * {_FIB_SQL})
+                        % {_M64_SQL}) // 4294967296, o_orderkey
+            ) <= 20""",
+        "quantiles_price": " UNION ALL ".join(
+            f"SELECT {q}::DOUBLE AS q, "
+            f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
+        "heavy_hitters_suppliers": """
+            SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_suppkey ORDER BY cnt DESC, l_suppkey LIMIT 10""",
+        "distinct_parts": """
+            SELECT COUNT(DISTINCT l_partkey)::BIGINT AS n_parts
+            FROM lineitem""",
+    }
+)

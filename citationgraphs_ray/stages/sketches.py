@@ -1,0 +1,520 @@
+"""Sampling, quantile and sketch operators for 100-TB-scale pipelines.
+
+These are the "pipeline hygiene" operators a training-data engine needs
+next to dedup/ANN (build brief, first-class components): deterministic
+sampling, exact distributed quantiles, heavy hitters, and approximate
+distinct counting. Every operator here is a composition of map_batches
+passes over ONE pruned column plus a tiny (≤ sketch-sized) reduce — no
+all-to-all shuffle, no driver-side row iteration, nothing proportional
+to the dataset ever lands on the driver:
+
+- ``hash_sample`` / ``stratified_sample``: Fibonacci-hash based, fully
+  deterministic (same rows on any partitioning / cluster size / rerun),
+  map-only (sample) or one bounded-dispatch coarse-bucket pass
+  (stratified). Deterministic hashing instead of RNG sampling is the
+  100-TB-correct choice: resumable runs and retried tasks reproduce the
+  exact same sample. The hash arithmetic is chosen to be expressible in
+  ANSI SQL HUGEINT arithmetic so the driver's DuckDB oracle can verify
+  row-for-row equality (see pipelines/queries.py hash_sample_orders).
+- ``exact_quantiles``: multi-pass histogram refinement — O(log_B(N))
+  streaming passes each reading one column, exchanging only a B-bin
+  count vector; returns EXACT order statistics (quantile_disc
+  semantics), unlike t-digest-style sketches.
+- ``heavy_hitters``: per-block C++ group-counts compressed to a
+  Misra-Gries summary (mergeable; candidate guarantee below) + one
+  exact recount pass over the broadcast candidate set → exact top-k
+  under the documented skew condition.
+- ``hll_registers`` / ``approx_distinct``: HyperLogLog with exact
+  vectorized clz; per-block registers are 2^p bytes, merged by
+  element-wise max (mergeable across any partitioning).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..utils import collect_table, fast_grouped_agg
+
+# Fibonacci multiplicative hashing constant (2^64 / golden ratio; public
+# domain technique — Knuth TAOCP vol 3 §6.4). The SQL twin used by the
+# correctness oracle computes the identical value with HUGEINT
+# arithmetic: ((key + seed) * 11400714819323198485) % 2^64, then the
+# well-mixed HIGH 32 bits ( // 2^32 ) are used — the low bits of a pure
+# multiplicative hash are poorly mixed (bit i of the product depends
+# only on bits ≤ i of the key).
+FIB64 = np.uint64(0x9E3779B97F4A7C15)
+SAMPLE_BUCKETS = 10_000
+
+
+def _key_hash(keys: np.ndarray, seed: int) -> np.ndarray:
+    """(key + seed) * FIB64 mod 2^64 over non-negative integer keys."""
+    k = keys.astype(np.uint64, copy=False)
+    return (k + np.uint64(seed)) * FIB64
+
+
+def hash_bucket(
+    keys: np.ndarray, seed: int, buckets: int = SAMPLE_BUCKETS
+) -> np.ndarray:
+    """Deterministic bucket in [0, buckets) from the hash's high bits."""
+    h = _key_hash(keys, seed)
+    return ((h >> np.uint64(32)) % np.uint64(buckets)).astype(np.int64)
+
+
+def hash_order_key(keys: np.ndarray, seed: int) -> np.ndarray:
+    """Full high-32-bit hash value (int64-safe) for deterministic
+    pseudo-random ORDERING (stratified sampling). SQL twin:
+    ``(((key + seed)::HUGEINT * 11400714819323198485) % 2^64) // 2^32``."""
+    return (_key_hash(keys, seed) >> np.uint64(32)).astype(np.int64)
+
+
+def hash_sample(
+    ds: ray.data.Dataset, key_col: str, rate: float, seed: int = 41
+) -> ray.data.Dataset:
+    """Deterministic ~``rate`` uniform sample keyed on ``key_col``.
+
+    Map-only (zero shuffle): a row survives iff its key's hash bucket
+    falls below ``rate * 10000``. The same key always makes the same
+    decision — across reruns, retries, partitionings and cluster sizes —
+    which is what makes downstream experiments reproducible and the
+    sample joinable across tables sharing the key. Keys must be
+    non-negative integers (the SQL-parity contract).
+    """
+    thresh = int(round(rate * SAMPLE_BUCKETS))
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hash_bucket(keys, seed) < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    stratum_col: str,
+    key_col: str,
+    n: int,
+    seed: int = 41,
+) -> ray.data.Dataset:
+    """Deterministic n-per-stratum sample: the n rows of each stratum
+    whose keys hash lowest (ties broken by key asc).
+
+    Equivalent to a seeded per-stratum reservoir sample but exactly
+    reproducible under any partitioning. One bounded-dispatch pass:
+    strata are hash-partitioned into P ≈ CPUs coarse buckets and each
+    bucket selects with ONE vectorized sort + cython groupby-head — not
+    ``groupby(stratum).map_groups`` (per-group Python dispatch is the
+    measured ~45 µs/group pathology; see cooccur.top_k_tfidf_per_doc).
+    """
+    from ..utils import _hash_partition_column
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    out_cols = [c for c in ds.schema().names]
+
+    def add_h(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        t = t.append_column("__h", pa.array(hash_order_key(keys, seed)))
+        return _hash_partition_column(t, [stratum_col], P)
+
+    def pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                [stratum_col, "__h", key_col],
+                ascending=True,
+                kind="mergesort",
+            )
+            .groupby(stratum_col, sort=False)
+            .head(n)[out_cols]
+        )
+
+    return (
+        ds.map_batches(add_h, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pick_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (multi-pass histogram refinement)
+# ---------------------------------------------------------------------------
+
+QUANTILE_BINS = 4096
+QUANTILE_COLLECT_CUTOFF = 65_536
+QUANTILE_MAX_COLLECT = 5_000_000
+
+
+def _rank_for(q: float, n: int) -> int:
+    """quantile_disc target rank, 1-indexed over the ascending sort:
+    max(1, ceil(q*n)) — calibrated against DuckDB quantile_disc."""
+    return max(1, int(math.ceil(q * n)))
+
+
+def _col_values(t: pa.Table, col: str) -> np.ndarray:
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return v[~np.isnan(v)]
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    bins: int = QUANTILE_BINS,
+    cutoff: int = QUANTILE_COLLECT_CUTOFF,
+) -> list[tuple[float, float]]:
+    """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics:
+    the value at 1-indexed rank max(1, ceil(q*N)) of the ascending
+    sort, NaNs excluded) via multi-pass histogram refinement.
+
+    Scale shape: each pass is a streaming ``map_batches`` over the ONE
+    pruned column; blocks exchange only a ``bins``-sized count vector
+    (pre-merged by ``fast_grouped_agg``'s C++ combiner), so the driver
+    never holds more than B·len(qs) integers until the final pass,
+    which collects only the ≤``cutoff`` values inside each quantile's
+    narrowed interval. Interval width shrinks ×``bins`` per pass —
+    2 histogram passes bound 10^9 rows, 3 bound 10^13. Degenerate
+    float intervals (≤2 representable values but huge counts, e.g.
+    10^9 copies of two adjacent floats) resolve with an exact counting
+    pass instead of a collect.
+
+    Caller note: ``ds`` is re-executed once per pass — pass a dataset
+    whose lineage is a pruned parquet read (cheap re-scan), or
+    ``materialize()`` it first if upstream is expensive.
+    """
+    if not qs:
+        return []
+
+    # pass 0: global count / min / max (one tiny row per block)
+    def stats(t: pa.Table) -> pa.Table:
+        v = _col_values(t, col)
+        if len(v) == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "lo": pa.array([], pa.float64()),
+                 "hi": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"n": [len(v)], "lo": [float(v.min())], "hi": [float(v.max())]}
+        )
+
+    st = collect_table(ds.map_batches(stats, batch_format="pyarrow"))
+    if st.num_rows == 0:
+        raise ValueError(f"exact_quantiles: no non-null values in {col!r}")
+    n_total = int(pa.compute.sum(st["n"]).as_py())
+    glo = float(pa.compute.min(st["lo"]).as_py())
+    ghi = float(pa.compute.max(st["hi"]).as_py())
+
+    # per-quantile state: (lo, hi, below) with invariant
+    #   below == #values < lo, and the target value sits in [lo, hi]
+    state = {
+        i: [glo, ghi, 0, _rank_for(q, n_total)] for i, q in enumerate(qs)
+    }
+    results: dict[int, float] = {}
+
+    def interval_count_pass(intervals: list[tuple[float, float]]):
+        """One streaming pass: per interval, bins-histogram of values in
+        [lo, hi] plus the count of values strictly below lo."""
+        edges = [np.linspace(lo, hi, bins + 1) for lo, hi in intervals]
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = _col_values(t, col)
+            iv, bn, ct = [], [], []
+            for i, (lo, hi) in enumerate(intervals):
+                cnt, _ = np.histogram(v, bins=edges[i])
+                nz = np.nonzero(cnt)[0]
+                iv.extend([i] * (len(nz) + 1))
+                bn.extend(nz.tolist())
+                ct.extend(cnt[nz].tolist())
+                bn.append(-1)  # sentinel bin: below-lo count
+                ct.append(int((v < lo).sum()))
+            return pa.table(
+                {
+                    "iv": pa.array(iv, pa.int64()),
+                    "bin": pa.array(bn, pa.int64()),
+                    "cnt": pa.array(ct, pa.int64()),
+                }
+            )
+
+        merged = collect_table(
+            fast_grouped_agg(
+                ds.map_batches(hist, batch_format="pyarrow"),
+                ["iv", "bin"],
+                {"n": ("cnt", "sum")},
+            )
+        )
+        out = []
+        miv = merged["iv"].to_numpy(zero_copy_only=False)
+        mbin = merged["bin"].to_numpy(zero_copy_only=False)
+        mn = merged["n"].to_numpy(zero_copy_only=False)
+        for i in range(len(intervals)):
+            sel = miv == i
+            counts = np.zeros(bins, dtype=np.int64)
+            b, c = mbin[sel], mn[sel]
+            below = int(c[b == -1].sum())
+            inb = b >= 0
+            counts[b[inb]] = c[inb]
+            out.append((counts, below, edges[i]))
+        return out
+
+    max_rounds = 6
+    for _ in range(max_rounds):
+        active = {
+            i: s
+            for i, s in state.items()
+            if i not in results
+        }
+        if not active:
+            break
+        # exact-lo degenerate intervals resolve immediately
+        for i, (lo, hi, below, rank) in list(active.items()):
+            if lo == hi:
+                results[i] = lo
+                del active[i]
+        if not active:
+            break
+        intervals = sorted({(s[0], s[1]) for s in active.values()})
+        ivmap = {iv: j for j, iv in enumerate(intervals)}
+        passed = interval_count_pass(intervals)
+        done_enough = True
+        for i, (lo, hi, below, rank) in active.items():
+            counts, pass_below, edges = passed[ivmap[(lo, hi)]]
+            # recompute the exact below-lo offset from this pass (guards
+            # against any drift; counts are exact integers)
+            below = pass_below
+            need = rank - below
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, need))
+            new_lo = float(edges[b])
+            new_hi = float(edges[b + 1]) if b + 1 < len(edges) else hi
+            in_bin = int(counts[b])
+            below += int(cum[b - 1]) if b > 0 else 0
+            if b == bins - 1:
+                new_hi = hi  # last np.histogram bin is right-closed
+            state[i] = [new_lo, new_hi, below, rank]
+            if in_bin > cutoff and np.nextafter(new_lo, new_hi) < new_hi:
+                done_enough = False
+        if done_enough:
+            break
+
+    # final pass: resolve every unfinished quantile exactly
+    pending = [i for i in state if i not in results]
+    if pending:
+        finals = sorted({(state[i][0], state[i][1]) for i in pending})
+        fmap = {iv: j for j, iv in enumerate(finals)}
+
+        def final_pass(t: pa.Table) -> pa.Table:
+            v = _col_values(t, col)
+            rows_iv, rows_kind, rows_val = [], [], []
+            for j, (lo, hi) in enumerate(finals):
+                below = int((v < lo).sum())
+                rows_iv.append(j)
+                rows_kind.append(-1)
+                rows_val.append(float(below))
+                sel = v[(v >= lo) & (v <= hi)]
+                if len(sel) > QUANTILE_MAX_COLLECT:
+                    raise ValueError(
+                        "exact_quantiles: degenerate interval holds "
+                        f"{len(sel)} values in one block; raise bins/cutoff"
+                    )
+                rows_iv.extend([j] * len(sel))
+                rows_kind.extend([0] * len(sel))
+                rows_val.extend(sel.tolist())
+            return pa.table(
+                {
+                    "iv": pa.array(rows_iv, pa.int64()),
+                    "kind": pa.array(rows_kind, pa.int64()),
+                    "val": pa.array(rows_val, pa.float64()),
+                }
+            )
+
+        ft = collect_table(ds.map_batches(final_pass, batch_format="pyarrow"))
+        fiv = ft["iv"].to_numpy(zero_copy_only=False)
+        fkind = ft["kind"].to_numpy(zero_copy_only=False)
+        fval = ft["val"].to_numpy(zero_copy_only=False)
+        for i in pending:
+            j = fmap[(state[i][0], state[i][1])]
+            sel = fiv == j
+            below = int(fval[sel & (fkind == -1)].sum())
+            vals = np.sort(fval[sel & (fkind == 0)])
+            r = state[i][3] - below
+            if not (1 <= r <= len(vals)):
+                raise AssertionError(
+                    f"exact_quantiles rank bookkeeping: r={r} of {len(vals)}"
+                )
+            results[i] = float(vals[r - 1])
+
+    return [(q, results[i]) for i, q in enumerate(qs)]
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+HH_CAPACITY = 8192
+
+
+def _mg_compress(vals: np.ndarray, cnts: np.ndarray, m: int):
+    """Misra-Gries compression to ≤ m counters: subtract the (m+1)-th
+    largest count from all, drop non-positive. Underestimates each
+    survivor by ≤ (the subtracted threshold); total error ≤ N/(m+1)."""
+    if len(vals) <= m:
+        return vals, cnts
+    thr = np.partition(cnts, -(m + 1))[-(m + 1)]
+    keep = cnts > thr
+    if keep.sum() > m:  # ties at the threshold
+        order = np.lexsort((vals, -cnts))[:m]
+        keep = np.zeros(len(vals), dtype=bool)
+        keep[order] = True
+    return vals[keep], cnts[keep] - thr
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    capacity: int = HH_CAPACITY,
+) -> pa.Table:
+    """EXACT top-k most frequent values of ``col`` (count desc, value
+    asc), computed with a two-pass candidate/verify shape that never
+    shuffles full per-value counts:
+
+    1. Per block: C++ ``pa.Table.group_by`` exact counts, Misra-Gries
+       compressed to ≤ ``capacity`` counters (a few KB). Summaries are
+       weight-summed per value by ``fast_grouped_agg`` (distributed
+       combine) and compressed once more → candidate set ≤ capacity.
+    2. The broadcast candidate set is exactly recounted in one
+       streaming filter+aggregate pass; top-k of the exact counts is
+       returned.
+
+    Guarantee (mergeable-summaries bound, one merge level): any value
+    with true frequency > 2N/(capacity+1) survives to the candidate
+    set, so the result equals the exact top-k whenever the k-th
+    frequency clears that bar — with the default capacity 8192 that is
+    0.025% of rows, far below any realistic "frequent" threshold at
+    this k. The exact recount means candidates can only be *missing*,
+    never miscounted; the planted-Zipf pytest drives cardinality 50×
+    over capacity to exercise the compression path.
+    """
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({col: t[col]})
+            .group_by(col)
+            .aggregate([([], "count_all")])
+        )
+        vals = g[col].to_numpy(zero_copy_only=False)
+        cnts = g["count_all"].to_numpy(zero_copy_only=False)
+        vals, cnts = _mg_compress(vals, cnts, capacity)
+        return pa.table(
+            {
+                col: pa.array(vals, t[col].type),
+                "__hh_w": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    summary = collect_table(
+        fast_grouped_agg(
+            ds.map_batches(block_counts, batch_format="pyarrow"),
+            [col],
+            {"__hh_w": ("__hh_w", "sum")},
+        )
+    )
+    cvals, cw = (
+        summary[col].to_numpy(zero_copy_only=False),
+        summary["__hh_w"].to_numpy(zero_copy_only=False),
+    )
+    cvals, _ = _mg_compress(cvals, cw, capacity)
+    cand_ref = ray.put(pa.array(cvals, summary[col].type))
+
+    class Recount:
+        """Arrow C++ is_in membership against the broadcast candidate
+        array — loaded once per actor, zero Python row iteration."""
+
+        def __init__(self) -> None:
+            self.cands = ray.get(cand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.is_in(t[col], value_set=self.cands))
+
+    exact = collect_table(
+        fast_grouped_agg(
+            ds.select_columns([col]).map_batches(
+                Recount, batch_format="pyarrow", concurrency=(1, 8)
+            ),
+            [col],
+            {},
+            count_as="cnt",
+        )
+    )
+    df = exact.to_pandas().sort_values(
+        ["cnt", col], ascending=[False, True], kind="mergesort"
+    )
+    return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count
+# ---------------------------------------------------------------------------
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros over uint64 (no float log2 —
+    values with >53 significant bits round and go off by one)."""
+    x = w.copy()
+    clz = np.zeros(len(w), dtype=np.int64)
+    zero = x == 0
+    for shift in (32, 16, 8, 4, 2, 1):
+        small = (~zero) & (x < (np.uint64(1) << np.uint64(64 - shift)))
+        clz[small] += shift
+        x[small] = x[small] << np.uint64(shift)
+    clz[zero] = 64
+    return clz
+
+
+def hll_registers(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> np.ndarray:
+    """HyperLogLog registers (2^p uint8) for ``col``. Per block: hash
+    (pandas hash_array — deterministic, vectorized, typed), register
+    index from the top p bits, rho = clz of the remaining bits + 1,
+    ``np.maximum.at`` merge. Each block ships only its 2^p-byte
+    register array; the driver merges by element-wise max. Mergeable:
+    registers of a union == max of the parts' registers (tested)."""
+    m = 1 << p
+
+    def block_regs(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(v)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rho = np.minimum(_clz64(w) + 1, 64 - p + 1)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rho.astype(np.uint8))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = collect_table(ds.map_batches(block_regs, batch_format="pyarrow"))
+    merged = np.zeros(m, dtype=np.uint8)
+    for buf in parts["regs"].to_pylist():
+        merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
+    return merged
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with linear-counting small-range
+    correction (Flajolet et al. 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col): HLL with standard error
+    ~1.04/sqrt(2^p) (p=12 → ~1.6%)."""
+    return hll_estimate(hll_registers(ds, col, p))

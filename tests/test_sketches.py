@@ -1,0 +1,263 @@
+"""Sampling / quantile / sketch operators (stages/sketches.py).
+
+Covers: DuckDB-parity of the hash-sample and stratified-sample SQL
+twins, exact-quantile equivalence with numpy order statistics (incl.
+degenerate float intervals and duplicate-heavy data), heavy-hitter
+exactness under planted Zipf skew with cardinality ≫ capacity, and
+HyperLogLog accuracy + mergeability.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.stages.sketches import (
+    _clz64,
+    _mg_compress,
+    approx_distinct,
+    exact_quantiles,
+    hash_bucket,
+    hash_sample,
+    heavy_hitters,
+    hll_estimate,
+    hll_registers,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/orders.parquet").to_pandas()
+
+
+def test_hash_bucket_matches_duckdb_hugeint_twin():
+    keys = np.array([0, 1, 2, 7, 123456789, 2**31, 2**40 + 12345])
+    py = hash_bucket(keys, seed=41).tolist()
+    sql = duckdb.sql(
+        """
+        SELECT ((((k + 41)::HUGEINT * 11400714819323198485)
+                 % 18446744073709551616) // 4294967296 % 10000)::BIGINT
+        FROM (SELECT unnest([0,1,2,7,123456789,2147483648,
+                             1099511640121]) AS k)
+        """
+    ).fetchall()
+    assert py == [r[0] for r in sql]
+
+
+def test_hash_sample_deterministic_subset_and_rate():
+    df = _orders_df()
+    ds = ray.data.from_pandas(df)
+    s1 = hash_sample(ds, "o_orderkey", 0.2, seed=41).to_pandas()
+    s2 = hash_sample(
+        ray.data.from_pandas(df).repartition(7), "o_orderkey", 0.2, seed=41
+    ).to_pandas()
+    a = s1.sort_values("o_orderkey").reset_index(drop=True)
+    b = s2.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # partition-invariant
+    # subset of the input, correct-ish rate (binomial tolerance)
+    assert set(a.o_orderkey) <= set(df.o_orderkey)
+    rate = len(a) / len(df)
+    assert 0.12 < rate < 0.28
+    # a different seed yields a different sample
+    s3 = hash_sample(ds, "o_orderkey", 0.2, seed=99).to_pandas()
+    assert set(s3.o_orderkey) != set(a.o_orderkey)
+
+
+def test_hash_sample_matches_sql_twin():
+    df = _orders_df()
+    got = (
+        hash_sample(ray.data.from_pandas(df), "o_orderkey", 0.05, seed=41)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            """
+        SELECT * FROM df
+        WHERE ((((o_orderkey + 41)::HUGEINT * 11400714819323198485)
+                % 18446744073709551616) // 4294967296) % 10000 < 500
+        ORDER BY o_orderkey
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stratified_sample_matches_sql_twin_and_counts():
+    df = _orders_df()
+    got = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(5),
+            "o_orderpriority",
+            "o_orderkey",
+            n=7,
+            seed=7,
+        )
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    per = got.groupby("o_orderpriority").size()
+    full = df.groupby("o_orderpriority").size()
+    for stratum, n_stratum in full.items():
+        assert per.get(stratum, 0) == min(7, n_stratum)
+    want = (
+        duckdb.sql(
+            """
+        SELECT * FROM df
+        QUALIFY row_number() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY (((o_orderkey + 7)::HUGEINT * 11400714819323198485)
+                    % 18446744073709551616) // 4294967296, o_orderkey
+        ) <= 7
+        ORDER BY o_orderpriority, o_orderkey
+        """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want
+    )
+
+
+def _disc(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    return float(s[max(1, math.ceil(q * len(s))) - 1])
+
+
+def test_exact_quantiles_matches_numpy_order_stats():
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(3, 2, 20_000), rng.normal(-50, 1, 5_000)]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(9)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = exact_quantiles(ds, "x", qs, bins=64, cutoff=100)
+    for q, v in got:
+        assert v == _disc(vals, q), q
+
+
+def test_exact_quantiles_duplicate_heavy_and_degenerate():
+    # 90% of the mass is ONE value; another chunk is two adjacent floats
+    base = np.float64(1.25)
+    nxt = np.nextafter(base, 2.0)
+    vals = np.concatenate(
+        [
+            np.full(50_000, base),
+            np.full(20_000, nxt),
+            np.linspace(10, 20, 1_000),
+        ]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+    qs = [0.1, 0.5, 0.71, 0.95]
+    got = exact_quantiles(ds, "x", qs, bins=16, cutoff=10)
+    for q, v in got:
+        assert v == _disc(vals, q), q
+
+
+def test_exact_quantiles_matches_duckdb_disc():
+    df = _orders_df()
+    ds = ray.data.from_pandas(df)
+    qs = [0.1, 0.5, 0.9]
+    got = dict(exact_quantiles(ds, "o_totalprice", qs))
+    for q in qs:
+        want = duckdb.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) FROM df"
+        ).fetchone()[0]
+        assert got[q] == want
+
+
+def test_exact_quantiles_tiny_and_nan():
+    df = pd.DataFrame({"x": [np.nan, 5.0, np.nan, 1.0, 3.0]})
+    got = dict(exact_quantiles(ray.data.from_pandas(df), "x", [0.0, 0.5, 1.0]))
+    assert got[0.0] == 1.0 and got[0.5] == 3.0 and got[1.0] == 5.0
+
+
+def test_mg_compress_guarantee():
+    # any value with freq > N/(m+1) must survive one compression
+    rng = np.random.default_rng(0)
+    vals = np.arange(1000)
+    cnts = rng.integers(1, 50, 1000)
+    cnts[17] = cnts.sum() // 4  # planted heavy hitter
+    kept, kw = _mg_compress(vals, cnts, 64)
+    assert 17 in kept
+    assert len(kept) <= 64
+    # underestimates only, by at most the subtracted threshold
+    orig = dict(zip(vals.tolist(), cnts.tolist()))
+    for v, w in zip(kept.tolist(), kw.tolist()):
+        assert 0 < w <= orig[v]
+
+
+def test_heavy_hitters_exact_under_planted_zipf():
+    rng = np.random.default_rng(11)
+    # cardinality 50k with capacity 1024 → compression path exercised
+    zipf = rng.zipf(1.3, 300_000)
+    zipf = zipf[zipf < 50_000]
+    ds = ray.data.from_pandas(pd.DataFrame({"v": zipf})).repartition(8)
+    got = heavy_hitters(ds, "v", k=10, capacity=1024).to_pandas()
+    want = (
+        pd.DataFrame({"v": zipf})
+        .groupby("v")
+        .size()
+        .reset_index(name="cnt")
+        .sort_values(["cnt", "v"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got.v.tolist() == want.v.tolist()
+    assert got.cnt.tolist() == want.cnt.tolist()
+
+
+def test_heavy_hitters_strings():
+    words = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 30 + list(
+        f"w{i}" for i in range(200)
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"w": words})).repartition(3)
+    got = heavy_hitters(ds, "w", k=3, capacity=64).to_pandas()
+    assert got.w.tolist() == ["alpha", "beta", "gamma"]
+    assert got.cnt.tolist() == [50, 30, 30]
+
+
+def test_clz64_exact():
+    w = np.array(
+        [0, 1, 2, 3, 2**52 + 1, 2**53, 2**63, 2**64 - 1, 2**31], dtype=np.uint64
+    )
+    want = [64, 63, 62, 62, 11, 10, 0, 0, 32]
+    assert _clz64(w).tolist() == want
+
+
+def test_hll_accuracy_and_merge():
+    n = 60_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - n) / n < 0.05  # 3σ for p=12 is ~4.9%
+    # mergeability: registers(A ∪ B) == max(registers(A), registers(B))
+    a = ray.data.from_pandas(df.iloc[: n // 2])
+    b = ray.data.from_pandas(df.iloc[n // 3 :])  # overlapping halves
+    u = ray.data.from_pandas(pd.concat([df.iloc[: n // 2], df.iloc[n // 3 :]]))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    ru = hll_registers(u, "k")
+    assert np.array_equal(ru, np.maximum(ra, rb))
+
+
+def test_hll_strings_and_small_range():
+    words = [f"token_{i}" for i in range(300)] * 5
+    ds = ray.data.from_pandas(pd.DataFrame({"w": words})).repartition(4)
+    est = approx_distinct(ds, "w", p=12)
+    # linear-counting regime: near-exact for 300 ≪ 4096 registers
+    assert abs(est - 300) <= 12
+    e0 = hll_estimate(np.zeros(4096, dtype=np.uint8))
+    assert e0 == 0
