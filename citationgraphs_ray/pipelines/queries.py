@@ -2118,3 +2118,79 @@ ORACLE_SQL.update(
             FROM lineitem""",
     }
 )
+
+
+def q_customer_order_counts(sf_dir: str):
+    """§2.7 LEFT OUTER join through Ray's distributed hash join:
+    per-customer order count with zero-order customers retained
+    (COALESCE 0). The aggregate side is pre-reduced by the C++ combiner
+    before the shuffle join — the at-scale shape for a big-big left
+    join (broadcast_merge(how='left') covers the dimension-table
+    case)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cnt = fast_grouped_agg(orders, ["o_custkey"], {}, count_as="n_orders")
+    j = cust.join(
+        cnt,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pa.compute.fill_null(
+                    t["n_orders"], 0
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """§2.7 ANTI-join via broadcast key-set negation (the scale shape
+    for small-ish distinct key sets; the distinct side is reduced by
+    fast_distinct before the single ray.put): customers with NO order
+    above 400k total price."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    keys = collect_table(fast_distinct(orders.select_columns(["o_custkey"]), ["o_custkey"]))
+    keys_ref = ray.put(keys["o_custkey"].combine_chunks())
+
+    class Anti:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            has = pa.compute.is_in(t["c_custkey"], value_set=self.keys)
+            return t.filter(pa.compute.invert(has))
+
+    return cust.map_batches(Anti, batch_format="pyarrow", concurrency=(1, 4))
+
+
+QUERIES.update(
+    {
+        "customer_order_counts": q_customer_order_counts,
+        "customers_without_orders": q_customers_without_orders,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "customer_order_counts": """
+            SELECT c_custkey, COALESCE(cnt, 0)::BIGINT AS n_orders
+            FROM customer LEFT JOIN
+              (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+              ON c_custkey = o.o_custkey""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)""",
+    }
+)
