@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "knn_top5",
     "windowed_user_stats",
     "lineitem_pricing_summary",
+    "asof_prior_purchase",
+    "quantiles_price",
+    "heavy_hitters_suppliers",
+    "hash_sample_orders",
 ]
 
 
