@@ -305,6 +305,15 @@ def exact_quantiles(
         finals = sorted({(state[i][0], state[i][1]) for i in pending})
         fmap = {iv: j for j, iv in enumerate(finals)}
 
+        # a degenerate interval has ≤2 representable float values but may
+        # hold arbitrarily many rows — resolve it with COUNTS (kind -1 =
+        # below-lo, -2 = count(v == lo), -3 = count(v == hi)), never a
+        # value collect; non-degenerate intervals are under ``cutoff``
+        # rows total and ship their values (kind 0)
+        degenerate = [
+            np.nextafter(lo, hi) >= hi for lo, hi in finals
+        ]
+
         def final_pass(t: pa.Table) -> pa.Table:
             v = _col_values(t, col)
             rows_iv, rows_kind, rows_val = [], [], []
@@ -313,10 +322,17 @@ def exact_quantiles(
                 rows_iv.append(j)
                 rows_kind.append(-1)
                 rows_val.append(float(below))
+                if degenerate[j]:
+                    rows_iv.extend([j, j])
+                    rows_kind.extend([-2, -3])
+                    rows_val.extend(
+                        [float((v == lo).sum()), float((v == hi).sum())]
+                    )
+                    continue
                 sel = v[(v >= lo) & (v <= hi)]
                 if len(sel) > QUANTILE_MAX_COLLECT:
                     raise ValueError(
-                        "exact_quantiles: degenerate interval holds "
+                        "exact_quantiles: interval holds "
                         f"{len(sel)} values in one block; raise bins/cutoff"
                     )
                 rows_iv.extend([j] * len(sel))
@@ -335,11 +351,22 @@ def exact_quantiles(
         fkind = ft["kind"].to_numpy(zero_copy_only=False)
         fval = ft["val"].to_numpy(zero_copy_only=False)
         for i in pending:
-            j = fmap[(state[i][0], state[i][1])]
+            lo, hi = state[i][0], state[i][1]
+            j = fmap[(lo, hi)]
             sel = fiv == j
             below = int(fval[sel & (fkind == -1)].sum())
-            vals = np.sort(fval[sel & (fkind == 0)])
             r = state[i][3] - below
+            if degenerate[j]:
+                n_lo = int(fval[sel & (fkind == -2)].sum())
+                n_hi = int(fval[sel & (fkind == -3)].sum())
+                if not (1 <= r <= n_lo + n_hi):
+                    raise AssertionError(
+                        f"exact_quantiles rank bookkeeping: r={r} of "
+                        f"{n_lo}+{n_hi}"
+                    )
+                results[i] = lo if r <= n_lo else hi
+                continue
+            vals = np.sort(fval[sel & (fkind == 0)])
             if not (1 <= r <= len(vals)):
                 raise AssertionError(
                     f"exact_quantiles rank bookkeeping: r={r} of {len(vals)}"

@@ -261,3 +261,15 @@ def test_hll_strings_and_small_range():
     assert abs(est - 300) <= 12
     e0 = hll_estimate(np.zeros(4096, dtype=np.uint8))
     assert e0 == 0
+
+
+def test_exact_quantiles_degenerate_interval_counting_path():
+    # millions of rows on TWO adjacent floats with a tiny cutoff: the
+    # final pass must resolve by counting (kind -2/-3 rows), never by
+    # collecting the (arbitrarily large) in-interval values
+    base = np.float64(7.5)
+    nxt = np.nextafter(base, 8)
+    vals = np.concatenate([np.full(200_000, base), np.full(100_000, nxt)])
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(6)
+    res = dict(exact_quantiles(ds, "x", [0.5, 0.7], bins=8, cutoff=10))
+    assert res[0.5] == base and res[0.7] == nxt
