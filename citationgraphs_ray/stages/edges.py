@@ -606,6 +606,44 @@ def _split_side(
     )
 
 
+def _split_streaming(
+    ds: ray.data.Dataset,
+    bucket_fn,
+    P: int,
+    schema: pa.Schema,
+) -> list:
+    """Exchange map side OVERLAPPED with the producing stage: drive the
+    (lazy) upstream dataset with ``iter_internal_ref_bundles`` and
+    launch a split task as soon as ~EXCHANGE_ROWS_PER_PARTITION rows of
+    blocks have materialized — instead of a full ``materialize()``
+    barrier between the producer and the exchange. In the distributed
+    extraction the producer (regex extraction over ``content``) is the
+    dominant compute at low parallelism; riding it with the split wave
+    removes a full store pass's worth of wall time from the critical
+    path and releases extraction blocks as soon as their split task
+    finishes (nothing pins the whole hashed table anymore)."""
+    splits: list = []
+    pending: list = []
+    rows = 0
+    for b in ds.iter_internal_ref_bundles():
+        pending.extend(b.block_refs)
+        rows += b.num_rows() or 0
+        if rows >= EXCHANGE_ROWS_PER_PARTITION:
+            splits.append(
+                _split_blocks.options(num_returns=P).remote(
+                    bucket_fn, P, schema, None, *pending
+                )
+            )
+            pending, rows = [], 0
+    if pending:
+        splits.append(
+            _split_blocks.options(num_returns=P).remote(
+                bucket_fn, P, schema, None, *pending
+            )
+        )
+    return splits
+
+
 def _reduce_exchange(splits_per_side: list, P: int, reduce_fn):
     """Wire P reduce tasks over the per-side split outputs. Returns
     (P output-table refs in bucket order, P meta refs)."""
@@ -728,10 +766,11 @@ _STAGE1_SCHEMA = pa.schema(
 
 
 def _resolve_hashed(
-    hashed_edges: ray.data.Dataset,
+    hashed_edges: "ray.data.Dataset | None",
     vh: "ray.data.Dataset | list",
     num_partitions: int | None = None,
     dedup: bool = False,
+    presplit_l1: list | None = None,
 ) -> ray.data.Dataset:
     """Resolve (s1,s2)→src then (d1,d2)→dst with two raw-task bucket
     exchanges (see the exchange block above). Only int64 columns cross
@@ -746,6 +785,10 @@ def _resolve_hashed(
 
     ``dedup=True`` fuses the global edge dedup into the pass-2 buckets
     (see ``_make_finish``) — no extra shuffle.
+
+    ``presplit_l1`` hands over already-launched edge-side split refs
+    (``_split_streaming`` — the exchange map side riding the extraction
+    stage); ``hashed_edges`` is ignored (may be None) in that case.
 
     Raises ``_VertexHashCollision`` if the map's (h1, h2) pairs are not
     unique (P ≈ V²/2^129) — callers fall back to the exact string join.
@@ -762,9 +805,12 @@ def _resolve_hashed(
         r_splits = _split_refs(vh, _VH_SCHEMA, _bucket_on("h1"), P)
     else:
         r_splits = _split_side(vh, _bucket_on("h1"), P, schema=_VH_SCHEMA)
-    l1 = _split_side(
-        hashed_edges, _bucket_on("s1"), P, schema=_EH_SCHEMA
-    )
+    if presplit_l1 is not None:
+        l1 = presplit_l1
+    else:
+        l1 = _split_side(
+            hashed_edges, _bucket_on("s1"), P, schema=_EH_SCHEMA
+        )
     # pass 1 reduces are FUSED with pass 2's map side
     # (_reduce_and_resplit): each bucket task probes src and immediately
     # re-buckets its output by d1 into P slices — the stage-1 table is
@@ -1162,12 +1208,18 @@ def extract_edge_table(
             )
 
         def _extract_chain() -> None:
-            # materialized: the exchange splits need block refs
-            # (int64-only table, ~32 B/row — cheap to hold); the split
-            # tasks coalesce blocks themselves, so no repartition pass.
-            out["hashed"] = slim.map_batches(
-                extract_hashed_edges_batch, batch_format="pyarrow"
-            ).materialize()
+            # STREAMING handover to the exchange: split tasks launch as
+            # extraction blocks materialize (no .materialize() barrier
+            # between the dominant compute stage and the exchange's map
+            # side; blocks release as their split task completes).
+            out["l1_splits"] = _split_streaming(
+                slim.map_batches(
+                    extract_hashed_edges_batch, batch_format="pyarrow"
+                ),
+                _bucket_on("s1"),
+                P,
+                _EH_SCHEMA,
+            )
 
         errs: list[BaseException] = []
 
@@ -1198,7 +1250,11 @@ def extract_edge_table(
         try:
             # dedup fused into the pass-2 buckets — no separate shuffle
             edges = _resolve_hashed(
-                out["hashed"], out["vh_refs"], num_partitions=P, dedup=True
+                None,
+                out["vh_refs"],
+                num_partitions=P,
+                dedup=True,
+                presplit_l1=out["l1_splits"],
             )
         except _VertexHashCollision:
             # exact string path (P ≈ V²/2^129 — effectively never); the
