@@ -391,16 +391,23 @@ def q_knn_top5(sf_dir: str):
 
 def _ranked_topk(top):
     """(query_id, vec_id, knn_rank) with the stable (score desc, id asc)
-    rank order — shared by the brute-force and IVF-exact knn queries."""
-
-    def add_rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        g["knn_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "knn_rank"]]
-
-    return top.groupby("query_id").map_groups(add_rank, batch_format="pandas")
+    rank order — shared by the brute-force and IVF-exact knn queries.
+    The input is ≤ nq·k rows by construction (post top-k merge), so the
+    rank assignment is one driver-side vectorized pass — a distributed
+    groupby here costs a Ray sort shuffle to rank a handful of rows."""
+    df = (
+        top.to_pandas()
+        .sort_values(
+            ["query_id", "score", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+    )
+    df["knn_rank"] = (
+        df.groupby("query_id", sort=False).cumcount() + 1
+    ).astype(np.int64)
+    return df[["query_id", "vec_id", "knn_rank"]]
 
 
 def q_membership_argmax(sf_dir: str):

@@ -31,6 +31,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# Materialized-input row bound for brute_force_topk's driver-local
+# scoring regime (~1 GB of float64 at dim 64 — one matmul in-process);
+# see the regime comment inside the function.
+BRUTE_LOCAL_MAX_ROWS = 2_000_000
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -45,6 +51,39 @@ def brute_force_topk(
     per query in ``map_groups``. Ties broken by vec_id asc.
     """
     Q = _normalize(np.asarray(queries, dtype=np.float64))
+
+    # Driver-local regime (same pattern and rationale as
+    # KMEANS_LOCAL_MAX_ROWS below): a MATERIALIZED input at/below the
+    # bound is scored in-process with one matmul — the distributed path
+    # costs an actor-pool ramp plus two Ray executions (~4-5 s fixed at
+    # 32 cpus) to rank a few thousand vectors. Lazy or above-bound
+    # inputs take the actor-pool + merge engine, which is the 100-TB
+    # path. Identical math and tie order (lexsort on score desc, id
+    # asc); regime equivalence is pytest-gated.
+    try:
+        known_rows = ds.count() if ds.num_blocks() is not None else None
+    except Exception:
+        known_rows = None
+    if known_rows is not None and known_rows <= BRUTE_LOCAL_MAX_ROWS:
+        tbl = collect_table(ds)
+        vecs = _normalize(list_column_to_matrix(tbl[vec_col]))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = Q @ vecs.T
+        kk = min(k, len(ids))
+        rows = []
+        for qi in range(len(Q)):
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        id_col: ids[order],
+                        "score": sims[qi][order],
+                    }
+                )
+            )
+        return ray.data.from_pandas(pd.concat(rows, ignore_index=True))
+
     q_ref = ray.put(Q)
 
     class Score:
@@ -77,6 +116,30 @@ def brute_force_topk(
             )
 
     partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+    # Partials are bounded by nq·k·num_blocks rows. When that bound is
+    # known (materialized input) and small, merge on the driver in one
+    # vectorized pass — the distributed groupby costs a full Ray sort
+    # shuffle (~1-2 s fixed) to merge a few thousand rows at bench
+    # scale. The groupby path remains the engine above the bound (and
+    # whenever the input is lazy, where num_blocks is unknowable).
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = None
+    if nb is not None and len(Q) * k * nb <= 5_000_000:
+        df = collect_table(partials).to_pandas()
+        out = (
+            df.sort_values(
+                ["query_id", "score", id_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return ray.data.from_pandas(out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(

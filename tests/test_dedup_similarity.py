@@ -490,3 +490,41 @@ def test_audio_decoder_boundary():
         make_audio_table(2, codec="fake")
     )
     assert out.num_rows == 2
+
+
+def test_brute_force_topk_local_equals_distributed():
+    """The driver-local scoring regime (materialized input below
+    BRUTE_LOCAL_MAX_ROWS) must match the actor-pool + merge engine
+    exactly, including tie order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from citationgraphs_ray.stages import similarity as sim
+
+    import pyarrow as pa
+
+    from citationgraphs_ray.utils import matrix_to_list_array
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(500, 16))
+    vecs[17] = vecs[3]  # force a cosine tie
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+            "embedding": matrix_to_list_array(vecs),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7).materialize()
+    Q = vecs[[3, 100]]
+    local = sim.brute_force_topk(ds, Q, k=7).to_pandas()
+    old = sim.BRUTE_LOCAL_MAX_ROWS
+    try:
+        sim.BRUTE_LOCAL_MAX_ROWS = 0  # force the distributed engine
+        dist = sim.brute_force_topk(ds, Q, k=7).to_pandas()
+    finally:
+        sim.BRUTE_LOCAL_MAX_ROWS = old
+    key = ["query_id", "vec_id", "score"]
+    a = local[key].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = dist[key].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
