@@ -442,18 +442,41 @@ def heavy_hitters(
             }
         )
 
+    summary_ds = fast_grouped_agg(
+        ds.map_batches(block_counts, batch_format="pyarrow"),
+        [col],
+        {"__hh_w": ("__hh_w", "sum")},
+    )
+    # Candidate cut: the candidate set of a final MG compress is exactly
+    # the global top-``capacity`` by summed weight (subtracting the
+    # threshold changes weights, never set membership — and the weights
+    # are discarded; pass 2 recounts exactly). Each value appears once
+    # after the grouped agg, so a coarse-bucket per-bucket top-capacity
+    # followed by a driver merge of ≤ P·capacity rows IS the global cut
+    # — driver memory stays bounded no matter how many block summaries
+    # exist (worst case for a naive collect is capacity × num_blocks
+    # rows when blocks hold disjoint values).
+    from ..utils import _hash_partition_column
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__part").sort_values(
+            ["__hh_w", col], ascending=[False, True], kind="mergesort"
+        ).head(capacity)
+
     summary = collect_table(
-        fast_grouped_agg(
-            ds.map_batches(block_counts, batch_format="pyarrow"),
-            [col],
-            {"__hh_w": ("__hh_w", "sum")},
+        summary_ds.map_batches(
+            lambda t: _hash_partition_column(t, [col], P),
+            batch_format="pyarrow",
         )
+        .groupby("__part")
+        .map_groups(bucket_top, batch_format="pandas")
     )
-    cvals, cw = (
-        summary[col].to_numpy(zero_copy_only=False),
-        summary["__hh_w"].to_numpy(zero_copy_only=False),
-    )
-    cvals, _ = _mg_compress(cvals, cw, capacity)
+    sdf = summary.to_pandas().sort_values(
+        ["__hh_w", col], ascending=[False, True], kind="mergesort"
+    ).head(capacity)
+    cvals = sdf[col].to_numpy()
     cand_ref = ray.put(pa.array(cvals, summary[col].type))
 
     class Recount:
