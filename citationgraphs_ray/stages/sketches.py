@@ -53,7 +53,14 @@ SAMPLE_BUCKETS = 10_000
 
 
 def _key_hash(keys: np.ndarray, seed: int) -> np.ndarray:
-    """(key + seed) * FIB64 mod 2^64 over non-negative integer keys."""
+    """(key + seed) * FIB64 mod 2^64 over non-negative integer keys.
+
+    Negative keys are rejected rather than silently wrapped: the uint64
+    cast would still produce a deterministic sample, but one that no
+    longer matches the HUGEINT SQL twin (DuckDB computes the signed
+    value), breaking the oracle-parity contract."""
+    if len(keys) and keys.min() < 0:
+        raise ValueError("hash keys must be non-negative (SQL-parity contract)")
     k = keys.astype(np.uint64, copy=False)
     return (k + np.uint64(seed)) * FIB64
 
@@ -183,7 +190,11 @@ def exact_quantiles(
 
     Caller note: ``ds`` is re-executed once per pass — pass a dataset
     whose lineage is a pruned parquet read (cheap re-scan), or
-    ``materialize()`` it first if upstream is expensive.
+    ``materialize()`` it first if upstream is expensive. Values are
+    binned in float64, so integer columns beyond 2^53 may alias within
+    a bin; the final selection still returns an exact element, but rank
+    ties between integers that collide as floats resolve in float
+    order.
     """
     if not qs:
         return []

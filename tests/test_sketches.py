@@ -273,3 +273,9 @@ def test_exact_quantiles_degenerate_interval_counting_path():
     ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(6)
     res = dict(exact_quantiles(ds, "x", [0.5, 0.7], bins=8, cutoff=10))
     assert res[0.5] == base and res[0.7] == nxt
+
+
+def test_hash_sample_rejects_negative_keys():
+    df = pd.DataFrame({"k": [-1, 2, 3]})
+    with pytest.raises(Exception):
+        hash_sample(ray.data.from_pandas(df), "k", 0.5).to_pandas()
