@@ -2201,3 +2201,45 @@ ORACLE_SQL.update(
                                 AND o.o_totalprice > 400000)""",
     }
 )
+
+
+def q_rolling_user_value(sf_dir: str):
+    """Per-user 1-hour sliding-window aggregates over event values
+    (stages/temporal.py:rolling_window — ANSI RANGE-frame semantics);
+    ties pre-aggregated to unique (user_id, ts) per the operator
+    contract."""
+    from ..stages.temporal import rolling_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    uniq = fast_grouped_agg(ev, ["user_id", "ts"], {"v": ("value", "sum")})
+    r = rolling_window(
+        uniq, "user_id", "ts", "v", pd.Timedelta(hours=1)
+    )
+    return r.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "roll_sum": pa.array(
+                    _round6(t["v_roll_sum"].to_numpy(zero_copy_only=False))
+                ),
+                "roll_n": pa.compute.round(t["v_roll_count"]).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["rolling_user_value"] = q_rolling_user_value
+
+ORACLE_SQL["rolling_user_value"] = """
+    WITH uniq AS (
+      SELECT user_id, ts, SUM(value) AS v FROM events GROUP BY 1, 2)
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           round(SUM(v) OVER w, 6) AS roll_sum,
+           COUNT(v) OVER w AS roll_n
+    FROM uniq
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""

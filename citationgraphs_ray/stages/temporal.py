@@ -199,6 +199,75 @@ def range_join(
     )
 
 
+def rolling_window(
+    events: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_col: str,
+    window,
+    aggs: tuple[str, ...] = ("sum", "count"),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key TIME-based sliding-window aggregates: for each row, the
+    aggregate of the same key's ``value_col`` over rows with
+    ``ts' ∈ [ts - window, ts]`` — ANSI ``RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW`` semantics (both ends closed; DuckDB
+    parity verified in tests). ``window`` is a ``pd.Timedelta`` for
+    timestamp columns or a number for numeric ones.
+
+    Contract: rows are unique per ``(key, ts)`` — pre-aggregate ties
+    upstream (the same contract as ``asof_join``; SQL peers-in-RANGE
+    semantics and pandas positional windows diverge on duplicates).
+
+    Appends ``{value_col}_roll_{agg}`` (float64) per agg. One hash
+    shuffle on ``key`` into P coarse buckets; the in-bucket kernel is
+    pandas' cython ``groupby(...).rolling(window, closed="both")`` —
+    no per-key Python dispatch.
+    """
+    types = _types_of(events)
+    roll_cols = [f"{value_col}_roll_{a}" for a in aggs]
+    out_cols = list(types) + roll_cols
+    types = {**types, **{c: pa.float64() for c in roll_cols}}
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").sort_values(
+            [key, ts], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        if pd.api.types.is_datetime64_any_dtype(df[ts]):
+            idx, win = pd.DatetimeIndex(df[ts]), window
+        else:
+            # pandas variable windows need a datetime-like index: map a
+            # numeric time axis onto TimedeltaIndex nanoseconds (exact
+            # for integer seconds; float values round at ns resolution)
+            idx = pd.TimedeltaIndex(pd.to_timedelta(df[ts], unit="s"))
+            win = pd.to_timedelta(window, unit="s")
+        tmp = pd.DataFrame(
+            {"k": df[key].to_numpy(), "v": df[value_col].to_numpy()},
+            index=idx,
+        )
+        r = (
+            tmp.groupby("k", sort=False)["v"]
+            .rolling(win, closed="both")
+            .agg(list(aggs))
+        )
+        for a, c in zip(aggs, roll_cols):
+            df[c] = r[a].to_numpy()
+        return _cast_out(df, out_cols, types)
+
+    return (
+        events.map_batches(
+            lambda t: _hash_partition_column(t, [key], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     key: str,

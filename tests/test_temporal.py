@@ -7,7 +7,12 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from citationgraphs_ray.stages.temporal import asof_join, range_join, sessionize
+from citationgraphs_ray.stages.temporal import (
+    asof_join,
+    range_join,
+    rolling_window,
+    sessionize,
+)
 
 
 def _ds(df: pd.DataFrame) -> ray.data.Dataset:
@@ -218,3 +223,84 @@ def test_sessionize_gap_boundary_is_strict():
         .sort_values("event_id")
     )
     assert got["session_idx"].tolist() == [1, 1, 2]
+
+
+def test_rolling_window_matches_duckdb_range_frame(event_frames):
+    import duckdb
+
+    left, _ = event_frames
+    df = left.assign(value=np.arange(len(left), dtype=np.float64) % 17)
+    uniq = (
+        df.groupby(["user_id", "ts"], as_index=False)["value"]
+        .sum()
+        .rename(columns={"value": "v"})
+    )
+    got = (
+        rolling_window(
+            ray.data.from_pandas(uniq).repartition(5),
+            "user_id",
+            "ts",
+            "v",
+            pd.Timedelta(minutes=45),
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT user_id, ts, v,
+               SUM(v) OVER w AS v_roll_sum,
+               COUNT(v) OVER w::DOUBLE AS v_roll_count
+        FROM uniq
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 45 MINUTES PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY user_id, ts
+        """
+    ).df()
+    assert np.allclose(got.v_roll_sum, want.v_roll_sum)
+    assert (got.v_roll_count == want.v_roll_count).all()
+
+
+def test_rolling_window_partition_invariant(event_frames):
+    left, _ = event_frames
+    df = left.assign(value=np.arange(len(left), dtype=np.float64) % 13)
+    uniq = (
+        df.groupby(["user_id", "ts"], as_index=False)["value"]
+        .sum()
+        .rename(columns={"value": "v"})
+    )
+    outs = []
+    for parts in (1, 7):
+        outs.append(
+            rolling_window(
+                ray.data.from_pandas(uniq).repartition(parts),
+                "user_id",
+                "ts",
+                "v",
+                pd.Timedelta(minutes=30),
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_rolling_window_numeric_ts():
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "t": [0.0, 5.0, 11.0, 3.0], "v": [1.0, 2.0, 4.0, 8.0]}
+    )
+    got = (
+        rolling_window(
+            ray.data.from_pandas(df), "k", "t", "v", 5.0, num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # windows: [0], [0,5], [11-5=6..11] -> only 11; k=2: [3]
+    assert got.v_roll_sum.tolist() == [1.0, 3.0, 4.0, 8.0]
+    assert got.v_roll_count.tolist() == [1.0, 2.0, 1.0, 1.0]
