@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "windowed_user_stats",
     "lineitem_pricing_summary",
     "asof_prior_purchase",
+    "rolling_user_value",
     "quantiles_price",
     "heavy_hitters_suppliers",
     "hash_sample_orders",
