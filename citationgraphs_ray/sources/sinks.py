@@ -109,6 +109,10 @@ def write_partitioned(
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
     )
+    # a fully-finished resume yields an EMPTY post-filter dataset whose
+    # pandas form has no columns — normalize before the summary
+    if "part" not in stats.columns:
+        stats = pd.DataFrame({"part": [], "rows": []})
     return {
         "written": sorted(int(p) for p in stats["part"]),
         "skipped": sorted(done),

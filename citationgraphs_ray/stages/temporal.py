@@ -237,6 +237,14 @@ def rolling_window(
         )
         if not len(df):
             return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        dup = df.duplicated([key, ts])
+        if dup.any():
+            raise ValueError(
+                "rolling_window: duplicate (key, ts) rows violate the "
+                "unique-(key, ts) contract (SQL RANGE peers and pandas "
+                "positional windows diverge) — pre-aggregate ties, e.g. "
+                f"fast_grouped_agg on ({key}, {ts})"
+            )
         if pd.api.types.is_datetime64_any_dtype(df[ts]):
             idx, win = pd.DatetimeIndex(df[ts]), window
         else:

@@ -101,3 +101,12 @@ def test_partition_assignment_is_input_invariant(tmp_path):
 def test_read_partitioned_empty_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_partitioned(str(tmp_path / "nope"))
+
+
+def test_fully_finished_resume_is_noop(tmp_path):
+    df = _df(200)
+    out = str(tmp_path / "sink")
+    write_partitioned(ray.data.from_pandas(df), out, "k", num_partitions=4)
+    res = write_partitioned(ray.data.from_pandas(df), out, "k", num_partitions=4)
+    assert res["written"] == [] and res["rows_written"] == 0
+    assert res["skipped"] == [0, 1, 2, 3]

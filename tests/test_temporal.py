@@ -304,3 +304,17 @@ def test_rolling_window_numeric_ts():
     # windows: [0], [0,5], [11-5=6..11] -> only 11; k=2: [3]
     assert got.v_roll_sum.tolist() == [1.0, 3.0, 4.0, 8.0]
     assert got.v_roll_count.tolist() == [1.0, 2.0, 1.0, 1.0]
+
+
+def test_rolling_window_rejects_duplicate_key_ts():
+    df = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+            "v": [1.0, 2.0],
+        }
+    )
+    with pytest.raises(Exception):
+        rolling_window(
+            ray.data.from_pandas(df), "k", "ts", "v", pd.Timedelta(hours=1)
+        ).to_pandas()
