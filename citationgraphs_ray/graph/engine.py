@@ -613,3 +613,148 @@ def label_propagation(
             converged = True
             break
     return KernelResult(labels, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (single- or multi-source shortest hops, unit weights)
+# ---------------------------------------------------------------------------
+
+
+UNREACHED = np.iinfo(np.int64).max
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    num_vertices: int,
+    sources: list[int] | np.ndarray,
+    max_iters: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    reduce: str = "auto",
+    checkpoint_keep_last: int | None = None,
+) -> KernelResult:
+    """Frontier BFS: hop distance from the nearest source, min-plus
+    exchange until the frontier dries up. Unreached vertices keep
+    ``UNREACHED`` (int64 max) — callers filter or map to NULL.
+
+    Follows the reference's traversal-analytics shape (in-citation
+    reachability walks, CitationGraphs.go:3947-3961) re-expressed as the
+    same superstep round as :func:`connected_components`, with one BFS
+    twist: only FRONTIER vertices (distance settled last round) emit
+    messages, so each round ships O(frontier out-degree) rows, not O(E) —
+    the 100-TB-scale property that makes level-synchronous BFS viable
+    (total work across all rounds is O(E), like the sequential algorithm).
+    Directed by default; pass a symmetrized edge table for undirected
+    hops. ``reduce`` regimes and checkpointing match the other kernels.
+    """
+    eds = _prepare_edges(edges)
+    num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
+    dist = np.full(num_vertices, UNREACHED, dtype=np.int64)
+    src_ids = np.asarray(sources, dtype=np.int64)
+    if src_ids.size == 0:
+        raise ValueError("bfs_hops needs at least one source vertex")
+    if np.any((src_ids < 0) | (src_ids >= num_vertices)):
+        raise ValueError("source id outside [0, num_vertices)")
+    dist[src_ids] = 0
+    frontier = np.zeros(num_vertices, dtype=bool)
+    frontier[src_ids] = True
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        src_tag = hashlib.sha1(np.sort(src_ids).tobytes()).hexdigest()[:8]
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="bfs",
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"bfs|{src_tag}|{edge_checksum(eds)}"
+            ),
+            keep_last=checkpoint_keep_last,
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                dist = ck.state["hops"]
+                frontier = ck.state["frontier"].astype(bool)
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("frontier_size") == 0.0:
+                    return KernelResult(dist, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        if not frontier.any():
+            converged = True
+            break
+        if reduce == "local":
+            live = frontier[src_a]
+            incoming = np.full(num_vertices, UNREACHED, dtype=np.int64)
+            if live.any():
+                np.minimum.at(
+                    incoming, dst_a[live], dist[src_a[live]] + 1
+                )
+        else:
+            vec_ref = ray.put(dist)
+            frontier_ref = ray.put(frontier)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                vec = ray.get(vec_ref)
+                front = ray.get(frontier_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                live = front[src]
+                if not live.any():
+                    return pa.table(
+                        {
+                            "dst": pa.array([], type=pa.int64()),
+                            "hop": pa.array([], type=pa.int64()),
+                        }
+                    )
+                d = dst[live]
+                v = vec[src[live]] + 1
+                u, inv = np.unique(d, return_inverse=True)
+                mins = np.full(len(u), UNREACHED, dtype=np.int64)
+                np.minimum.at(mins, inv, v)
+                return _msg_table(u, mins, "hop")
+
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
+            if reduce == "groupby":
+                agg = msgs.groupby("dst").aggregate(Min("hop", alias_name="hop"))
+                incoming = dataset_to_dense_array(
+                    agg, "dst", "hop", num_vertices,
+                    default=UNREACHED, dtype=np.int64,
+                )
+            else:
+                incoming = np.full(num_vertices, UNREACHED, dtype=np.int64)
+                for b in msgs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                ):
+                    np.minimum.at(
+                        incoming,
+                        b["dst"].to_numpy(zero_copy_only=False),
+                        b["hop"].to_numpy(zero_copy_only=False),
+                    )
+        new_dist = np.minimum(dist, incoming)
+        frontier = new_dist != dist
+        dist = new_dist
+        fsize = int(np.count_nonzero(frontier))
+        history.append({"iteration": it, "frontier_size": fsize})
+        if mgr:
+            mgr.save(
+                it,
+                {
+                    "id": np.arange(num_vertices, dtype=np.int64),
+                    "hops": dist,
+                    "frontier": frontier.astype(np.int64),
+                },
+                {"frontier_size": float(fsize)},
+                parent=it - 1 if it > 0 else None,
+            )
+        if fsize == 0:
+            converged = True
+            break
+    return KernelResult(dist, it + 1, converged, history)

@@ -129,3 +129,29 @@ def triangles_oracle(edges: np.ndarray, num_vertices: int) -> np.ndarray:
                 counts[int(b)] += 1
                 counts[c] += 1
     return counts
+
+
+def bfs_oracle(
+    edges: np.ndarray,
+    num_vertices: int,
+    sources: list[int],
+    directed: bool = True,
+) -> np.ndarray:
+    """Hop distances via repeated edge relaxation (Bellman-Ford with unit
+    weights — O(V·E) but trivially correct). Unreached = int64 max."""
+    edges = _clean_edges(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    if not directed:
+        edges = _undirected(edges)
+    src, dst = edges[:, 0], edges[:, 1]
+    INF = np.iinfo(np.int64).max
+    dist = np.full(num_vertices, INF, dtype=np.int64)
+    dist[np.asarray(sources, dtype=np.int64)] = 0
+    while True:
+        finite = dist[src] != INF
+        incoming = np.full(num_vertices, INF, dtype=np.int64)
+        if finite.any():
+            np.minimum.at(incoming, dst[finite], dist[src[finite]] + 1)
+        new = np.minimum(dist, incoming)
+        if np.array_equal(new, dist):
+            return dist
+        dist = new

@@ -34,7 +34,13 @@ from ..functions.cooccur import (
     top_k_tfidf_per_doc,
 )
 from ..functions.metrics import compare_partitions, contingency_table
-from ..graph.engine import connected_components, label_propagation, pagerank
+from ..graph.engine import (
+    UNREACHED,
+    bfs_hops,
+    connected_components,
+    label_propagation,
+    pagerank,
+)
 from ..graph.triangles import triangle_counts
 from ..stages.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
 from ..stages.edges import dedup_edges, symmetrize_edges
@@ -2243,3 +2249,90 @@ ORACLE_SQL["rolling_user_value"] = """
     FROM uniq
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distance from the minimum present vertex over the symmetrized
+    graph (graph/engine.py:bfs_hops — frontier min-plus supersteps);
+    reachable vertices only, matching the recursive-CTE oracle."""
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    ids = _present_vertex_ids(edges)
+    res = bfs_hops(und, GRAPH_MOD, sources=[int(ids[0])])
+    hops = res.state[ids]
+    reached = hops != UNREACHED
+    return pa.table(
+        {"id": pa.array(ids[reached]), "hops": pa.array(hops[reached])}
+    )
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-vertex local clustering coefficient: 2·tri / (d·(d−1)) over the
+    undirected simple graph — composes the triangle kernel with the
+    symmetrized degree aggregate; d<2 vertices get 0.0 by convention."""
+    tri = q_triangles_per_vertex(sf_dir)
+    edges = derive_edges(sf_dir)
+    deg_ds = fast_grouped_agg(symmetrize_edges(edges), ["src"], count_as="d")
+    deg_tbl = collect_table(deg_ds)
+    d = np.zeros(GRAPH_MOD, dtype=np.int64)
+    d[deg_tbl["src"].to_numpy(zero_copy_only=False)] = deg_tbl[
+        "d"
+    ].to_numpy(zero_copy_only=False)
+    ids = tri["id"].to_numpy(zero_copy_only=False)
+    t = tri["tri_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dv = d[ids].astype(np.float64)
+    denom = dv * (dv - 1.0)
+    lcc = np.where(denom > 0, 2.0 * t / np.where(denom > 0, denom, 1.0), 0.0)
+    return pa.table(
+        {
+            "id": tri["id"],
+            "tri_count": tri["tri_count"],
+            "lcc": pa.array(_round6(lcc)),
+        }
+    )
+
+
+QUERIES["bfs_hops"] = q_bfs_hops
+QUERIES["clustering_coefficient"] = q_clustering_coefficient
+
+ORACLE_SQL["bfs_hops"] = f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    edges_sym AS ({_EDGES_SYM_SQL}),
+    nodes AS ({_NODES_SQL}),
+    bfs(id, hops) AS (
+      SELECT (SELECT min(id) FROM nodes) AS id, 0::BIGINT AS hops
+      UNION
+      SELECT e.dst, bfs.hops + 1 FROM edges_sym e JOIN bfs ON e.src = bfs.id
+      WHERE bfs.hops < 64)
+    SELECT id, min(hops) AS hops FROM bfs GROUP BY id"""
+
+ORACLE_SQL["clustering_coefficient"] = _with_graph_ctes(
+    """, deg AS (
+         SELECT id, count(*) AS d FROM (
+           SELECT src AS id FROM edges_sym) GROUP BY id),
+       uv AS (
+         SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         FROM edges_sym GROUP BY 1, 2),
+       ork AS (SELECT id, d * 1001 + id AS r FROM deg),
+       oriented AS (
+         SELECT CASE WHEN ru.r < rv.r THEN u ELSE v END AS a,
+                CASE WHEN ru.r < rv.r THEN v ELSE u END AS b
+         FROM uv JOIN ork ru ON uv.u = ru.id JOIN ork rv ON uv.v = rv.id),
+       tris AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM oriented e1
+         JOIN oriented e2 ON e1.b = e2.a
+         JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b),
+       pervert AS (
+         SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+         UNION ALL SELECT z FROM tris),
+       tcnt AS (SELECT id, count(*) AS c FROM pervert GROUP BY id)
+       SELECT n.id, coalesce(t.c, 0) AS tri_count,
+              CASE WHEN coalesce(g.d, 0) >= 2
+                   THEN round(2.0 * coalesce(t.c, 0)
+                              / (g.d * (g.d - 1)), 6)
+                   ELSE 0.0 END AS lcc
+       FROM nodes n
+       LEFT JOIN tcnt t ON n.id = t.id
+       LEFT JOIN deg g ON n.id = g.id"""
+)

@@ -135,3 +135,19 @@ def test_checkpoint_pruning_keeps_resume_point(small_edges, ckdir):
     )
     assert resumed.converged
     assert np.array_equal(resumed.state, full.state)
+
+
+def test_bfs_resume(small_edges, ckdir):
+    from citationgraphs_ray.graph.engine import bfs_hops
+    from citationgraphs_ray.stages.edges import symmetrize_edges
+
+    edges, vids = small_edges
+    V = vids.count()
+    und = symmetrize_edges(edges).materialize()
+    full = bfs_hops(und, V, sources=[0])
+    bfs_hops(und, V, sources=[0], max_iters=1, checkpoint_dir=ckdir)
+    resumed = bfs_hops(
+        und, V, sources=[0], checkpoint_dir=ckdir, resume=True
+    )
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)

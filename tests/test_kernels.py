@@ -328,3 +328,78 @@ def test_salted_groupby_reduce_agrees(small_graph):
     per_key = salted.groupby(["dst", "salt"]).size()
     hub = indeg.n.max()
     assert per_key.max() <= int(np.ceil(hub / 4 * 2))
+
+
+# ---- BFS hop distance ------------------------------------------------------
+
+
+def _bfs_imports():
+    from citationgraphs_ray.graph.engine import UNREACHED, bfs_hops
+    from citationgraphs_ray.graph.oracle import bfs_oracle
+
+    return bfs_hops, bfs_oracle, UNREACHED
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_bfs_tiny_undirected(name):
+    bfs_hops, bfs_oracle, _ = _bfs_imports()
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = bfs_hops(und, V, sources=[0])
+    exp = bfs_oracle(edges, V, sources=[0], directed=False)
+    assert np.array_equal(res.state, exp)
+    assert res.converged
+
+
+def test_bfs_directed_line():
+    """Directed line 0→1→2→3→4: hops equal position; reverse unreachable."""
+    bfs_hops, _, UNREACHED = _bfs_imports()
+    raw, V = TINY["line5"]
+    res = bfs_hops(_edge_ds(_clean_directed(raw)), V, sources=[0])
+    assert np.array_equal(res.state, np.arange(5))
+    res_back = bfs_hops(_edge_ds(_clean_directed(raw)), V, sources=[4])
+    assert res_back.state[4] == 0
+    assert np.all(res_back.state[:4] == UNREACHED)
+
+
+def test_bfs_unreachable_island():
+    bfs_hops, _, UNREACHED = _bfs_imports()
+    raw, V = TINY["two_islands"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw)))
+    res = bfs_hops(und, V, sources=[0])
+    assert np.all(res.state[:5] <= 1)
+    assert np.all(res.state[5:] == UNREACHED)
+
+
+def test_bfs_multi_source():
+    bfs_hops, bfs_oracle, _ = _bfs_imports()
+    raw, V = TINY["two_islands"]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = bfs_hops(und, V, sources=[0, 9])
+    exp = bfs_oracle(edges, V, sources=[0, 9], directed=False)
+    assert np.array_equal(res.state, exp)
+    assert res.state[9] == 0 and res.state[0] == 0
+
+
+def test_bfs_reduce_strategies_agree(small_graph):
+    bfs_hops, bfs_oracle, _ = _bfs_imports()
+    _, und, earr, V = small_graph
+    results = {
+        mode: bfs_hops(und, V, sources=[0], reduce=mode).state
+        for mode in ("local", "groupby", "driver")
+    }
+    exp = bfs_oracle(earr, V, sources=[0], directed=False)
+    for mode, state in results.items():
+        assert np.array_equal(state, exp), mode
+
+
+def test_bfs_rejects_bad_sources():
+    bfs_hops, _, _ = _bfs_imports()
+    raw, V = TINY["line5"]
+    ds = _edge_ds(_clean_directed(raw))
+    with pytest.raises(ValueError):
+        bfs_hops(ds, V, sources=[])
+    with pytest.raises(ValueError):
+        bfs_hops(ds, V, sources=[V])
