@@ -758,3 +758,162 @@ def bfs_hops(
             converged = True
             break
     return KernelResult(dist, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k): iterative peeling by degree decrement
+# ---------------------------------------------------------------------------
+
+
+def k_core(
+    edges_undirected: ray.data.Dataset,
+    num_vertices: int,
+    k: int,
+    max_iters: int = 10_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    reduce: str = "auto",
+    checkpoint_keep_last: int | None = None,
+) -> KernelResult:
+    """Maximal subgraph where every vertex keeps degree ≥ k — the classic
+    peel, expressed as supersteps that DECREMENT: after the initial degree
+    pass, only vertices REMOVED in a round emit messages (one count per
+    still-alive neighbor), so total message volume across all rounds is
+    O(E) — the property that makes distributed peeling viable at scale
+    (recomputing full degrees each round would be O(E·rounds)).
+
+    ``edges_undirected`` must contain both directions (symmetrize first);
+    degree = count of outgoing rows per vertex in that table. Returns
+    state[v] = 1 if v is in the k-core else 0. ``reduce`` regimes and
+    checkpointing match the other kernels.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    eds = _prepare_edges(edges_undirected)
+    num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
+        deg = np.bincount(src_a, minlength=num_vertices).astype(np.int64)
+    else:
+        deg_ds = eds.map_batches(
+            lambda t: (
+                lambda u, c: pa.table(
+                    {"dst": pa.array(u), "n": pa.array(c.astype(np.int64))}
+                )
+            )(*np.unique(
+                t["src"].to_numpy(zero_copy_only=False), return_counts=True
+            )),
+            batch_format="pyarrow",
+        )
+        deg = np.zeros(num_vertices, dtype=np.int64)
+        for b in deg_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(
+                deg,
+                b["dst"].to_numpy(zero_copy_only=False),
+                b["n"].to_numpy(zero_copy_only=False),
+            )
+    alive = np.ones(num_vertices, dtype=bool)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="kcore",
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"kcore{k}|{edge_checksum(eds)}"
+            ),
+            keep_last=checkpoint_keep_last,
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                deg = ck.state["deg"]
+                alive = ck.state["alive"].astype(bool)
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("killed") == 0.0:
+                    return KernelResult(
+                        alive.astype(np.int64), ck.iteration + 1, True, []
+                    )
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        kill = alive & (deg < k)
+        n_kill = int(np.count_nonzero(kill))
+        if n_kill == 0:
+            converged = True
+            history.append({"iteration": it, "killed": 0})
+            if mgr:
+                mgr.save(
+                    it,
+                    {
+                        "id": np.arange(num_vertices, dtype=np.int64),
+                        "deg": deg,
+                        "alive": alive.astype(np.int64),
+                    },
+                    {"killed": 0.0},
+                    parent=it - 1 if it > 0 else None,
+                )
+            break
+        alive = alive & ~kill
+        if reduce == "local":
+            live = kill[src_a] & alive[dst_a]
+            dec = np.zeros(num_vertices, dtype=np.int64)
+            if live.any():
+                np.add.at(dec, dst_a[live], 1)
+        else:
+            kill_ref = ray.put(kill)
+            alive_ref = ray.put(alive)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                klm = ray.get(kill_ref)
+                alv = ray.get(alive_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                live = klm[src] & alv[dst]
+                if not live.any():
+                    return pa.table(
+                        {
+                            "dst": pa.array([], type=pa.int64()),
+                            "n": pa.array([], type=pa.int64()),
+                        }
+                    )
+                u, c = np.unique(dst[live], return_counts=True)
+                return pa.table(
+                    {"dst": pa.array(u), "n": pa.array(c.astype(np.int64))}
+                )
+
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
+            if reduce == "groupby":
+                agg = msgs.groupby("dst").aggregate(Sum("n", alias_name="n"))
+                dec = dataset_to_dense_array(
+                    agg, "dst", "n", num_vertices, default=0, dtype=np.int64
+                )
+            else:
+                dec = np.zeros(num_vertices, dtype=np.int64)
+                for b in msgs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                ):
+                    np.add.at(
+                        dec,
+                        b["dst"].to_numpy(zero_copy_only=False),
+                        b["n"].to_numpy(zero_copy_only=False),
+                    )
+        deg = deg - dec
+        deg[~alive] = 0
+        history.append({"iteration": it, "killed": n_kill})
+        if mgr:
+            mgr.save(
+                it,
+                {
+                    "id": np.arange(num_vertices, dtype=np.int64),
+                    "deg": deg,
+                    "alive": alive.astype(np.int64),
+                },
+                {"killed": float(n_kill)},
+                parent=it - 1 if it > 0 else None,
+            )
+    return KernelResult(alive.astype(np.int64), it + 1, converged, history)

@@ -155,3 +155,19 @@ def bfs_oracle(
         if np.array_equal(new, dist):
             return dist
         dist = new
+
+
+def k_core_oracle(
+    edges: np.ndarray, num_vertices: int, k: int
+) -> np.ndarray:
+    """1/0 core membership via naive full-degree recompute each round."""
+    und = _undirected(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = und[:, 0], und[:, 1]
+    alive = np.ones(num_vertices, dtype=bool)
+    while True:
+        m = alive[src] & alive[dst]
+        deg = np.bincount(src[m], minlength=num_vertices)
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            return alive.astype(np.int64)
+        alive = new

@@ -38,6 +38,7 @@ from ..graph.engine import (
     UNREACHED,
     bfs_hops,
     connected_components,
+    k_core,
     label_propagation,
     pagerank,
 )
@@ -2336,3 +2337,48 @@ ORACLE_SQL["clustering_coefficient"] = _with_graph_ctes(
        LEFT JOIN tcnt t ON n.id = t.id
        LEFT JOIN deg g ON n.id = g.id"""
 )
+
+
+KCORE_K = 92  # peels 9 rounds to a 979-vertex core at sf0.01 (measured)
+_KCORE_UNROLL = 24  # ≥ the measured fixpoint depth with wide margin
+
+
+def q_k_core(sf_dir: str):
+    """Vertices of the k-core (k=KCORE_K) of the symmetrized graph
+    (graph/engine.py:k_core — O(E)-total decrement peeling)."""
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = k_core(und, GRAPH_MOD, k=KCORE_K)
+    ids = np.nonzero(res.state)[0].astype(np.int64)
+    return pa.table({"id": pa.array(ids)})
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel: round i keeps vertices with ≥k alive-subgraph degree.
+    Valid as long as the fixpoint is reached within ``rounds`` (measured 9
+    at the sf0.01 gate scale; extra rounds are no-ops once converged)."""
+    parts = [
+        # MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so 24 unrolled
+        # rounds would otherwise re-open the parquet per reference
+        # ("Too many open files") and re-run the distinct per round
+        f"WITH RECURSIVE edges AS MATERIALIZED ({_EDGES_SQL}),",
+        f"edges_sym AS MATERIALIZED ({_EDGES_SYM_SQL}),",
+        f"nodes AS ({_NODES_SQL}),",
+        "alive0 AS (SELECT id FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        # each round references the previous one TWICE — without
+        # MATERIALIZED the inlined plan doubles per level (2^rounds)
+        parts.append(
+            f""", alive{i} AS MATERIALIZED (
+              SELECT e.src AS id FROM edges_sym e
+              JOIN alive{i - 1} a ON e.src = a.id
+              JOIN alive{i - 1} b ON e.dst = b.id
+              GROUP BY e.src HAVING count(*) >= {k})"""
+        )
+    parts.append(f"SELECT id FROM alive{rounds}")
+    return "\n".join(parts)
+
+
+QUERIES["k_core"] = q_k_core
+ORACLE_SQL["k_core"] = _kcore_sql(KCORE_K, _KCORE_UNROLL)

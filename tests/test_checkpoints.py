@@ -151,3 +151,17 @@ def test_bfs_resume(small_edges, ckdir):
     )
     assert resumed.converged
     assert np.array_equal(resumed.state, full.state)
+
+
+def test_kcore_resume(small_edges, ckdir):
+    from citationgraphs_ray.graph.engine import k_core
+    from citationgraphs_ray.stages.edges import symmetrize_edges
+
+    edges, vids = small_edges
+    V = vids.count()
+    und = symmetrize_edges(edges).materialize()
+    full = k_core(und, V, k=3)
+    k_core(und, V, k=3, max_iters=1, checkpoint_dir=ckdir)
+    resumed = k_core(und, V, k=3, checkpoint_dir=ckdir, resume=True)
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)

@@ -403,3 +403,52 @@ def test_bfs_rejects_bad_sources():
         bfs_hops(ds, V, sources=[])
     with pytest.raises(ValueError):
         bfs_hops(ds, V, sources=[V])
+
+
+# ---- k-core decomposition --------------------------------------------------
+
+
+def _kcore_imports():
+    from citationgraphs_ray.graph.engine import k_core
+    from citationgraphs_ray.graph.oracle import k_core_oracle
+
+    return k_core, k_core_oracle
+
+
+@pytest.mark.parametrize("name", list(TINY))
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kcore_tiny(name, k):
+    k_core, k_core_oracle = _kcore_imports()
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges))
+    res = k_core(und, V, k=k)
+    exp = k_core_oracle(edges, V, k=k)
+    assert np.array_equal(res.state, exp), (name, k)
+    assert res.converged
+
+
+def test_kcore_peels_tail():
+    """two_islands: K5 clique survives k=4, the 4-vertex path does not."""
+    k_core, _ = _kcore_imports()
+    raw, V = TINY["two_islands"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw)))
+    res = k_core(und, V, k=4)
+    assert np.array_equal(res.state[:5], np.ones(5, dtype=np.int64))
+    assert np.array_equal(res.state[5:], np.zeros(5, dtype=np.int64))
+
+
+def test_kcore_reduce_strategies_agree(small_graph):
+    k_core, k_core_oracle = _kcore_imports()
+    _, und, earr, V = small_graph
+    exp = k_core_oracle(earr, V, k=3)
+    for mode in ("local", "groupby", "driver"):
+        res = k_core(und, V, k=3, reduce=mode)
+        assert np.array_equal(res.state, exp), mode
+
+
+def test_kcore_rejects_bad_k():
+    k_core, _ = _kcore_imports()
+    raw, V = TINY["line5"]
+    with pytest.raises(ValueError):
+        k_core(_edge_ds(_clean_directed(raw)), V, k=0)
