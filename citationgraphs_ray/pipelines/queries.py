@@ -2382,3 +2382,43 @@ def _kcore_sql(k: int, rounds: int) -> str:
 
 QUERIES["k_core"] = q_k_core
 ORACLE_SQL["k_core"] = _kcore_sql(KCORE_K, _KCORE_UNROLL)
+
+
+def q_scrubbed_docs(sf_dir: str):
+    """PII-style scrub over documents (stages/text.py:scrub_text_batch —
+    RE2 mask chain shared verbatim with the SQL oracle)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(scrub_text_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "scrubbed", "n_chars_scrubbed"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["scrubbed_docs"] = q_scrubbed_docs
+
+from ..stages.text import (  # noqa: E402  (pattern twins for the oracle)
+    SCRUB_EMAIL_RE,
+    SCRUB_ENTITY_RE,
+    SCRUB_URL_RE,
+    SCRUB_WS_RE,
+    scrub_text_batch,
+)
+
+ORACLE_SQL["scrubbed_docs"] = f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
+                 '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
+             '{SCRUB_WS_RE}', ' ', 'g')) AS scrubbed,
+           length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
+                 '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
+             '{SCRUB_WS_RE}', ' ', 'g'))) AS n_chars_scrubbed
+    FROM documents"""

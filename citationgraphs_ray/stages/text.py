@@ -211,3 +211,32 @@ def fingerprint_batch(batch: pa.Table, col: str = "text", window: int = 8) -> pa
                 mn = min(mn, h)
         fps[i] = mn
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+
+
+# PII-style scrub chain (C4/CCNet-style masking): applied IN ORDER — urls
+# before emails (an email inside a URL is already masked), entities last,
+# then whitespace collapse + trim. Both pyarrow.compute and DuckDB use
+# RE2, so the SQL oracle applies the SAME pattern strings verbatim.
+SCRUB_URL_RE = r"https?://[^\s]+"
+SCRUB_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SCRUB_ENTITY_RE = r"\b(customer|supplier)\b"
+SCRUB_WS_RE = r"\s+"
+
+
+def scrub_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Mask URLs/emails/entity terms and normalize whitespace — the
+    redaction pass of an LLM training-data pipeline, fully vectorized
+    (four Arrow RE2 kernels + trim; no Python row loop).
+
+    Appends ``scrubbed`` (masked text) and ``n_chars_scrubbed``.
+    """
+    s = batch[col]
+    s = pc.replace_substring_regex(s, SCRUB_URL_RE, "<URL>")
+    s = pc.replace_substring_regex(s, SCRUB_EMAIL_RE, "<EMAIL>")
+    s = pc.replace_substring_regex(s, SCRUB_ENTITY_RE, "<ENTITY>")
+    s = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(s, SCRUB_WS_RE, " ")
+    )
+    return batch.append_column("scrubbed", s).append_column(
+        "n_chars_scrubbed", pc.utf8_length(s).cast(pa.int64())
+    )

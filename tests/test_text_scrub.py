@@ -1,0 +1,55 @@
+"""scrub_text_batch: RE2 mask-chain parity with the DuckDB oracle chain."""
+
+import duckdb
+import pyarrow as pa
+
+from citationgraphs_ray.stages.text import (
+    SCRUB_EMAIL_RE,
+    SCRUB_ENTITY_RE,
+    SCRUB_URL_RE,
+    SCRUB_WS_RE,
+    scrub_text_batch,
+)
+
+SAMPLES = [
+    "plain text with  double  spaces ",
+    "see https://example.com/a?q=1#f and http://x.io too",
+    "mail me at first.last+tag@sub.example.co.uk today",
+    "customer and supplier and customers (no partial mask)",
+    "https://a.io a@b.io customer\t\nmixed   everything",
+    "",
+    None,
+]
+
+
+def test_scrub_masks_and_normalizes():
+    out = scrub_text_batch(pa.table({"text": SAMPLES}))
+    got = out["scrubbed"].to_pylist()
+    assert got[0] == "plain text with double spaces"
+    assert got[1] == "see <URL> and <URL> too"
+    assert got[2] == "mail me at <EMAIL> today"
+    # \b keeps 'customers' unmasked
+    assert got[3] == "<ENTITY> and <ENTITY> and customers (no partial mask)"
+    assert got[4] == "<URL> <EMAIL> <ENTITY> mixed everything"
+    assert got[5] == "" and got[6] is None
+    n = out["n_chars_scrubbed"].to_pylist()
+    assert n == [len(s) if s is not None else None for s in got]
+
+
+def test_scrub_matches_duckdb_chain():
+    """The exact pattern strings produce identical output in DuckDB —
+    the property the scrubbed_docs oracle depends on."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in SAMPLES])
+    sql = f"""
+      SELECT trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
+            '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
+          '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
+        '{SCRUB_WS_RE}', ' ', 'g')) FROM t"""
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    got = scrub_text_batch(pa.table({"text": SAMPLES}))["scrubbed"].to_pylist()
+    assert got == want
