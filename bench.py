@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "triangles_per_vertex",
     "connected_components",
     "pagerank",
+    "bfs_hops",
+    "k_core",
+    "scrubbed_docs",
     "doc_cooccurrence",
     "tfidf_top3",
     "minhash_dedup",

@@ -19,6 +19,7 @@ schema + order-insensitive value hash at sf0.01). Conventions for parity:
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2422,3 +2423,60 @@ ORACLE_SQL["scrubbed_docs"] = f"""
                '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
              '{SCRUB_WS_RE}', ' ', 'g'))) AS n_chars_scrubbed
     FROM documents"""
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity: Pearson corr of (deg(src), deg(dst))
+    over the symmetrized edge list. Distributed shape: degree aggregate →
+    broadcast dense degree vector (V-sized; join-attach above broadcast
+    scale like pipelines with GRAPH_MOD≫1e9) → per-batch moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) → one tiny reduce; corr from the moments."""
+    edges = derive_edges(sf_dir).materialize()
+    sym = symmetrize_edges(edges).materialize()
+    deg_ds = fast_grouped_agg(sym, ["src"], count_as="d")
+    deg = np.zeros(GRAPH_MOD, dtype=np.float64)
+    dt = collect_table(deg_ds)
+    deg[dt["src"].to_numpy(zero_copy_only=False)] = dt["d"].to_numpy(
+        zero_copy_only=False
+    )
+    deg_ref = ray.put(deg)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dv = ray.get(deg_ref)
+        x = dv[t["src"].to_numpy(zero_copy_only=False)]
+        y = dv[t["dst"].to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([float(x.sum())]),
+                "sy": pa.array([float(y.sum())]),
+                "sxx": pa.array([float((x * x).sum())]),
+                "syy": pa.array([float((y * y).sum())]),
+                "sxy": pa.array([float((x * y).sum())]),
+            }
+        )
+
+    m = collect_table(sym.map_batches(moments, batch_format="pyarrow"))
+    n = float(pa.compute.sum(m["n"]).as_py())
+    sx = float(pa.compute.sum(m["sx"]).as_py())
+    sy = float(pa.compute.sum(m["sy"]).as_py())
+    sxx = float(pa.compute.sum(m["sxx"]).as_py())
+    syy = float(pa.compute.sum(m["syy"]).as_py())
+    sxy = float(pa.compute.sum(m["sxy"]).as_py())
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    r = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    return pa.table(
+        {"assortativity": pa.array(_round6(np.array([r])))}
+    )
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLE_SQL["degree_assortativity"] = _with_graph_ctes(
+    """, deg AS (SELECT src AS id, count(*) AS d FROM edges_sym GROUP BY src)
+       SELECT round(corr(ds.d, dd.d), 6) AS assortativity
+       FROM edges_sym e
+       JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id"""
+)
