@@ -2480,3 +2480,47 @@ ORACLE_SQL["degree_assortativity"] = _with_graph_ctes(
        FROM edges_sym e
        JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id"""
 )
+
+
+_EDGES_W_SQL = f"""
+  SELECT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+"""
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """PageRank with integer edge weights (lineitem multiplicity per
+    (order, part) pair). Weighted PR over integer weights is EXACTLY the
+    unweighted kernel over the multigraph edge table (each (u,v) row
+    repeated w times: out-strength = Σw via the same bincount, and the
+    w copies of rank(u)/strength(u) sum to the weighted contribution) —
+    so the kernel, all its reduce regimes, and its checkpointing are
+    reused unchanged; only the derivation skips the dedup."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow").materialize()
+    res = pagerank(edges, GRAPH_MOD, tol=1e-10)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "rank": pa.array(_round6(res.state))}
+    )
+
+
+QUERIES["weighted_pagerank"] = q_weighted_pagerank
+# the weighted oracle IS the unweighted recursive CTE over the
+# multigraph: COUNT(*) per src becomes the out-strength and the per-row
+# contribution sum becomes the weighted sum — swap the edge CTE only
+ORACLE_SQL["weighted_pagerank"] = _PAGERANK_SQL.replace(
+    _EDGES_SQL, _EDGES_W_SQL
+)

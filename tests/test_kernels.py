@@ -452,3 +452,30 @@ def test_kcore_rejects_bad_k():
     raw, V = TINY["line5"]
     with pytest.raises(ValueError):
         k_core(_edge_ds(_clean_directed(raw)), V, k=0)
+
+
+def test_weighted_pagerank_repeated_rows_equals_weighted_oracle():
+    """Integer weights as row multiplicity: kernel output == explicit
+    weighted power iteration (the identity q_weighted_pagerank uses)."""
+    rng = np.random.default_rng(7)
+    V = 30
+    base = _clean_directed(rng.integers(0, V, size=(120, 2)))
+    w = rng.integers(1, 5, size=len(base))
+    rep = np.repeat(base, w, axis=0)
+    res = pagerank(_edge_ds(rep), V, tol=1e-12)
+
+    strength = np.zeros(V)
+    np.add.at(strength, base[:, 0], w.astype(float))
+    dangling = strength == 0
+    safe = np.where(dangling, 1.0, strength)
+    ranks = np.full(V, 1.0 / V)
+    for _ in range(500):
+        contrib = ranks / safe
+        sums = np.zeros(V)
+        np.add.at(sums, base[:, 1], contrib[base[:, 0]] * w)
+        new = 0.15 / V + 0.85 * (sums + ranks[dangling].sum() / V)
+        if np.max(np.abs(new - ranks)) < 1e-12:
+            ranks = new
+            break
+        ranks = new
+    assert np.allclose(res.state, ranks, atol=1e-9)
