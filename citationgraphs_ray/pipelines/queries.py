@@ -2524,3 +2524,33 @@ QUERIES["weighted_pagerank"] = q_weighted_pagerank
 ORACLE_SQL["weighted_pagerank"] = _PAGERANK_SQL.replace(
     _EDGES_SQL, _EDGES_W_SQL
 )
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style concat-then-chunk packing over documents: ws_tokens in
+    doc_id order → exclusive prefix sum → chunk id (stages/packing.py;
+    distributed scan via utils.ordered_prefix_sum)."""
+    from ..stages.packing import pack_sequences
+    from ..stages.text import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "ws_tokens"])
+    packed = pack_sequences(toks, "ws_tokens", max_len=2048)
+    return packed.map_batches(
+        lambda t: t.select(["doc_id", "start_offset", "seq_id"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+
+ORACLE_SQL["pack_sequences"] = """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+      FROM documents)
+    SELECT doc_id,
+           (SUM(n) OVER (ORDER BY doc_id) - n)::BIGINT AS start_offset,
+           ((SUM(n) OVER (ORDER BY doc_id) - n) // 2048)::BIGINT AS seq_id
+    FROM toks"""

@@ -48,6 +48,61 @@ def zip_with_index(ds: ray.data.Dataset, col: str = "id") -> ray.data.Dataset:
     return ray.data.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _block_value_sum(tbl: pa.Table, col: str) -> float:
+    s = pa.compute.sum(tbl[col]).as_py()
+    return float(s) if s is not None else 0.0
+
+
+@ray.remote
+def _add_exclusive_cumsum(
+    tbl: pa.Table, offset: float, col: str, out_col: str, as_int: bool
+) -> pa.Table:
+    v = tbl[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    excl = offset + np.concatenate([[0.0], np.cumsum(v)[:-1]])
+    arr = (
+        pa.array(excl.astype(np.int64))
+        if as_int
+        else pa.array(excl)
+    )
+    return tbl.append_column(out_col, arr)
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    presorted: bool = False,
+) -> ray.data.Dataset:
+    """Append the EXCLUSIVE running sum of ``value_col`` in ``order_col``
+    order (row i gets the sum of all strictly-earlier rows) — the
+    distributed scan primitive (one range-partitioned sort + the
+    zip_with_index block-offset pattern: per-block totals to the driver
+    — #blocks scalars, never rows — exclusive scan of those, per-block
+    local cumsum + offset). Integer inputs produce an int64 column while
+    the running total stays within float64's 2^53 exact-integer range
+    (token counts at 100 TB ≈ 10^13-10^14: safe); beyond that switch the
+    block partials to int64 object refs.
+
+    ``presorted=True`` skips the sort when upstream already ordered the
+    dataset by ``order_col`` (e.g. a read of a sorted layout).
+    """
+    mat = (ds if presorted else ds.sort(order_col)).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    schema = mat.schema()
+    as_int = pa.types.is_integer(schema.types[schema.names.index(value_col)])
+    sums = ray.get([_block_value_sum.remote(r, value_col) for r in refs])
+    offsets = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
+    out_refs = [
+        _add_exclusive_cumsum.remote(r, float(off), value_col, out_col, as_int)
+        for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def dataset_to_dense_array(
     ds: ray.data.Dataset,
     key_col: str,
