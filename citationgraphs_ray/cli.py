@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--kernel",
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "triangles", "edges"],
+        choices=["pagerank", "cc", "lpa", "bfs", "kcore", "triangles", "edges"],
         help="analysis to run over the extracted edge table",
     )
     p.add_argument(
@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--workdir", default="/tmp/citationgraphs_ray")
     p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument(
+        "--bfs-source",
+        type=int,
+        default=0,
+        help="source vertex id for --kernel bfs",
+    )
+    p.add_argument(
+        "--kcore-k", type=int, default=3, help="k for --kernel kcore"
+    )
     p.add_argument("--tol", type=float, default=1e-9)
     p.add_argument("--max-iters", type=int, default=200)
     return p
@@ -75,7 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         ray.init()
 
     from .graph.csr_engine import CsrEngine
-    from .graph.engine import connected_components, label_propagation, pagerank
+    from .graph.engine import (
+        bfs_hops,
+        connected_components,
+        k_core,
+        label_propagation,
+        pagerank,
+    )
     from .graph.triangles import triangle_counts
     from .stages.edges import extract_edge_table, symmetrize_edges
 
@@ -93,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
-    elif args.engine == "csr":
+    elif args.engine == "csr" and args.kernel in ("pagerank", "cc", "lpa"):
+        # bfs/kcore run on the broadcast engine (below) — their state is
+        # frontier/peel-local and V-small by that engine's precondition
         # pick the kernel's edge view BEFORE constructing the engine —
         # cc/lpa run on the symmetrized edges only, so building (and
         # immediately discarding) a directed-edge engine would waste a
@@ -174,6 +191,20 @@ def main(argv: list[str] | None = None) -> int:
                 symmetrize_edges(edges), V, max_iters=args.max_iters, **kw
             )
             col = "component"
+        elif args.kernel == "bfs":
+            res = bfs_hops(
+                symmetrize_edges(edges),
+                V,
+                sources=[args.bfs_source],
+                max_iters=args.max_iters,
+                **kw,
+            )
+            col = "hops"
+        elif args.kernel == "kcore":
+            res = k_core(
+                symmetrize_edges(edges), V, k=args.kcore_k, **kw
+            )
+            col = "in_kcore"
         else:
             res = label_propagation(
                 symmetrize_edges(edges), V, max_rounds=args.max_iters, **kw

@@ -131,3 +131,36 @@ def test_cli_shards_output(tmp_path, capsys):
     df = pd.concat([pq.read_table(s).to_pandas() for s in shards])
     assert len(df) == info["V"]
     assert set(df.columns) == {"id", "rank"}
+
+
+def test_cli_bfs_and_kcore(tmp_path, capsys):
+    from citationgraphs_ray.graph.oracle import bfs_oracle, k_core_oracle
+    from citationgraphs_ray.stages.edges import extract_edge_table
+
+    cdir = _corpus_dir(tmp_path)
+    edges, vids = extract_edge_table(ray.data.read_parquet(cdir))
+    earr = edges.to_pandas()[["src", "dst"]].to_numpy().astype(np.int64)
+    V = vids.count()
+
+    out = str(tmp_path / "out_bfs")
+    rc = main(
+        ["--corpus", cdir, "--output", out, "--kernel", "bfs",
+         "--bfs-source", "0"]
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tbl = pq.read_table(out).to_pandas().sort_values("id")
+    assert np.array_equal(
+        tbl["hops"].to_numpy(), bfs_oracle(earr, V, [0], directed=False)
+    )
+
+    out = str(tmp_path / "out_kcore")
+    rc = main(
+        ["--corpus", cdir, "--output", out, "--kernel", "kcore",
+         "--kcore-k", "3"]
+    )
+    assert rc == 0
+    tbl = pq.read_table(out).to_pandas().sort_values("id")
+    assert np.array_equal(
+        tbl["in_kcore"].to_numpy(), k_core_oracle(earr, V, k=3)
+    )
