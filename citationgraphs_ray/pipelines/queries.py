@@ -2260,7 +2260,11 @@ def q_bfs_hops(sf_dir: str):
     edges = derive_edges(sf_dir).materialize()
     und = symmetrize_edges(edges)
     ids = _present_vertex_ids(edges)
-    res = bfs_hops(und, GRAPH_MOD, sources=[int(ids[0])])
+    # depth capped to match the oracle's recursion bound EXACTLY: both
+    # sides settle hops ≤ BFS_ORACLE_DEPTH and omit farther vertices
+    # (the sf graphs have diameter ~2; the cap exists for safety)
+    res = bfs_hops(und, GRAPH_MOD, sources=[int(ids[0])],
+                   max_iters=BFS_ORACLE_DEPTH)
     hops = res.state[ids]
     reached = hops != UNREACHED
     return pa.table(
@@ -2297,6 +2301,8 @@ def q_clustering_coefficient(sf_dir: str):
 QUERIES["bfs_hops"] = q_bfs_hops
 QUERIES["clustering_coefficient"] = q_clustering_coefficient
 
+BFS_ORACLE_DEPTH = 64
+
 ORACLE_SQL["bfs_hops"] = f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
     edges_sym AS ({_EDGES_SYM_SQL}),
@@ -2305,7 +2311,7 @@ ORACLE_SQL["bfs_hops"] = f"""
       SELECT (SELECT min(id) FROM nodes) AS id, 0::BIGINT AS hops
       UNION
       SELECT e.dst, bfs.hops + 1 FROM edges_sym e JOIN bfs ON e.src = bfs.id
-      WHERE bfs.hops < 64)
+      WHERE bfs.hops < {BFS_ORACLE_DEPTH})
     SELECT id, min(hops) AS hops FROM bfs GROUP BY id"""
 
 ORACLE_SQL["clustering_coefficient"] = _with_graph_ctes(
@@ -2414,14 +2420,14 @@ ORACLE_SQL["scrubbed_docs"] = f"""
                  regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
                  '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
                '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
-             '{SCRUB_WS_RE}', ' ', 'g')) AS scrubbed,
+             '{SCRUB_WS_RE}', ' ', 'g'), ' ') AS scrubbed,
            length(trim(regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
                  '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
                '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
-             '{SCRUB_WS_RE}', ' ', 'g'))) AS n_chars_scrubbed
+             '{SCRUB_WS_RE}', ' ', 'g'), ' ')) AS n_chars_scrubbed
     FROM documents"""
 
 

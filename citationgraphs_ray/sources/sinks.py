@@ -87,26 +87,29 @@ def write_partitioned(
             t = t.filter(keep)
         return t
 
-    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"part": [], "rows": []}).astype(
-                {"part": "int64", "rows": "int64"}
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        # stays in Arrow end-to-end: a pandas hop would turn nullable
+        # int64 columns into float64 (schema change in the output file,
+        # silent rounding beyond 2^53)
+        if not tbl.num_rows:
+            return pa.table(
+                {"part": pa.array([], pa.int64()),
+                 "rows": pa.array([], pa.int64())}
             )
-        p = int(df["__part"].iloc[0])
+        p = int(tbl["__part"][0].as_py())
         d = _part_dir(out_dir, p)
         os.makedirs(d, exist_ok=True)
-        tbl = pa.Table.from_pandas(
-            df.drop(columns="__part"), preserve_index=False
+        pq.write_table(
+            tbl.drop_columns(["__part"]), os.path.join(d, "data.parquet")
         )
-        pq.write_table(tbl, os.path.join(d, "data.parquet"))
         # marker LAST: its presence is the partition's completion barrier
         open(os.path.join(d, "_SUCCESS"), "w").close()
-        return pd.DataFrame({"part": [p], "rows": [len(df)]})
+        return pa.table({"part": pa.array([p]), "rows": pa.array([tbl.num_rows])})
 
     stats = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(write_bucket, batch_format="pandas")
+        .map_groups(write_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     # a fully-finished resume yields an EMPTY post-filter dataset whose

@@ -100,15 +100,13 @@ def extract_import_edges_batch(batch: pa.Table) -> pa.Table:
     return _MODULE_EXTRACTOR(batch)
 
 
-def extract_hashed_edges_batch(batch: pa.Table) -> pa.Table:
-    """Fused extract → row-hash for the distributed resolve: emits
-    ``(s1, s2, d1, d2)`` 128-bit endpoint hashes right where edges are
-    born, so no string edge row ever enters the join exchange (the
-    hash-keyed resolve's map-side hashing cost, folded into the
-    extraction pass)."""
-    raw = _MODULE_EXTRACTOR(batch)
-    s1, s2 = _row_hashes(raw["src_repo"], raw["src_path"])
-    d1, d2 = _row_hashes(raw["dst_repo"], raw["dst_path"])
+def _hash_edge_cols(t: pa.Table) -> pa.Table:
+    """(src_repo, src_path, dst_repo, dst_path) string edges → the
+    ``(s1, s2, d1, d2)`` 128-bit endpoint-hash exchange layout. ONE
+    definition — the fused extraction stage and resolve_edges' join path
+    must stay byte-identical or the exchanges stop matching."""
+    s1, s2 = _row_hashes(t["src_repo"], t["src_path"])
+    d1, d2 = _row_hashes(t["dst_repo"], t["dst_path"])
     return pa.table(
         {
             "s1": pa.array(s1.view(np.int64)),
@@ -117,6 +115,15 @@ def extract_hashed_edges_batch(batch: pa.Table) -> pa.Table:
             "d2": pa.array(d2.view(np.int64)),
         }
     )
+
+
+def extract_hashed_edges_batch(batch: pa.Table) -> pa.Table:
+    """Fused extract → row-hash for the distributed resolve: emits
+    ``(s1, s2, d1, d2)`` 128-bit endpoint hashes right where edges are
+    born, so no string edge row ever enters the join exchange (the
+    hash-keyed resolve's map-side hashing cost, folded into the
+    extraction pass)."""
+    return _hash_edge_cols(_MODULE_EXTRACTOR(batch))
 
 
 def sha256_content(batch: pa.Table) -> pa.Table:
@@ -889,18 +896,6 @@ def resolve_edges(
                 _hash_vertices, batch_format="pyarrow"
             ).materialize()
 
-            def hash_edges(t: pa.Table) -> pa.Table:
-                s1, s2 = _row_hashes(t["src_repo"], t["src_path"])
-                d1, d2 = _row_hashes(t["dst_repo"], t["dst_path"])
-                return pa.table(
-                    {
-                        "s1": pa.array(s1.view(np.int64)),
-                        "s2": pa.array(s2.view(np.int64)),
-                        "d1": pa.array(d1.view(np.int64)),
-                        "d2": pa.array(d2.view(np.int64)),
-                    }
-                )
-
             # materialized: the exchange splits need block refs (and
             # the split tasks coalesce blocks themselves — no
             # repartition pass)
@@ -908,7 +903,7 @@ def resolve_edges(
                 vh.count() * 10
             )
             eh = raw_edges.map_batches(
-                hash_edges, batch_format="pyarrow"
+                _hash_edge_cols, batch_format="pyarrow"
             ).materialize()
             try:
                 return _resolve_hashed(eh, vh, num_partitions=P)

@@ -202,6 +202,14 @@ def exact_quantiles(
     # pass 0: global count / min / max (one tiny row per block)
     def stats(t: pa.Table) -> pa.Table:
         v = _col_values(t, col)
+        if np.isinf(v).any():
+            # an inf min/max poisons np.linspace ([nan, inf, ...] edges →
+            # all-zero histograms → wrong intervals / IndexError deep in
+            # the refinement loop); fail loud at the boundary instead
+            raise ValueError(
+                f"exact_quantiles: non-finite values in {col!r} — filter "
+                "±inf upstream (NaNs are excluded automatically)"
+            )
         if len(v) == 0:
             return pa.table(
                 {"n": pa.array([], pa.int64()), "lo": pa.array([], pa.float64()),
@@ -401,11 +409,11 @@ def _mg_compress(vals: np.ndarray, cnts: np.ndarray, m: int):
     if len(vals) <= m:
         return vals, cnts
     thr = np.partition(cnts, -(m + 1))[-(m + 1)]
+    # strictly-greater keeps ≤ m survivors by the order-statistic
+    # definition (at most m elements exceed the (m+1)-th largest), so no
+    # tie fallback is needed; threshold ties are simply dropped, which
+    # MG permits (they are the counters the subtraction would zero)
     keep = cnts > thr
-    if keep.sum() > m:  # ties at the threshold
-        order = np.lexsort((vals, -cnts))[:m]
-        keep = np.zeros(len(vals), dtype=bool)
-        keep[order] = True
     return vals[keep], cnts[keep] - thr
 
 

@@ -40,11 +40,41 @@ def _types_of(ds: ray.data.Dataset) -> dict[str, pa.DataType]:
 
 def _cast_out(df: pd.DataFrame, out_cols: list[str], types: dict) -> pa.Table:
     """pandas → Arrow with source types restored (null padding during the
-    tagged union turns int64 into float64; inner outputs are exact)."""
+    tagged union turns int64 into float64; inner outputs are exact for
+    values within float64's 2^53 exact-integer range). A float→int cast
+    is verified LOSSLESS — int64 payloads beyond 2^53 (snowflake-style
+    ids) would otherwise round silently in the float hop, so they raise
+    instead."""
     arrs = {}
     for c in out_cols:
         a = pa.Array.from_pandas(df[c])
-        arrs[c] = a.cast(types[c]) if a.type != types[c] else a
+        if a.type != types[c]:
+            cast = a.cast(types[c])
+            if pa.types.is_floating(a.type) and pa.types.is_integer(types[c]):
+                try:
+                    # Arrow's int→float cast is range-checked at ±2^53,
+                    # so a failed round-trip means the float hop already
+                    # lost bits
+                    back = cast.cast(a.type)
+                    # min_count=0: an empty or all-null bucket output is
+                    # trivially lossless (plain all() returns null there)
+                    ok = pa.compute.all(
+                        pa.compute.or_kleene(
+                            pa.compute.equal(back, a), pa.compute.is_null(a)
+                        ),
+                        min_count=0,
+                    ).as_py()
+                except pa.ArrowInvalid:
+                    ok = False
+                if ok is not True:
+                    raise ValueError(
+                        f"temporal join: column {c!r} holds int64 values "
+                        "beyond float64's 2^53 exact range — they would "
+                        "corrupt in the null-padded union. Re-key or split "
+                        "such ids before the join."
+                    )
+            a = cast
+        arrs[c] = a
     return pa.table(arrs)
 
 
@@ -257,8 +287,11 @@ def rolling_window(
             {"k": df[key].to_numpy(), "v": df[value_col].to_numpy()},
             index=idx,
         )
+        # dropna=False: a null key forms ONE group (SQL PARTITION BY
+        # semantics) instead of being dropped — which would also
+        # misalign the result against df's row count
         r = (
-            tmp.groupby("k", sort=False)["v"]
+            tmp.groupby("k", sort=False, dropna=False)["v"]
             .rolling(win, closed="both")
             .agg(list(aggs))
         )
@@ -308,7 +341,15 @@ def sessionize(
         df = df.drop(columns="__part").sort_values(sort_cols, kind="mergesort")
         if not len(df):
             return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
-        new_key = df[key].ne(df[key].shift())
+        # nulls-equal key comparison: all null-key rows form ONE run (the
+        # sort places them contiguously), matching SQL PARTITION BY where
+        # NULLs share a partition — plain .ne() would make every null row
+        # its own session (NaN != NaN)
+        prev = df[key].shift()
+        new_key = ~(df[key].eq(prev) | (df[key].isna() & prev.isna()))
+        # row 0's shift is NaN, which a null FIRST key would "equal" —
+        # the bucket's first row always starts a run
+        new_key.iloc[0] = True
         exceeded = (df[ts] - df[ts].shift()) > gap
         s = (new_key | exceeded).cumsum()
         first = s.where(new_key).ffill()

@@ -234,8 +234,15 @@ def scrub_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     s = pc.replace_substring_regex(s, SCRUB_URL_RE, "<URL>")
     s = pc.replace_substring_regex(s, SCRUB_EMAIL_RE, "<EMAIL>")
     s = pc.replace_substring_regex(s, SCRUB_ENTITY_RE, "<ENTITY>")
-    s = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(s, SCRUB_WS_RE, " ")
+    # trim EXACTLY the ASCII space char: after the RE2 \s+ collapse
+    # (ASCII-only in both engines) an edge holds either a single
+    # collapse-produced ' ' or preserved non-ASCII whitespace (NBSP
+    # etc.). Arrow's utf8_trim_whitespace and DuckDB's default trim()
+    # disagree on which non-ASCII whitespace they strip (measured:
+    # DuckDB trims Zs-category but not NEL; Arrow trims both), so both
+    # sides pin the char set to {' '} — SQL twin: trim(x, ' ')
+    s = pc.utf8_trim(
+        pc.replace_substring_regex(s, SCRUB_WS_RE, " "), " "
     )
     return batch.append_column("scrubbed", s).append_column(
         "n_chars_scrubbed", pc.utf8_length(s).cast(pa.int64())

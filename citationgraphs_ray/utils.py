@@ -50,6 +50,13 @@ def zip_with_index(ds: ray.data.Dataset, col: str = "id") -> ray.data.Dataset:
 
 @ray.remote
 def _block_value_sum(tbl: pa.Table, col: str) -> float:
+    # nulls would become NaN in the float cumsum and then INT64_MIN in
+    # the int cast — poisoning every later offset silently; reject here
+    if tbl[col].null_count:
+        raise ValueError(
+            f"ordered_prefix_sum: {tbl[col].null_count} null values in "
+            f"{col!r} — fill or drop them upstream"
+        )
     s = pa.compute.sum(tbl[col]).as_py()
     return float(s) if s is not None else 0.0
 

@@ -102,3 +102,14 @@ def test_pack_sequences_matches_duckdb_window():
 def test_pack_sequences_rejects_bad_maxlen():
     with pytest.raises(ValueError):
         pack_sequences(_ds([0], [1]), "n", max_len=0)
+
+
+def test_prefix_sum_rejects_nulls():
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "n": pa.array([1, None, 3], pa.int64())}
+    )
+    with pytest.raises(Exception, match="null"):
+        ordered_prefix_sum(
+            ray.data.from_arrow(t), "doc_id", "n", "off"
+        ).materialize()

@@ -1,6 +1,8 @@
 """Resumable partitioned sink (sources/sinks.py)."""
 
 import os
+
+import pyarrow as pa
 import shutil
 
 import numpy as np
@@ -110,3 +112,24 @@ def test_fully_finished_resume_is_noop(tmp_path):
     res = write_partitioned(ray.data.from_pandas(df), out, "k", num_partitions=4)
     assert res["written"] == [] and res["rows_written"] == 0
     assert res["skipped"] == [0, 1, 2, 3]
+
+
+def test_write_partitioned_preserves_nullable_int64(tmp_path):
+    """The write must not take a pandas hop: a nullable int64 column
+    would come back float64 (and round beyond 2^53)."""
+    big = (1 << 60) + 1
+    t = pa.table(
+        {
+            "k": pa.array([0, 1, 2], pa.int64()),
+            "label": pa.array([big, None, 7], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "nullable_sink")
+    write_partitioned(ray.data.from_arrow(t), out, "k", num_partitions=2)
+    back = read_partitioned(out).to_arrow_refs()
+    import ray as _ray
+
+    tables = pa.concat_tables(_ray.get(back))
+    assert tables.schema.field("label").type == pa.int64()
+    vals = {v for v in tables["label"].to_pylist()}
+    assert vals == {big, None, 7}

@@ -279,3 +279,9 @@ def test_hash_sample_rejects_negative_keys():
     df = pd.DataFrame({"k": [-1, 2, 3]})
     with pytest.raises(Exception):
         hash_sample(ray.data.from_pandas(df), "k", 0.5).to_pandas()
+
+
+def test_exact_quantiles_rejects_inf():
+    t = pa.table({"v": pa.array([1.0, float("inf"), 3.0])})
+    with pytest.raises(Exception, match="non-finite"):
+        exact_quantiles(ray.data.from_arrow(t), "v", [0.5])

@@ -318,3 +318,64 @@ def test_rolling_window_rejects_duplicate_key_ts():
         rolling_window(
             ray.data.from_pandas(df), "k", "ts", "v", pd.Timedelta(hours=1)
         ).to_pandas()
+
+
+def test_asof_join_rejects_unrepresentable_int64():
+    """int64 beyond 2^53 would round silently in the null-padded float
+    hop — the join must raise instead."""
+    import pytest
+
+    big = (1 << 60) + 1
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ts": pa.array([10], pa.int64()),
+                "event_id": pa.array([big], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ts": pa.array([5], pa.int64()),
+                "price": pa.array([2.0]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(left, right, "k", "ts").materialize()
+
+
+def test_rolling_window_null_key_single_partition():
+    """A null key forms ONE group (SQL PARTITION BY semantics) and must
+    not crash the in-bucket kernel with a length mismatch."""
+    t = pa.table(
+        {
+            "k": pa.array([1, None, None, 1], pa.int64()),
+            "ts": pa.array([1, 2, 5, 3], pa.int64()),
+            "v": pa.array([1.0, 10.0, 20.0, 2.0]),
+        }
+    )
+    out = (
+        rolling_window(ray.data.from_arrow(t), "k", "ts", "v", 10)
+        .to_pandas()
+        .sort_values(["ts"])
+    )
+    nulls = out[out["k"].isna()].sort_values("ts")
+    # both null-key rows share a window: second row sums both values
+    assert nulls["v_roll_sum"].tolist() == [10.0, 30.0]
+
+
+def test_sessionize_null_keys_share_partition():
+    t = pa.table(
+        {
+            "k": pa.array([None, None, 7], pa.int64()),
+            "ts": pa.array([1, 100, 1], pa.int64()),
+        }
+    )
+    out = sessionize(ray.data.from_arrow(t), "k", "ts", gap=10).to_pandas()
+    nulls = out[out["k"].isna()].sort_values("ts")
+    # one NULL partition: the 99-gap splits it into sessions 1 and 2
+    assert nulls["session_idx"].tolist() == [1, 2]

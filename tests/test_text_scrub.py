@@ -17,6 +17,8 @@ SAMPLES = [
     "mail me at first.last+tag@sub.example.co.uk today",
     "customer and supplier and customers (no partial mask)",
     "https://a.io a@b.io customer\t\nmixed   everything",
+    "trailing nbsp\u00a0",   # non-ASCII whitespace: RE2 \s skips it in
+    "\u00a0leading nbsp",    # BOTH engines; trim must be ASCII-only too
     "",
     None,
 ]
@@ -31,7 +33,10 @@ def test_scrub_masks_and_normalizes():
     # \b keeps 'customers' unmasked
     assert got[3] == "<ENTITY> and <ENTITY> and customers (no partial mask)"
     assert got[4] == "<URL> <EMAIL> <ENTITY> mixed everything"
-    assert got[5] == "" and got[6] is None
+    # NBSP is untouched end-to-end (ASCII trim + ASCII \s — SQL parity)
+    assert got[5] == "trailing nbsp\u00a0"
+    assert got[6] == "\u00a0leading nbsp"
+    assert got[7] == "" and got[8] is None
     n = out["n_chars_scrubbed"].to_pylist()
     assert n == [len(s) if s is not None else None for s in got]
 
@@ -49,7 +54,7 @@ def test_scrub_matches_duckdb_chain():
             regexp_replace(text, '{SCRUB_URL_RE}', '<URL>', 'g'),
             '{SCRUB_EMAIL_RE}', '<EMAIL>', 'g'),
           '{SCRUB_ENTITY_RE}', '<ENTITY>', 'g'),
-        '{SCRUB_WS_RE}', ' ', 'g')) FROM t"""
+        '{SCRUB_WS_RE}', ' ', 'g'), ' ') FROM t"""
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = scrub_text_batch(pa.table({"text": SAMPLES}))["scrubbed"].to_pylist()
     assert got == want
