@@ -2560,3 +2560,58 @@ ORACLE_SQL["pack_sequences"] = """
            (SUM(n) OVER (ORDER BY doc_id) - n)::BIGINT AS start_offset,
            ((SUM(n) OVER (ORDER BY doc_id) - n) // 2048)::BIGINT AS seq_id
     FROM toks"""
+
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+MIX_DEFAULT = 0.05
+
+
+def q_mixed_sources(sf_dir: str):
+    """Domain-mixing sampler over documents: per-source keep rates on
+    the deterministic Fibonacci doc_id hash
+    (stages/sketches.py:rate_sample_by_stratum)."""
+    from ..stages.sketches import rate_sample_by_stratum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return rate_sample_by_stratum(
+        docs, "source", "doc_id", MIX_RATES, default_rate=MIX_DEFAULT
+    )
+
+
+def q_decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: a deterministic 5% hash-sample of
+    documents stands in as the held-out benchmark; docs sharing its
+    winnowing fingerprints are dropped (stages/decontam.py — broadcast
+    benchmark set, map-only corpus pass)."""
+    from ..stages.decontam import decontaminate
+    from ..stages.sketches import hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = hash_sample(docs, "doc_id", 0.05, seed=99)
+    clean = decontaminate(docs, bench, col="text")
+    return clean.select_columns(["doc_id"])
+
+
+QUERIES["mixed_sources"] = q_mixed_sources
+QUERIES["decontaminated_docs"] = q_decontaminated_docs
+
+_MIX_BUCKET = (
+    f"((((doc_id + 41)::HUGEINT * {_FIB_SQL}) % {_M64_SQL})"
+    " // 4294967296) % 10000"
+)
+ORACLE_SQL["mixed_sources"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_MIX_BUCKET} < CASE source
+      WHEN 'src0' THEN 10000
+      WHEN 'src1' THEN 5000
+      WHEN 'src2' THEN 2000
+      ELSE 500 END"""
+
+ORACLE_SQL["decontaminated_docs"] = f"""
+    WITH fps AS ({_FINGERPRINTS_SQL}),
+    bench AS (
+      SELECT fingerprint FROM fps
+      WHERE ((((doc_id + 99)::HUGEINT * {_FIB_SQL}) % {_M64_SQL})
+             // 4294967296) % 10000 < 500)
+    SELECT doc_id FROM fps
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM bench)"""

@@ -587,3 +587,37 @@ def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT col): HLL with standard error
     ~1.04/sqrt(2^p) (p=12 → ~1.6%)."""
     return hll_estimate(hll_registers(ds, col, p))
+
+
+def rate_sample_by_stratum(
+    ds: ray.data.Dataset,
+    stratum_col: str,
+    key_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    seed: int = 41,
+) -> ray.data.Dataset:
+    """Domain-mixing sampler: per-stratum keep RATES over the same
+    deterministic Fibonacci key hash as :func:`hash_sample` — the op a
+    training-data pipeline uses to reweight sources ("keep 100% of
+    books, 10% of web"). Map-only, partition-invariant, rerun-stable,
+    and joinable across tables sharing the key; SQL twin is a CASE
+    ladder over the identical HUGEINT arithmetic. Strata not in
+    ``rates`` keep ``default_rate``."""
+    thresh = {
+        s: int(round(r * SAMPLE_BUCKETS)) for s, r in rates.items()
+    }
+    dflt = int(round(default_rate * SAMPLE_BUCKETS))
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        b = hash_bucket(keys, seed)
+        strata = t[stratum_col].to_pylist()
+        lim = np.fromiter(
+            (thresh.get(s, dflt) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return t.filter(pa.array(b < lim))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

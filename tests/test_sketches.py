@@ -285,3 +285,49 @@ def test_exact_quantiles_rejects_inf():
     t = pa.table({"v": pa.array([1.0, float("inf"), 3.0])})
     with pytest.raises(Exception, match="non-finite"):
         exact_quantiles(ray.data.from_arrow(t), "v", [0.5])
+
+
+def test_rate_sample_by_stratum_matches_per_stratum_hash_sample():
+    """Per-stratum rates over ONE shared key hash: the mixed sample of a
+    stratum equals hash_sample at that stratum's rate — partitioning-
+    and composition-invariant by construction."""
+    from citationgraphs_ray.stages.sketches import rate_sample_by_stratum
+
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    rates = {"s0": 1.0, "s1": 0.3}
+    mixed = rate_sample_by_stratum(
+        ray.data.from_arrow(t).repartition(7), "s", "k", rates,
+        default_rate=0.0,
+    ).to_pandas()
+    assert set(mixed[mixed["s"] == "s2"]["k"]) == set()
+    assert set(mixed[mixed["s"] == "s0"]["k"]) == set(range(0, n, 3))
+    one = hash_sample(
+        ray.data.from_arrow(t), "k", 0.3
+    ).to_pandas()
+    want_s1 = set(one[one["s"] == "s1"]["k"])
+    assert set(mixed[mixed["s"] == "s1"]["k"]) == want_s1
+    assert 0 < len(want_s1) < n // 3
+
+
+def test_decontaminate_drops_benchmark_members_keeps_rest():
+    from citationgraphs_ray.stages.decontam import decontaminate
+
+    corpus_texts = [f"unique document number {i} " + "filler " * 20 for i in range(40)]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+             "text": pa.array(corpus_texts)}
+        )
+    )
+    # benchmark = docs 0-4 verbatim plus an unrelated doc
+    bench = ray.data.from_arrow(
+        pa.table({"text": pa.array(corpus_texts[:5] + ["totally elsewhere"])})
+    )
+    kept = decontaminate(docs, bench).to_pandas()
+    assert set(kept["doc_id"]) == set(range(5, 40))
