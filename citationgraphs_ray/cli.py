@@ -108,9 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
-    elif args.engine == "csr" and args.kernel in ("pagerank", "cc", "lpa"):
-        # bfs/kcore run on the broadcast engine (below) — their state is
-        # frontier/peel-local and V-small by that engine's precondition
+    elif args.engine == "csr" and args.kernel in ("pagerank", "cc", "lpa", "bfs"):
+        # kcore runs on the broadcast engine (below); bfs has a CSR twin
         # pick the kernel's edge view BEFORE constructing the engine —
         # cc/lpa run on the symmetrized edges only, so building (and
         # immediately discarding) a directed-edge engine would waste a
@@ -147,6 +146,15 @@ def main(argv: list[str] | None = None) -> int:
                 assemble=assemble,
             )
             col = "component"
+        elif args.kernel == "bfs":
+            state, iters, converged = eng.bfs_hops(
+                [args.bfs_source],
+                max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+                assemble=assemble,
+            )
+            col = "hops"
         else:
             state, iters, converged = eng.label_propagation(
                 max_rounds=args.max_iters,

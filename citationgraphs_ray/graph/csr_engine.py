@@ -114,6 +114,7 @@ class _Partition:
         # per-destination-partition routing: (srcidx, inv, dq) per q
         self.route: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.in_dq: dict[int, np.ndarray] = {}  # src partition p -> dq
+        self.frontier: np.ndarray | None = None  # BFS only
 
     def local_ids(self) -> np.ndarray:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
@@ -278,6 +279,62 @@ class CsrWorker:
             changed += int(np.count_nonzero(new_state != pt.state))
             pt.state = new_state
         return changed
+
+    # -- BFS hop distance -----------------------------------------------------
+    def bfs_init(self, sources: list) -> bool:
+        src = np.asarray(sources, dtype=np.int64)
+        for p, pt in self.parts.items():
+            pt.state = np.full(pt.n_local, _I64MAX, dtype=np.int64)
+            mine = src[src % self.P == p] // self.P
+            pt.state[mine] = 0
+            pt.frontier = np.zeros(pt.n_local, dtype=bool)
+            pt.frontier[mine] = True
+        return True
+
+    def bfs_scatter(self) -> dict:
+        """Same min-exchange shape as cc_scatter, but only FRONTIER
+        vertices (settled last round) emit — total message work across
+        all rounds is O(E), the level-synchronous-BFS property. The
+        per-route arrays stay dq-sized (INF padding) to keep the
+        exchange layout identical to CC's."""
+        out = {}
+        for p, pt in self.parts.items():
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                mins = np.full(len(dq), _I64MAX, dtype=np.int64)
+                if len(srcidx):
+                    live = pt.frontier[srcidx]
+                    if live.any():
+                        np.minimum.at(
+                            mins, inv[live], pt.state[srcidx[live]] + 1
+                        )
+                out[(p, q)] = mins
+        return self._bundle(out)
+
+    def bfs_gather(self, *bundles: dict) -> int:
+        items = [kv for b in bundles for kv in b.items()]
+        incoming = {
+            p: np.full(pt.n_local, _I64MAX, dtype=np.int64)
+            for p, pt in self.parts.items()
+        }
+        for (p, q), m in sorted(items, key=lambda km: (km[0][1], km[0][0])):
+            u = self.parts[q].in_dq[p]
+            if len(u):
+                np.minimum.at(incoming[q], u, m)
+        changed = 0
+        for q, pt in self.parts.items():
+            new_state = np.minimum(pt.state, incoming[q])
+            pt.frontier = new_state != pt.state
+            changed += int(np.count_nonzero(pt.frontier))
+            pt.state = new_state
+        return changed
+
+    def bfs_restore_frontier(self, level: int) -> bool:
+        """Level-synchronous invariant: the frontier after iteration k is
+        exactly {v : dist[v] == k+1}, so a resume rebuilds it from the
+        state shard alone (no separate frontier column needed)."""
+        for pt in self.parts.values():
+            pt.frontier = pt.state == level
+        return True
 
     # -- Label propagation ---------------------------------------------------
     def lpa_init(self) -> bool:
@@ -550,6 +607,36 @@ class CsrEngine:
             checkpoint_keep_last, assemble=assemble,
         )
 
+    def bfs_hops(
+        self,
+        sources: list,
+        max_iters: int = 200,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        checkpoint_keep_last: int | None = None,
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """Frontier BFS on the BSP harness; semantics identical to
+        engine.bfs_hops / oracle.bfs_oracle (unreached = int64 max).
+        The checkpoint kernel label carries a source-set tag so a resume
+        can never load another source set's hops."""
+        import hashlib as _hashlib
+
+        src = sorted(int(x) for x in sources)
+        if not src:
+            raise ValueError("bfs_hops needs at least one source vertex")
+        if src[0] < 0 or src[-1] >= self.V:
+            raise ValueError("source id outside [0, num_vertices)")
+        tag = _hashlib.sha1(
+            np.asarray(src, dtype=np.int64).tobytes()
+        ).hexdigest()[:8]
+        return self._label_kernel(
+            "bfs", "hops", max_iters, checkpoint_dir, resume,
+            checkpoint_keep_last, assemble=assemble,
+            init_args=(src,), resume_hook="bfs_restore_frontier",
+            manager_kernel=f"bfs-{tag}",
+        )
+
     def _label_kernel(
         self,
         kernel: str,
@@ -559,18 +646,26 @@ class CsrEngine:
         resume: bool,
         checkpoint_keep_last: int | None = None,
         assemble: bool = True,
+        init_args: tuple = (),
+        resume_hook: str | None = None,
+        manager_kernel: str | None = None,
     ) -> tuple[np.ndarray | None, int, bool]:
-        """Shared min-label / mode-label superstep loop (CC and LPA) with
-        per-partition checkpointing identical to pagerank's."""
+        """Shared min-label / mode-label superstep loop (CC, LPA, BFS)
+        with per-partition checkpointing identical to pagerank's.
+        ``resume_hook`` names a worker method called with the resume
+        iteration to rebuild derived state (the BFS frontier);
+        ``manager_kernel`` overrides the checkpoint kernel label when the
+        run is parameterized (BFS sources)."""
         ray.get(
-            [getattr(a, f"{kernel}_init").remote() for a in self.workers]
+            [getattr(a, f"{kernel}_init").remote(*init_args)
+             for a in self.workers]
         )
         start = 0
         mgr = None
         if checkpoint_dir:
             mgr = CheckpointManager(
                 checkpoint_dir,
-                kernel=kernel,
+                kernel=manager_kernel or kernel,
                 fingerprint=self.fingerprint,
                 num_partitions=self.P,
                 keep_last=checkpoint_keep_last,
@@ -585,6 +680,11 @@ class CsrEngine:
                             True,
                         )
                     start = ck.iteration + 1
+                    if resume_hook:
+                        ray.get(
+                            [getattr(a, resume_hook).remote(start)
+                             for a in self.workers]
+                        )
         converged = False
         it = start
         for it in range(start, max_iters):

@@ -145,7 +145,20 @@ def test_cli_bfs_and_kcore(tmp_path, capsys):
     out = str(tmp_path / "out_bfs")
     rc = main(
         ["--corpus", cdir, "--output", out, "--kernel", "bfs",
-         "--bfs-source", "0"]
+         "--engine", "broadcast", "--bfs-source", "0"]
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tbl = pq.read_table(out).to_pandas().sort_values("id")
+    assert np.array_equal(
+        tbl["hops"].to_numpy(), bfs_oracle(earr, V, [0], directed=False)
+    )
+
+    out = str(tmp_path / "out_bfs_csr")
+    rc = main(
+        ["--corpus", cdir, "--output", out, "--kernel", "bfs",
+         "--engine", "csr", "--num-partitions", "4",
+         "--workdir", str(tmp_path / "wd_bfs"), "--bfs-source", "0"]
     )
     assert rc == 0
     json.loads(capsys.readouterr().out.strip().splitlines()[-1])

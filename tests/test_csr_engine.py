@@ -172,3 +172,53 @@ def test_csr_cc_checkpoint_resume(engines, tmp_path):
         checkpoint_dir=ck, resume=True
     )
     assert conv and np.array_equal(resumed, full)
+
+
+def test_csr_bfs_matches_oracle_and_broadcast(engines):
+    from citationgraphs_ray.graph.engine import UNREACHED, bfs_hops
+    from citationgraphs_ray.graph.oracle import bfs_oracle
+
+    edges, V, dir_eng, und_eng = engines
+    earr = edges.to_pandas()[["src", "dst"]].to_numpy()
+    state, iters, converged = und_eng.bfs_hops([0])
+    assert converged
+    exp = bfs_oracle(earr, V, [0], directed=False)
+    assert np.array_equal(state, exp)
+    # directed variant agrees with the broadcast engine bitwise
+    d_state, _, d_conv = dir_eng.bfs_hops([0, 3])
+    bc = bfs_hops(
+        __import__("ray").data.from_arrow(
+            edges.to_pandas().pipe(
+                lambda df: __import__("pyarrow").Table.from_pandas(
+                    df, preserve_index=False
+                )
+            )
+        ),
+        V,
+        sources=[0, 3],
+    )
+    assert d_conv and np.array_equal(d_state, bc.state)
+    assert (d_state == UNREACHED).any()  # directed graph: some unreached
+
+
+def test_csr_bfs_checkpoint_resume(engines, tmp_path):
+    _, V, _, und_eng = engines
+    full, _, _ = und_eng.bfs_hops([0])
+    ck = str(tmp_path / "ck_bfs")
+    und_eng.bfs_hops([0], max_iters=1, checkpoint_dir=ck)
+    resumed, _, conv = und_eng.bfs_hops(
+        [0], checkpoint_dir=ck, resume=True
+    )
+    assert conv and np.array_equal(resumed, full)
+    # a different source set must NOT resume from these checkpoints —
+    # the manager rejects the mismatched kernel tag outright
+    with pytest.raises(ValueError, match="different run"):
+        und_eng.bfs_hops([1], checkpoint_dir=ck, resume=True)
+
+
+def test_csr_bfs_rejects_bad_sources(engines):
+    _, V, _, und_eng = engines
+    with pytest.raises(ValueError):
+        und_eng.bfs_hops([])
+    with pytest.raises(ValueError):
+        und_eng.bfs_hops([V])
