@@ -108,8 +108,12 @@ def main(argv: list[str] | None = None) -> int:
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
-    elif args.engine == "csr" and args.kernel in ("pagerank", "cc", "lpa", "bfs"):
-        # kcore runs on the broadcast engine (below); bfs has a CSR twin
+    elif args.engine == "csr" and (
+        args.kernel in ("pagerank", "cc", "lpa", "bfs")
+        or (args.kernel == "kcore" and args.output_mode == "table")
+    ):
+        # kcore's CSR checkpoint shards hold its ENCODED state column, so
+        # shards-mode kcore uses the broadcast engine below
         # pick the kernel's edge view BEFORE constructing the engine —
         # cc/lpa run on the symmetrized edges only, so building (and
         # immediately discarding) a directed-edge engine would waste a
@@ -155,6 +159,14 @@ def main(argv: list[str] | None = None) -> int:
                 assemble=assemble,
             )
             col = "hops"
+        elif args.kernel == "kcore":
+            state, iters, converged = eng.k_core(
+                args.kcore_k,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+                assemble=assemble,
+            )
+            col = "in_kcore"
         else:
             state, iters, converged = eng.label_propagation(
                 max_rounds=args.max_iters,

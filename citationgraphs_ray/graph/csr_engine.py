@@ -336,6 +336,76 @@ class CsrWorker:
             pt.frontier = pt.state == level
         return True
 
+    # -- k-core decomposition --------------------------------------------------
+    # state ENCODING (single int64 column, checkpoint-shard compatible):
+    #   >= 0  alive, value = current residual degree (>= k by invariant)
+    #   -2    killed THIS round (its decrements are still pending)
+    #   -1    dead in an earlier round
+    # so a resume rebuilds (deg, alive, pending-kill) from the shard alone.
+    def kcore_init(self, k: int) -> bool:
+        self.kcore_k = int(k)
+        for pt in self.parts.values():
+            deg = pt.out_deg.astype(np.int64)  # symmetrized → undirected
+            kill = deg < k
+            pt.kc_deg = np.where(kill, 0, deg)
+            pt.kc_alive = ~kill
+            pt.kc_kill = kill
+            pt.state = np.where(
+                kill, np.int64(-2), np.where(pt.kc_alive, pt.kc_deg, -1)
+            )
+        return True
+
+    def kcore_scatter(self) -> dict:
+        """Only vertices KILLED last round emit (one count per out-edge
+        into each dq) — the O(E)-total decrement peel, same contract as
+        engine.k_core."""
+        out = {}
+        for p, pt in self.parts.items():
+            kill = pt.kc_kill
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                cnt = np.zeros(len(dq), dtype=np.int64)
+                if len(srcidx):
+                    live = kill[srcidx]
+                    if live.any():
+                        np.add.at(cnt, inv[live], 1)
+                out[(p, q)] = cnt
+        return self._bundle(out)
+
+    def kcore_gather(self, *bundles: dict) -> int:
+        items = [kv for b in bundles for kv in b.items()]
+        dec = {
+            p: np.zeros(pt.n_local, dtype=np.int64)
+            for p, pt in self.parts.items()
+        }
+        for (p, q), m in sorted(items, key=lambda km: (km[0][1], km[0][0])):
+            u = self.parts[q].in_dq[p]
+            if len(u):
+                np.add.at(dec[q], u, m)
+        killed = 0
+        k = self.kcore_k
+        for q, pt in self.parts.items():
+            pt.kc_deg = np.where(pt.kc_alive, pt.kc_deg - dec[q], 0)
+            new_kill = pt.kc_alive & (pt.kc_deg < k)
+            pt.kc_alive = pt.kc_alive & ~new_kill
+            pt.kc_deg[new_kill] = 0
+            pt.kc_kill = new_kill
+            killed += int(np.count_nonzero(new_kill))
+            pt.state = np.where(
+                new_kill, np.int64(-2),
+                np.where(pt.kc_alive, pt.kc_deg, -1),
+            )
+        return killed
+
+    def kcore_restore(self, _start: int) -> bool:
+        """Decode (deg, alive, pending-kill) from the loaded state shard."""
+        for pt in self.parts.values():
+            st = pt.state.astype(np.int64)
+            pt.kc_alive = st >= 0
+            pt.kc_deg = np.where(pt.kc_alive, st, 0)
+            pt.kc_kill = st == -2
+            pt.state = st
+        return True
+
     # -- Label propagation ---------------------------------------------------
     def lpa_init(self) -> bool:
         for pt in self.parts.values():
@@ -636,6 +706,32 @@ class CsrEngine:
             init_args=(src,), resume_hook="bfs_restore_frontier",
             manager_kernel=f"bfs-{tag}",
         )
+
+    def k_core(
+        self,
+        k: int,
+        max_iters: int = 10_000,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        checkpoint_keep_last: int | None = None,
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """Decrement-peel k-core on the BSP harness; semantics identical
+        to engine.k_core / oracle.k_core_oracle (returns 1/0 membership).
+        Checkpoint shards hold the ENCODED state column (see the worker
+        encoding comment); the kernel label carries k so a resume cannot
+        load a different k's peel."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        st, iters, conv = self._label_kernel(
+            "kcore", "kcore_state", max_iters, checkpoint_dir, resume,
+            checkpoint_keep_last, assemble=assemble,
+            init_args=(int(k),), resume_hook="kcore_restore",
+            manager_kernel=f"kcore{int(k)}",
+        )
+        if st is not None:
+            st = (st >= 0).astype(np.int64)
+        return st, iters, conv
 
     def _label_kernel(
         self,

@@ -167,13 +167,16 @@ def test_cli_bfs_and_kcore(tmp_path, capsys):
         tbl["hops"].to_numpy(), bfs_oracle(earr, V, [0], directed=False)
     )
 
-    out = str(tmp_path / "out_kcore")
-    rc = main(
-        ["--corpus", cdir, "--output", out, "--kernel", "kcore",
-         "--kcore-k", "3"]
-    )
-    assert rc == 0
-    tbl = pq.read_table(out).to_pandas().sort_values("id")
-    assert np.array_equal(
-        tbl["in_kcore"].to_numpy(), k_core_oracle(earr, V, k=3)
-    )
+    for engine in ("broadcast", "csr"):
+        out = str(tmp_path / f"out_kcore_{engine}")
+        rc = main(
+            ["--corpus", cdir, "--output", out, "--kernel", "kcore",
+             "--engine", engine, "--num-partitions", "4",
+             "--workdir", str(tmp_path / f"wd_kc_{engine}"),
+             "--kcore-k", "3"]
+        )
+        assert rc == 0
+        tbl = pq.read_table(out).to_pandas().sort_values("id")
+        assert np.array_equal(
+            tbl["in_kcore"].to_numpy(), k_core_oracle(earr, V, k=3)
+        ), engine

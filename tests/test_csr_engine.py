@@ -222,3 +222,36 @@ def test_csr_bfs_rejects_bad_sources(engines):
         und_eng.bfs_hops([])
     with pytest.raises(ValueError):
         und_eng.bfs_hops([V])
+
+
+def test_csr_kcore_matches_oracle_and_broadcast(engines):
+    from citationgraphs_ray.graph.engine import k_core
+    from citationgraphs_ray.graph.oracle import k_core_oracle
+
+    edges, V, _, und_eng = engines
+    earr = edges.to_pandas()[["src", "dst"]].to_numpy()
+    for k in (2, 3, 5):
+        state, iters, converged = und_eng.k_core(k)
+        assert converged
+        assert np.array_equal(state, k_core_oracle(earr, V, k=k)), k
+    und = symmetrize_edges(edges).materialize()
+    bc = k_core(und, V, k=3)
+    state, _, _ = und_eng.k_core(3)
+    assert np.array_equal(state, bc.state)
+
+
+def test_csr_kcore_checkpoint_resume(engines, tmp_path):
+    _, V, _, und_eng = engines
+    full, _, _ = und_eng.k_core(3)
+    ck = str(tmp_path / "ck_kcore")
+    und_eng.k_core(3, max_iters=1, checkpoint_dir=ck)
+    resumed, _, conv = und_eng.k_core(3, checkpoint_dir=ck, resume=True)
+    assert conv and np.array_equal(resumed, full)
+    with pytest.raises(ValueError, match="different run"):
+        und_eng.k_core(4, checkpoint_dir=ck, resume=True)
+
+
+def test_csr_kcore_rejects_bad_k(engines):
+    _, _, _, und_eng = engines
+    with pytest.raises(ValueError):
+        und_eng.k_core(0)
