@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "bfs_hops",
     "k_core",
     "scrubbed_docs",
+    "decontaminated_docs",
+    "pack_sequences",
     "doc_cooccurrence",
     "tfidf_top3",
     "minhash_dedup",
