@@ -2615,3 +2615,42 @@ ORACLE_SQL["decontaminated_docs"] = f"""
              // 4294967296) % 10000 < 500)
     SELECT doc_id FROM fps
     WHERE fingerprint NOT IN (SELECT fingerprint FROM bench)"""
+
+
+def _events_with_day(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pa.compute.floor_temporal(t["ts"], unit="day")
+        return pa.table(
+            {"day_us": day.cast(pa.timestamp("us")).cast(pa.int64()),
+             "user_id": t["user_id"]}
+        )
+
+    return ev.map_batches(add_day, batch_format="pyarrow")
+
+
+def q_distinct_users_by_day(sf_dir: str):
+    """EXACT per-day distinct users: distributed distinct on (day, user)
+    then a grouped count — the oracle-checked twin of the HLL variant."""
+    dedup = fast_distinct(_events_with_day(sf_dir), ["day_us", "user_id"])
+    return fast_grouped_agg(dedup, ["day_us"], count_as="n_users")
+
+
+def q_approx_distinct_users_by_day(sf_dir: str):
+    """Per-day approximate distinct users via mergeable sparse per-group
+    HLL (stages/sketches.py:approx_distinct_by) — approximate by design,
+    so rows-only in the gate; the pytest plants cardinalities and bounds
+    the error, and the exact twin above hash-checks the same grouping."""
+    from ..stages.sketches import approx_distinct_by
+
+    return approx_distinct_by(_events_with_day(sf_dir), "day_us", "user_id")
+
+
+QUERIES["distinct_users_by_day"] = q_distinct_users_by_day
+QUERIES["approx_distinct_users_by_day"] = q_approx_distinct_users_by_day
+
+ORACLE_SQL["distinct_users_by_day"] = """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1"""

@@ -621,3 +621,89 @@ def rate_sample_by_stratum(
         return t.filter(pa.array(b < lim))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def approx_distinct_by(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    p: int = 12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT col) PER GROUP — the "distinct users
+    per day" op — as mergeable per-group HLL sketches in SPARSE form:
+    each block emits (group, register, rho) rows only for registers it
+    touched (a group seen once costs one row, not 2^p bytes), the
+    distributed C++ combiner max-merges them, and the estimate is
+    computed per group from its sparse rows in one coarse-bucket
+    vectorized pass (missing registers contribute 2^0 each:
+    Σ2^-rho over all m registers = (m - n_present) + Σ2^-rho_present).
+
+    Returns (group, approx_distinct int64). Standard error
+    ~1.04/sqrt(2^p). Deterministic (pandas hash_array) — partition- and
+    rerun-invariant."""
+    from ..utils import _hash_partition_column, fast_grouped_agg
+
+    m = 1 << p
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(v)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rho = np.minimum(_clz64(w) + 1, 64 - p + 1)
+        # per-(group, register) max inside the block: factorize the group
+        # column, encode (code, idx) into one int64 key, lexsort-free max
+        codes, uniques = pd.factorize(
+            t[group_col].to_numpy(zero_copy_only=False)
+        )
+        key = codes.astype(np.int64) * m + idx
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table(
+            {
+                group_col: pa.array(uniques.take(uk // m)),
+                "reg": pa.array(uk % m),
+                "rho": pa.array(mx),
+            }
+        )
+
+    merged = fast_grouped_agg(
+        ds.map_batches(block_rows, batch_format="pyarrow"),
+        [group_col, "reg"],
+        {"rho": ("rho", "max")},
+    )
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def estimate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        g = df.groupby(group_col, sort=False, dropna=False)["rho"]
+        n_present = g.size().to_numpy()
+        inv_sum = (
+            df.assign(__inv=np.exp2(-df["rho"].to_numpy(dtype=np.float64)))
+            .groupby(group_col, sort=False, dropna=False)["__inv"]
+            .sum()
+            .to_numpy()
+        )
+        denom = (m - n_present) + inv_sum
+        est = alpha * m * m / denom
+        zeros = m - n_present  # rho >= 1 for every present register
+        lc = np.where(zeros > 0, m * np.log(np.maximum(m / np.maximum(zeros, 1), 1e-300)), est)
+        out = np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
+        keys = g.size().index.to_numpy()
+        return pd.DataFrame(
+            {group_col: keys, "approx_distinct": np.round(out).astype(np.int64)}
+        )
+
+    return (
+        merged.map_batches(
+            lambda t: _hash_partition_column(t, [group_col], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(estimate_bucket, batch_format="pandas")
+    )

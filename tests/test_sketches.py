@@ -331,3 +331,38 @@ def test_decontaminate_drops_benchmark_members_keeps_rest():
     )
     kept = decontaminate(docs, bench).to_pandas()
     assert set(kept["doc_id"]) == set(range(5, 40))
+
+
+def test_approx_distinct_by_accuracy_and_partition_invariance():
+    from citationgraphs_ray.stages.sketches import approx_distinct_by
+
+    rng = np.random.default_rng(17)
+    planted = {"a": 50, "b": 1000, "c": 20000, "d": 1}
+    rows_g, rows_v = [], []
+    for g, card in planted.items():
+        vals = rng.choice(card * 10, size=card, replace=False).astype(np.int64)
+        reps = np.repeat(vals, rng.integers(1, 4, size=card))  # dup rows
+        rows_g.extend([g] * len(reps))
+        rows_v.extend(reps.tolist())
+    order = rng.permutation(len(rows_g))
+    t = pa.table(
+        {
+            "g": pa.array([rows_g[i] for i in order]),
+            "v": pa.array(np.array(rows_v, dtype=np.int64)[order]),
+        }
+    )
+    got = (
+        approx_distinct_by(ray.data.from_arrow(t).repartition(9), "g", "v")
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    for g, card in planted.items():
+        err = abs(got[g] - card) / card
+        assert err < 0.08, (g, card, got[g])
+    # partitioning must not change a deterministic sketch
+    got1 = (
+        approx_distinct_by(ray.data.from_arrow(t), "g", "v")
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    assert got.sort_index().equals(got1.sort_index())
