@@ -181,35 +181,82 @@ def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return out
 
 
+_FP_B, _FP_MOD = 257, (1 << 61) - 1
+_FP_M64 = np.uint64(_FP_MOD)
+_FP_MASK53 = np.uint64((1 << 53) - 1)
+
+
+def _fp_mulB_add(h: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(h·257 + b) mod (2^61−1), vectorized uint64 with no overflow:
+    h·2^8 decomposes as (h mod 2^53)·2^8 + (h >> 53)·2^61, and 2^61 ≡ 1
+    (Mersenne), so every intermediate stays below 2^63. In-place masked
+    subtracts — np.where on uint64 measured ~20× slower."""
+    hb = h & _FP_MASK53
+    hb <<= np.uint64(8)
+    hb += h >> np.uint64(53)
+    hb += h
+    top = hb >> np.uint64(61)
+    hb &= _FP_M64
+    hb += top
+    np.subtract(hb, _FP_M64, out=hb, where=hb >= _FP_M64)
+    hb += b
+    np.subtract(hb, _FP_M64, out=hb, where=hb >= _FP_M64)
+    return hb
+
+
+def _fingerprint_short(data: bytes) -> int:
+    h = 0
+    for b in data:
+        h = (h * _FP_B + b) % _FP_MOD
+    return h
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text", window: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint: min of Rabin-Karp window hashes.
 
     A winnowing-style (Schleimer et al., SIGMOD'03) scalar fingerprint —
     equal for equal texts, shift-tolerant for near-equal ones.
+
+    Vectorized: all docs' bytes (truncated at 4096) are concatenated into
+    one buffer, every window hash is computed in ``window`` numpy passes
+    of Mersenne-modular multiply-add (no per-byte Python), and per-doc
+    minima come from one ``np.minimum.reduceat`` over the valid (non-
+    boundary-crossing) positions. Sub-window docs take the scalar path.
+    Values are bit-identical to the original per-byte loop (tested) and
+    to the HUGEINT SQL oracle.
     """
-    B, M = 257, (1 << 61) - 1
     texts = batch[col].to_pylist()
     fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        data = t.encode()[:4096]
-        if len(data) < window:
-            h = 0
-            for b in data:
-                h = (h * B + b) % M
-            fps[i] = h
-            continue
-        h = 0
-        top = pow(B, window - 1, M)
-        mn = M
-        for j, b in enumerate(data):
-            if j >= window:
-                h = (h - data[j - window] * top) % M
-            h = (h * B + b) % M
-            if j >= window - 1:
-                mn = min(mn, h)
-        fps[i] = mn
+    datas = [
+        (t.encode()[:4096] if t else b"") for t in texts
+    ]
+    long_idx = [i for i, d in enumerate(datas) if len(d) >= window]
+    for i, d in enumerate(datas):
+        if 0 < len(d) < window:
+            fps[i] = _fingerprint_short(d)
+    if long_idx:
+        lens = np.array([len(datas[i]) for i in long_idx], dtype=np.int64)
+        buf = np.frombuffer(b"".join(datas[i] for i in long_idx), dtype=np.uint8)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        # hash EVERY contiguous position of the joined buffer (window
+        # slices are contiguous — zero gathers, zero index arrays), then
+        # take per-doc minima over only the in-doc positions: reduceat
+        # with interleaved (start, end) pairs yields alternating
+        # [valid-min, boundary-garbage-min]; keep the even slots. A
+        # doc's valid range is [offs[d], offs[d]+len_d−window], strictly
+        # before the next doc's start, so the pair list is increasing.
+        n_all = int(offs[-1]) - window + 1
+        h = np.zeros(n_all, dtype=np.uint64)
+        for k in range(window):
+            h = _fp_mulB_add(h, buf[k : k + n_all].astype(np.uint64))
+        ends = offs[:-1] + lens - (window - 1)
+        pairs = np.empty(2 * len(lens), dtype=np.int64)
+        pairs[0::2] = offs[:-1]
+        pairs[1::2] = ends
+        if pairs[-1] >= n_all:  # reduceat rejects index == len
+            pairs = pairs[:-1]
+        mins = np.minimum.reduceat(h, pairs)[0::2]
+        fps[np.array(long_idx, dtype=np.int64)] = mins
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
 
 
