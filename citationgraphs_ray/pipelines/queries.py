@@ -2537,12 +2537,20 @@ def q_pack_sequences(sf_dir: str):
     doc_id order → exclusive prefix sum → chunk id (stages/packing.py;
     distributed scan via utils.ordered_prefix_sum)."""
     from ..stages.packing import pack_sequences
-    from ..stages.text import token_count_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    toks = docs.map_batches(
-        token_count_batch, batch_format="pyarrow"
-    ).select_columns(["doc_id", "ws_tokens"])
+
+    def ws_count(t: pa.Table) -> pa.Table:
+        # count_substring(' ')+1 == len(string_split(text, ' ')) for every
+        # input (empties included) — the exact SQL-twin arithmetic, one
+        # Arrow kernel instead of the BPE-regex token stage (which packing
+        # does not need)
+        n = pa.compute.add(
+            pa.compute.count_substring(t["text"], " "), 1
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "ws_tokens": n})
+
+    toks = docs.map_batches(ws_count, batch_format="pyarrow")
     packed = pack_sequences(toks, "ws_tokens", max_len=2048)
     return packed.map_batches(
         lambda t: t.select(["doc_id", "start_offset", "seq_id"]),
