@@ -2662,3 +2662,41 @@ ORACLE_SQL["distinct_users_by_day"] = """
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1"""
+
+
+def q_two_hop_counts(sf_dir: str):
+    """Per-vertex count of DISTINCT 2-hop endpoints (z ≠ src) over the
+    symmetrized graph — the friends-of-friends aggregate: one bucketed
+    self-join (utils.bucketed_inner_join) + distributed distinct +
+    grouped count; nothing touches the driver until the V-sized result."""
+    from ..utils import bucketed_inner_join
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    left = sym.map_batches(
+        lambda t: pa.table({"id": t["src"], "mid": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    right = sym.map_batches(
+        lambda t: pa.table({"mid": t["src"], "z": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_inner_join(left, right, on=["mid"])
+    pairs = joined.map_batches(
+        lambda t: pa.table({"id": t["id"], "z": t["z"]}).filter(
+            pa.compute.not_equal(t["id"], t["z"])
+        ),
+        batch_format="pyarrow",
+    )
+    return fast_grouped_agg(
+        fast_distinct(pairs, ["id", "z"]), ["id"], count_as="n_two_hop"
+    )
+
+
+QUERIES["two_hop_counts"] = q_two_hop_counts
+
+ORACLE_SQL["two_hop_counts"] = _with_graph_ctes(
+    """SELECT e1.src AS id, count(DISTINCT e2.dst) AS n_two_hop
+       FROM edges_sym e1 JOIN edges_sym e2 ON e1.dst = e2.src
+       WHERE e2.dst <> e1.src
+       GROUP BY e1.src"""
+)
