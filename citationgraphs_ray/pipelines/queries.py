@@ -2700,3 +2700,29 @@ ORACLE_SQL["two_hop_counts"] = _with_graph_ctes(
        WHERE e2.dst <> e1.src
        GROUP BY e1.src"""
 )
+
+
+def q_exact_dedup_best(sf_dir: str):
+    """Exact dedup with the keep-BEST policy: per content hash, the
+    representative is the longest document (n_chars), ties → min doc_id
+    (stages/dedup.py:exact_dedup(keep='best'))."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return exact_dedup(docs, keep="best", quality_col="n_chars")
+
+
+QUERIES["exact_dedup_best"] = q_exact_dedup_best
+
+ORACLE_SQL["exact_dedup_best"] = """
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS content_hash, n_chars FROM documents),
+    best AS (
+      SELECT content_hash, max(n_chars) AS bq FROM h GROUP BY 1),
+    rep AS (
+      SELECT h.content_hash, min(h.doc_id) AS rep_id
+      FROM h JOIN best b ON h.content_hash = b.content_hash
+      WHERE h.n_chars = b.bq GROUP BY 1)
+    SELECT h.doc_id, h.content_hash,
+           (h.n_chars = b.bq AND h.doc_id = r.rep_id) AS is_representative
+    FROM h
+    JOIN best b ON h.content_hash = b.content_hash
+    JOIN rep r ON h.content_hash = r.content_hash"""

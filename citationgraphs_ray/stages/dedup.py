@@ -356,9 +356,17 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    keep: str = "first",
+    quality_col: str | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, content_hash, is_representative): sha256 the text, keep the
     min doc_id per hash.
+
+    ``keep="best"`` selects the MAX-``quality_col`` row per hash instead
+    (ties → min doc_id) — the keep-the-best-copy policy training-data
+    pipelines want when duplicates differ in upstream quality metadata;
+    ``quality_col`` must be a column of ``ds`` and is carried through the
+    shuffle.
 
     ONE hash shuffle into ``num_partitions`` coarse hash-disjoint buckets
     (bounded task dispatch), then a fully vectorized in-bucket mark
@@ -369,21 +377,42 @@ def exact_dedup(
     ``_expand_buckets_distributed``)."""
     from ..utils import _hash_partition_column
 
+    if keep not in ("first", "best"):
+        raise ValueError("keep must be 'first' or 'best'")
+    if keep == "best" and not quality_col:
+        raise ValueError("keep='best' needs quality_col")
+
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
             hashlib.sha256((t or "").encode()).hexdigest()
             for t in batch[text_col].to_pylist()
         ]
-        return pa.table(
-            {id_col: batch[id_col], "content_hash": pa.array(hashes)}
-        )
+        cols = {id_col: batch[id_col], "content_hash": pa.array(hashes)}
+        if quality_col:
+            cols[quality_col] = batch[quality_col]
+        return pa.table(cols)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns="__part")
-        rep = df.groupby("content_hash", sort=False)[id_col].transform("min")
-        df["is_representative"] = df[id_col] == rep
+        if keep == "first":
+            rep = df.groupby("content_hash", sort=False)[id_col].transform(
+                "min"
+            )
+            df["is_representative"] = df[id_col] == rep
+        else:
+            g = df.groupby("content_hash", sort=False)
+            best_q = g[quality_col].transform("max")
+            tied = df[quality_col] == best_q
+            # min doc_id among the quality-tied rows (same transform
+            # trick: ids of non-tied rows masked to +inf-equivalent)
+            masked = df[id_col].where(tied, other=np.iinfo(np.int64).max)
+            rep = masked.groupby(df["content_hash"], sort=False).transform(
+                "min"
+            )
+            df["is_representative"] = tied & (df[id_col] == rep)
+            df = df.drop(columns=quality_col)
         return df
 
     return (

@@ -528,3 +528,30 @@ def test_brute_force_topk_local_equals_distributed():
     a = local[key].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     b = dist[key].sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_dedup_keep_best():
+    import pytest
+    import ray.data
+
+    # same hash group {0,1,3}: doc 1 and 3 tie on quality 9 -> doc 1 wins
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array([BASE, BASE, OTHER, BASE]),
+                "q": pa.array([5, 9, 1, 9], pa.int64()),
+            }
+        )
+    )
+    out = (
+        exact_dedup(ds, keep="best", quality_col="q")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.is_representative) == [False, True, True, False]
+    assert "q" not in out.columns  # quality column not leaked
+    with pytest.raises(ValueError):
+        exact_dedup(ds, keep="best")  # quality_col required
+    with pytest.raises(ValueError):
+        exact_dedup(ds, keep="nope")
