@@ -78,6 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if (
+        args.kernel == "kcore"
+        and args.engine == "csr"
+        and args.output_mode == "shards"
+    ):
+        print(
+            "error: --kernel kcore --engine csr supports only "
+            "--output-mode table (its CSR checkpoint shards hold an "
+            "ENCODED state column); use table mode or --engine broadcast",
+            file=sys.stderr,
+        )
+        return 2
     if not ray.is_initialized():  # reuse the submitting session if any
         # plain ray.init(): respects RAY_ADDRESS (ray job submit sets it),
         # starts a local session otherwise

@@ -2640,9 +2640,40 @@ def _events_with_day(sf_dir: str):
 
 def q_distinct_users_by_day(sf_dir: str):
     """EXACT per-day distinct users: distributed distinct on (day, user)
-    then a grouped count — the oracle-checked twin of the HLL variant."""
-    dedup = fast_distinct(_events_with_day(sf_dir), ["day_us", "user_id"])
-    return fast_grouped_agg(dedup, ["day_us"], count_as="n_users")
+    then a grouped count — the oracle-checked twin of the HLL variant.
+
+    SQL count(DISTINCT user_id) parity on hypothetical nulls: null
+    users are excluded from the count but their day still appears (as
+    0), so days come from ALL rows and counts from non-null users. The
+    day-domain table is tiny by nature (calendar-bounded) — the only
+    driver-side piece."""
+    ev = _events_with_day(sf_dir)
+    days = collect_table(fast_distinct(ev, ["day_us"]))
+    nonnull = ev.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["user_id"])),
+        batch_format="pyarrow",
+    )
+    dedup = fast_distinct(nonnull, ["day_us", "user_id"])
+    counts = collect_table(
+        fast_grouped_agg(dedup, ["day_us"], count_as="n_users")
+    )
+    have = set(counts["day_us"].to_pylist())
+    missing = [d for d in days["day_us"].to_pylist() if d not in have]
+    if missing:
+        counts = pa.concat_tables(
+            [
+                counts,
+                pa.table(
+                    {
+                        "day_us": pa.array(missing, counts.schema[0].type),
+                        "n_users": pa.array(
+                            [0] * len(missing), pa.int64()
+                        ),
+                    }
+                ),
+            ]
+        )
+    return counts
 
 
 def q_approx_distinct_users_by_day(sf_dir: str):

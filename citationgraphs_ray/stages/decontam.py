@@ -64,4 +64,7 @@ def decontaminate(
             hit = pa.compute.is_in(fp, value_set=self.bad)
             return t.filter(pa.compute.invert(hit))
 
-    return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return docs.map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, cpus)
+    )

@@ -388,7 +388,7 @@ def exact_dedup(
             for t in batch[text_col].to_pylist()
         ]
         cols = {id_col: batch[id_col], "content_hash": pa.array(hashes)}
-        if quality_col:
+        if keep == "best":  # only the best-policy mark consumes it
             cols[quality_col] = batch[quality_col]
         return pa.table(cols)
 

@@ -656,16 +656,26 @@ def approx_distinct_by(
         rho = np.minimum(_clz64(w) + 1, 64 - p + 1)
         # per-(group, register) max inside the block: factorize the group
         # column, encode (code, idx) into one int64 key, lexsort-free max
+        # use_na_sentinel=False: nulls get a REAL code (their own
+        # group, matching the dropna=False estimate pass) — the default
+        # -1 sentinel would floor-divide to code -1 and take(-1) would
+        # credit null rows to the LAST factorized group
         codes, uniques = pd.factorize(
-            t[group_col].to_numpy(zero_copy_only=False)
+            t[group_col].to_numpy(zero_copy_only=False),
+            use_na_sentinel=False,
         )
         key = codes.astype(np.int64) * m + idx
         uk, inv = np.unique(key, return_inverse=True)
         mx = np.zeros(len(uk), dtype=np.int64)
         np.maximum.at(mx, inv, rho)
+        # from_pandas: factorize's NaN placeholder for the null group
+        # round-trips back to an Arrow null of the SOURCE type
+        garr = pa.Array.from_pandas(
+            pd.Series(uniques.take(uk // m)), type=t[group_col].type
+        )
         return pa.table(
             {
-                group_col: pa.array(uniques.take(uk // m)),
+                group_col: garr,
                 "reg": pa.array(uk % m),
                 "rho": pa.array(mx),
             }

@@ -180,3 +180,14 @@ def test_cli_bfs_and_kcore(tmp_path, capsys):
         assert np.array_equal(
             tbl["in_kcore"].to_numpy(), k_core_oracle(earr, V, k=3)
         ), engine
+
+
+def test_cli_kcore_csr_shards_rejected(tmp_path, capsys):
+    """kcore+csr+shards would expose the ENCODED state column — the CLI
+    must refuse loudly instead of silently falling back."""
+    rc = main(
+        ["--corpus", "x", "--output", "y", "--kernel", "kcore",
+         "--engine", "csr", "--output-mode", "shards"]
+    )
+    assert rc == 2
+    assert "ENCODED" in capsys.readouterr().err

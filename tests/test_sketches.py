@@ -366,3 +366,21 @@ def test_approx_distinct_by_accuracy_and_partition_invariance():
         .set_index("g")["approx_distinct"]
     )
     assert got.sort_index().equals(got1.sort_index())
+
+
+def test_approx_distinct_by_null_group_is_its_own_group():
+    from citationgraphs_ray.stages.sketches import approx_distinct_by
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, "b", None, "a"]),
+            "v": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        }
+    )
+    got = approx_distinct_by(ray.data.from_arrow(t), "g", "v").to_pandas()
+    by = {
+        ("<null>" if pd.isna(k) else k): v
+        for k, v in zip(got["g"], got["approx_distinct"])
+    }
+    # small exact range: linear counting is exact here
+    assert by == {"a": 1, "b": 1, "<null>": 2}
