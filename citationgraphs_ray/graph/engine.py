@@ -917,3 +917,149 @@ def k_core(
                 parent=it - 1 if it > 0 else None,
             )
     return KernelResult(alive.astype(np.int64), it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (non-negative integer weights, min-plus relaxation)
+# ---------------------------------------------------------------------------
+
+
+def sssp(
+    edges_weighted: ray.data.Dataset,
+    num_vertices: int,
+    sources: list[int] | np.ndarray,
+    weight_col: str = "w",
+    max_iters: int = 10_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    reduce: str = "auto",
+    checkpoint_keep_last: int | None = None,
+) -> KernelResult:
+    """Single-source (or multi-source) shortest paths over NON-NEGATIVE
+    integer edge weights: synchronous Bellman-Ford with the same frontier
+    gating as :func:`bfs_hops` — only vertices whose distance settled
+    last round emit relaxations, so total message work is O(E · rounds-a-
+    vertex-improves), the distributed min-plus formulation (delta-
+    stepping's bucket refinement is a driver-side scheduling layer this
+    engine does not need at its V-fits-driver precondition). Unreached
+    vertices keep ``UNREACHED``. ``bfs_hops`` is the w≡1 special case.
+    """
+    eds = edges_weighted.select_columns(["src", "dst", weight_col]).materialize()
+    num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = w_a = None
+    if reduce == "local":
+        tbl = collect_table(eds).combine_chunks()
+        src_a = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst_a = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w_a = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w_a) and w_a.min() < 0:
+            raise ValueError("sssp requires non-negative weights")
+    dist = np.full(num_vertices, UNREACHED, dtype=np.int64)
+    src_ids = np.asarray(sources, dtype=np.int64)
+    if src_ids.size == 0:
+        raise ValueError("sssp needs at least one source vertex")
+    if np.any((src_ids < 0) | (src_ids >= num_vertices)):
+        raise ValueError("source id outside [0, num_vertices)")
+    dist[src_ids] = 0
+    frontier = np.zeros(num_vertices, dtype=bool)
+    frontier[src_ids] = True
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        src_tag = hashlib.sha1(np.sort(src_ids).tobytes()).hexdigest()[:8]
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="sssp",
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"sssp|{src_tag}|{edge_checksum(eds)}"
+            ),
+            keep_last=checkpoint_keep_last,
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                dist = ck.state["dist"]
+                frontier = ck.state["frontier"].astype(bool)
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("frontier_size") == 0.0:
+                    return KernelResult(dist, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        if not frontier.any():
+            converged = True
+            break
+        if reduce == "local":
+            live = frontier[src_a]
+            incoming = np.full(num_vertices, UNREACHED, dtype=np.int64)
+            if live.any():
+                np.minimum.at(
+                    incoming, dst_a[live], dist[src_a[live]] + w_a[live]
+                )
+        else:
+            vec_ref = ray.put(dist)
+            frontier_ref = ray.put(frontier)
+
+            def partial(batch: pa.Table) -> pa.Table:
+                vec = ray.get(vec_ref)
+                front = ray.get(frontier_ref)
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                dst = batch["dst"].to_numpy(zero_copy_only=False)
+                w = batch[weight_col].to_numpy(zero_copy_only=False)
+                if len(w) and w.min() < 0:
+                    raise ValueError("sssp requires non-negative weights")
+                live = front[src]
+                if not live.any():
+                    return pa.table(
+                        {
+                            "dst": pa.array([], type=pa.int64()),
+                            "d": pa.array([], type=pa.int64()),
+                        }
+                    )
+                d = dst[live]
+                v = vec[src[live]] + w[live]
+                u, inv = np.unique(d, return_inverse=True)
+                mins = np.full(len(u), UNREACHED, dtype=np.int64)
+                np.minimum.at(mins, inv, v)
+                return _msg_table(u, mins, "d")
+
+            msgs = eds.map_batches(partial, batch_format="pyarrow")
+            if reduce == "groupby":
+                agg = msgs.groupby("dst").aggregate(Min("d", alias_name="d"))
+                incoming = dataset_to_dense_array(
+                    agg, "dst", "d", num_vertices,
+                    default=UNREACHED, dtype=np.int64,
+                )
+            else:
+                incoming = np.full(num_vertices, UNREACHED, dtype=np.int64)
+                for b in msgs.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                ):
+                    np.minimum.at(
+                        incoming,
+                        b["dst"].to_numpy(zero_copy_only=False),
+                        b["d"].to_numpy(zero_copy_only=False),
+                    )
+        new_dist = np.minimum(dist, incoming)
+        frontier = new_dist != dist
+        dist = new_dist
+        fsize = int(np.count_nonzero(frontier))
+        history.append({"iteration": it, "frontier_size": fsize})
+        if mgr:
+            mgr.save(
+                it,
+                {
+                    "id": np.arange(num_vertices, dtype=np.int64),
+                    "dist": dist,
+                    "frontier": frontier.astype(np.int64),
+                },
+                {"frontier_size": float(fsize)},
+                parent=it - 1 if it > 0 else None,
+            )
+        if fsize == 0:
+            converged = True
+            break
+    return KernelResult(dist, it + 1, converged, history)

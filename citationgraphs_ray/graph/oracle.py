@@ -171,3 +171,28 @@ def k_core_oracle(
         if np.array_equal(new, alive):
             return alive.astype(np.int64)
         alive = new
+
+
+def sssp_oracle(
+    edges: np.ndarray,
+    weights: np.ndarray,
+    num_vertices: int,
+    sources: list[int],
+) -> np.ndarray:
+    """Weighted Bellman-Ford (unit of weight = int); unreached = max."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    w = np.asarray(weights, dtype=np.int64)
+    INF = np.iinfo(np.int64).max
+    dist = np.full(num_vertices, INF, dtype=np.int64)
+    dist[np.asarray(sources, dtype=np.int64)] = 0
+    while True:
+        finite = dist[e[:, 0]] != INF
+        incoming = np.full(num_vertices, INF, dtype=np.int64)
+        if finite.any():
+            np.minimum.at(
+                incoming, e[finite, 1], dist[e[finite, 0]] + w[finite]
+            )
+        new = np.minimum(dist, incoming)
+        if np.array_equal(new, dist):
+            return dist
+        dist = new

@@ -41,6 +41,7 @@ from ..graph.engine import (
     connected_components,
     k_core,
     label_propagation,
+    sssp,
     pagerank,
 )
 from ..graph.triangles import triangle_counts
@@ -2757,3 +2758,70 @@ ORACLE_SQL["exact_dedup_best"] = """
     FROM h
     JOIN best b ON h.content_hash = b.content_hash
     JOIN rep r ON h.content_hash = r.content_hash"""
+
+
+SSSP_BIG = 10**15  # oracle's unreached sentinel (list CTE can't carry int64 max safely through + w)
+
+
+def q_sssp(sf_dir: str):
+    """Weighted single-source shortest paths over the DIRECTED multigraph
+    (weight = lineitem multiplicity per (order, part) pair), source = min
+    present vertex; reachable vertices only (graph/engine.py:sssp —
+    frontier Bellman-Ford supersteps)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        dst = t["l_partkey"].to_numpy(zero_copy_only=False) % GRAPH_MOD
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep].astype(np.int64)),
+                "dst": pa.array(dst[keep].astype(np.int64)),
+            }
+        )
+
+    we = fast_grouped_agg(
+        li.map_batches(to_edges, batch_format="pyarrow"),
+        ["src", "dst"],
+        count_as="w",
+    ).materialize()
+    ids = _present_vertex_ids(we)
+    res = sssp(we, GRAPH_MOD, sources=[int(ids[0])])
+    d = res.state[ids]
+    reached = d != UNREACHED
+    return pa.table(
+        {"id": pa.array(ids[reached]), "dist": pa.array(d[reached])}
+    )
+
+
+QUERIES["sssp"] = q_sssp
+
+ORACLE_SQL["sssp"] = f"""
+WITH RECURSIVE
+edges_raw AS ({_EDGES_W_SQL}),
+we AS (SELECT src, dst, count(*)::BIGINT AS w FROM edges_raw GROUP BY 1, 2),
+src0 AS (SELECT min(id) AS s FROM (
+  SELECT src AS id FROM we UNION ALL SELECT dst FROM we)),
+ss(it, dist, changed) AS (
+  SELECT 0,
+    (SELECT list(CASE WHEN t.i = (SELECT s FROM src0) THEN 0::BIGINT
+                 ELSE {SSSP_BIG}::BIGINT END ORDER BY t.i)
+     FROM range({GRAPH_MOD}) t(i)), 1
+  UNION ALL
+  SELECT it + 1, new_dist,
+    len(list_filter(list_zip(new_dist, dist), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, dist,
+      (SELECT list(LEAST(dist[n.i + 1], COALESCE(
+          (SELECT MIN(dist[e.src + 1] + e.w) FROM we e
+           WHERE e.dst = n.i AND dist[e.src + 1] < {SSSP_BIG}),
+          {SSSP_BIG}::BIGINT)) ORDER BY n.i)
+       FROM range({GRAPH_MOD}) AS n(i)) AS new_dist
+    FROM ss WHERE it < 500 AND changed > 0
+  )
+)
+SELECT n.i AS id, d.dist[n.i + 1] AS dist
+FROM (SELECT dist FROM ss ORDER BY it DESC LIMIT 1) d,
+     range({GRAPH_MOD}) AS n(i)
+WHERE d.dist[n.i + 1] < {SSSP_BIG}"""

@@ -165,3 +165,20 @@ def test_kcore_resume(small_edges, ckdir):
     resumed = k_core(und, V, k=3, checkpoint_dir=ckdir, resume=True)
     assert resumed.converged
     assert np.array_equal(resumed.state, full.state)
+
+
+def test_sssp_resume(small_edges, ckdir):
+    import pyarrow as pa
+    import ray.data
+
+    from citationgraphs_ray.graph.engine import sssp
+    from citationgraphs_ray.utils import fast_grouped_agg
+
+    edges, vids = small_edges
+    V = vids.count()
+    we = fast_grouped_agg(edges, ["src", "dst"], count_as="w").materialize()
+    full = sssp(we, V, sources=[0])
+    sssp(we, V, sources=[0], max_iters=1, checkpoint_dir=ckdir)
+    resumed = sssp(we, V, sources=[0], checkpoint_dir=ckdir, resume=True)
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)

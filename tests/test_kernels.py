@@ -479,3 +479,67 @@ def test_weighted_pagerank_repeated_rows_equals_weighted_oracle():
             break
         ranks = new
     assert np.allclose(res.state, ranks, atol=1e-9)
+
+
+# ---- weighted SSSP ----------------------------------------------------------
+
+
+def _sssp_imports():
+    from citationgraphs_ray.graph.engine import UNREACHED, sssp
+    from citationgraphs_ray.graph.oracle import sssp_oracle
+
+    return sssp, sssp_oracle, UNREACHED
+
+
+def _weighted_ds(edges: np.ndarray, w: np.ndarray) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(edges[:, 0].astype(np.int64)),
+                "dst": pa.array(edges[:, 1].astype(np.int64)),
+                "w": pa.array(w.astype(np.int64)),
+            }
+        )
+    )
+
+
+def test_sssp_weighted_shortcut_beats_fewer_hops():
+    """0→1→2 (1+1) beats the direct 0→2 edge of weight 5."""
+    sssp, _, _ = _sssp_imports()
+    edges = np.array([[0, 1], [1, 2], [0, 2]])
+    w = np.array([1, 1, 5])
+    res = sssp(_weighted_ds(edges, w), 3, sources=[0])
+    assert list(res.state) == [0, 1, 2]
+    assert res.converged
+
+
+def test_sssp_random_matches_bellman_ford_all_regimes():
+    sssp, sssp_oracle, _ = _sssp_imports()
+    rng = np.random.default_rng(23)
+    V = 40
+    edges = _clean_directed(rng.integers(0, V, size=(200, 2)))
+    w = rng.integers(1, 9, size=len(edges))
+    exp = sssp_oracle(edges, w, V, [0, 7])
+    for mode in ("local", "groupby", "driver"):
+        res = sssp(_weighted_ds(edges, w), V, sources=[0, 7], reduce=mode)
+        assert np.array_equal(res.state, exp), mode
+
+
+def test_sssp_unit_weights_equal_bfs():
+    from citationgraphs_ray.graph.engine import bfs_hops
+
+    sssp, _, _ = _sssp_imports()
+    raw, V = TINY["two_islands"]
+    edges = _clean_directed(raw)
+    und = np.vstack([edges, edges[:, ::-1]])
+    und = np.unique(und, axis=0)
+    res = sssp(_weighted_ds(und, np.ones(len(und))), V, sources=[0])
+    bfs = bfs_hops(_edge_ds(und), V, sources=[0])
+    assert np.array_equal(res.state, bfs.state)
+
+
+def test_sssp_rejects_negative_weight():
+    sssp, _, _ = _sssp_imports()
+    edges = np.array([[0, 1]])
+    with pytest.raises(Exception, match="non-negative"):
+        sssp(_weighted_ds(edges, np.array([-1])), 2, sources=[0])
