@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "pagerank",
     "bfs_hops",
     "k_core",
+    "sssp",
+    "weighted_pagerank",
+    "two_hop_counts",
     "scrubbed_docs",
     "decontaminated_docs",
     "pack_sequences",

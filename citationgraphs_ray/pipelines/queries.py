@@ -2696,14 +2696,39 @@ ORACLE_SQL["distinct_users_by_day"] = """
     FROM events GROUP BY 1"""
 
 
-def q_two_hop_counts(sf_dir: str):
+# V at/below which the 2-hop count runs the dense boolean-matmul regime:
+# V² bools on the driver (64 MB at 8k) + one V³ GEMM. Above it, the join
+# path — on a DENSE graph the join materializes Σdeg(m)² rows (measured
+# 79 s at sf0.1's near-saturated 1000-vertex graph vs 0.2 s dense), so
+# the dense regime is the right call whenever V² fits, exactly like the
+# triangle kernel's diag(A³)/2 micro-regime.
+DENSE_TWO_HOP_MAX_V = 8192
+
+
+def q_two_hop_counts(sf_dir: str, mode: str = "auto"):
     """Per-vertex count of DISTINCT 2-hop endpoints (z ≠ src) over the
-    symmetrized graph — the friends-of-friends aggregate: one bucketed
-    self-join (utils.bucketed_inner_join) + distributed distinct +
-    grouped count; nothing touches the driver until the V-sized result."""
+    symmetrized graph — the friends-of-friends aggregate. Two regimes
+    (equivalence-tested): dense driver-local boolean A² row-sums for
+    V ≤ DENSE_TWO_HOP_MAX_V, else one bucketed self-join
+    (utils.bucketed_inner_join) + distributed distinct + grouped count
+    with nothing driver-side until the V-sized result."""
     from ..utils import bucketed_inner_join
 
     sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    if mode == "dense" or (mode == "auto" and GRAPH_MOD <= DENSE_TWO_HOP_MAX_V):
+        A = np.zeros((GRAPH_MOD, GRAPH_MOD), dtype=np.float32)
+        for b in sym.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            A[
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False),
+            ] = 1.0
+        B = (A @ A) > 0.0
+        np.fill_diagonal(B, False)  # z ≠ src
+        n = B.sum(axis=1).astype(np.int64)
+        ids = np.nonzero(n)[0].astype(np.int64)  # SQL inner join: no 0 rows
+        return pa.table(
+            {"id": pa.array(ids), "n_two_hop": pa.array(n[ids])}
+        )
     left = sym.map_batches(
         lambda t: pa.table({"id": t["src"], "mid": t["dst"]}),
         batch_format="pyarrow",

@@ -285,3 +285,19 @@ def test_corpusx_concurrences_matches_reference_semantics():
     # symmetry (reference accumulates both orientations)
     for (w1, w2), v in got.items():
         assert got[(w2, w1)] == v
+
+
+def test_two_hop_regimes_agree():
+    """Dense boolean-A² regime == forced join regime (sf0.001)."""
+    from citationgraphs_ray.pipelines.queries import q_two_hop_counts
+
+    sf = "/root/testdata/sf0.001"
+    a = q_two_hop_counts(sf, mode="dense").to_pandas().sort_values("id")
+    b = (
+        q_two_hop_counts(sf, mode="join")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    a = a.reset_index(drop=True)
+    assert a.equals(b[["id", "n_two_hop"]].astype(a.dtypes.to_dict()))
