@@ -83,9 +83,13 @@ def _sum_by_partition(dicts: list[dict[int, float]]) -> float:
 
 
 def partition_edges(
-    edges: ray.data.Dataset, out_dir: str, num_partitions: int
+    edges: ray.data.Dataset,
+    out_dir: str,
+    num_partitions: int,
+    weight_col: str | None = None,
 ) -> str:
-    """Hash-partition the edge table by src % P into partitioned Parquet."""
+    """Hash-partition the edge table by src % P into partitioned Parquet
+    (optionally carrying an integer edge-weight column for SSSP)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
@@ -93,8 +97,9 @@ def partition_edges(
             "part", pa.array((src % num_partitions).astype(np.int64))
         )
 
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     (
-        edges.select_columns(["src", "dst"])
+        edges.select_columns(cols)
         .map_batches(add_part, batch_format="pyarrow")
         .write_parquet(out_dir, partition_cols=["part"])
     )
@@ -113,24 +118,38 @@ class _Partition:
         self.state: np.ndarray | None = None
         # per-destination-partition routing: (srcidx, inv, dq) per q
         self.route: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.route_w: list[np.ndarray] | None = None  # per-route edge weights (SSSP)
         self.in_dq: dict[int, np.ndarray] = {}  # src partition p -> dq
-        self.frontier: np.ndarray | None = None  # BFS only
+        self.frontier: np.ndarray | None = None  # BFS/SSSP only
+        self.sssp_dist: np.ndarray | None = None  # SSSP decoded state
 
     def local_ids(self) -> np.ndarray:
         return np.arange(self.n_local, dtype=np.int64) * self.P + self.pid
 
-    def build(self, edge_dir: str) -> int:
+    def build(self, edge_dir: str, weight_col: str | None = None) -> int:
         part_dir = os.path.join(edge_dir, f"part={self.pid}")
+        cols = ["src", "dst"] + ([weight_col] if weight_col else [])
         if os.path.isdir(part_dir):
-            tbl = pq.read_table(part_dir, columns=["src", "dst"])
+            tbl = pq.read_table(part_dir, columns=cols)
             src = tbl["src"].to_numpy().astype(np.int64)
             dst = tbl["dst"].to_numpy().astype(np.int64)
+            w = (
+                tbl[weight_col].to_numpy().astype(np.int64)
+                if weight_col
+                else None
+            )
         else:  # partition with no edges
             src = np.empty(0, dtype=np.int64)
             dst = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.int64) if weight_col else None
+        if w is not None and len(w) and w.min() < 0:
+            raise ValueError("sssp requires non-negative weights")
         local = src // self.P
         order = np.argsort(local, kind="stable")
         local, dst = local[order], dst[order]
+        if w is not None:
+            w = w[order]
+            self.route_w = []
         counts = np.bincount(local, minlength=self.n_local)
         self.out_deg = counts.astype(np.float64)
         src_of_edge = np.repeat(np.arange(self.n_local, dtype=np.int64), counts)
@@ -141,6 +160,8 @@ class _Partition:
             sel = order_q[bounds[q] : bounds[q + 1]]
             dq, inv = np.unique(dst[sel] // self.P, return_inverse=True)
             self.route.append((src_of_edge[sel], inv.astype(np.int64), dq))
+            if w is not None:
+                self.route_w.append(w[sel])
         return len(src)
 
 
@@ -163,8 +184,10 @@ class CsrWorker:
         }
 
     # -- setup --------------------------------------------------------------
-    def build(self, edge_dir: str) -> int:
-        return sum(pt.build(edge_dir) for pt in self.parts.values())
+    def build(self, edge_dir: str, weight_col: str | None = None) -> int:
+        return sum(
+            pt.build(edge_dir, weight_col) for pt in self.parts.values()
+        )
 
     def route_dq(self) -> dict:
         """One-time routing exchange: {(p, q): ref(dq)} for owned p."""
@@ -336,6 +359,72 @@ class CsrWorker:
             pt.frontier = pt.state == level
         return True
 
+    # -- weighted SSSP ----------------------------------------------------------
+    # state ENCODING (single int64 column): dist >= 0 settled/non-frontier,
+    # -(dist)-1 < 0 for FRONTIER vertices (settled last round, relaxations
+    # pending), I64MAX unreached — resume decodes both dist and frontier
+    # from the shard alone (unlike BFS, weighted distance has no
+    # level == iteration invariant to rebuild the frontier from).
+    def sssp_init(self, sources: list) -> bool:
+        if self.parts and next(iter(self.parts.values())).route_w is None:
+            raise ValueError(
+                "sssp needs a weighted layout — construct CsrEngine with "
+                "weight_col"
+            )
+        src = np.asarray(sources, dtype=np.int64)
+        for p, pt in self.parts.items():
+            dist = np.full(pt.n_local, _I64MAX, dtype=np.int64)
+            pt.frontier = np.zeros(pt.n_local, dtype=bool)
+            mine = src[src % self.P == p] // self.P
+            dist[mine] = 0
+            pt.frontier[mine] = True
+            pt.sssp_dist = dist
+            pt.state = np.where(pt.frontier, -dist - 1, dist)
+        return True
+
+    def sssp_scatter(self) -> dict:
+        out = {}
+        for p, pt in self.parts.items():
+            for q, (srcidx, inv, dq) in enumerate(pt.route):
+                mins = np.full(len(dq), _I64MAX, dtype=np.int64)
+                if len(srcidx):
+                    live = pt.frontier[srcidx]
+                    if live.any():
+                        np.minimum.at(
+                            mins,
+                            inv[live],
+                            pt.sssp_dist[srcidx[live]]
+                            + pt.route_w[q][live],
+                        )
+                out[(p, q)] = mins
+        return self._bundle(out)
+
+    def sssp_gather(self, *bundles: dict) -> int:
+        items = [kv for b in bundles for kv in b.items()]
+        incoming = {
+            p: np.full(pt.n_local, _I64MAX, dtype=np.int64)
+            for p, pt in self.parts.items()
+        }
+        for (p, q), m in sorted(items, key=lambda km: (km[0][1], km[0][0])):
+            u = self.parts[q].in_dq[p]
+            if len(u):
+                np.minimum.at(incoming[q], u, m)
+        changed = 0
+        for q, pt in self.parts.items():
+            new_dist = np.minimum(pt.sssp_dist, incoming[q])
+            pt.frontier = new_dist != pt.sssp_dist
+            changed += int(np.count_nonzero(pt.frontier))
+            pt.sssp_dist = new_dist
+            pt.state = np.where(pt.frontier, -new_dist - 1, new_dist)
+        return changed
+
+    def sssp_restore(self, _start: int) -> bool:
+        for pt in self.parts.values():
+            st = pt.state.astype(np.int64)
+            pt.frontier = st < 0
+            pt.sssp_dist = np.where(pt.frontier, -st - 1, st)
+        return True
+
     # -- k-core decomposition --------------------------------------------------
     # state ENCODING (single int64 column, checkpoint-shard compatible):
     #   >= 0  alive, value = current residual degree (>= k by invariant)
@@ -487,9 +576,11 @@ class CsrEngine:
         workdir: str = "/tmp/csr_engine",
         tag: str = "default",
         num_workers: int | None = None,
+        weight_col: str | None = None,
     ) -> None:
         self.V = num_vertices
         self.P = num_partitions
+        self.weight_col = weight_col
         # Edge identity: an order-independent content checksum keys BOTH the
         # cached partitioned layout and every checkpoint fingerprint, so a
         # different edge set can neither reuse a stale layout (same
@@ -497,6 +588,26 @@ class CsrEngine:
         # One extra column-pruned pass over (src, dst) — which also yields E
         # for free, used to auto-size the worker pool.
         self.checksum, self.E = edge_checksum_and_count(edges)
+        if weight_col:
+            # mix the weights into the identity so two weightings of the
+            # same (src, dst) set get distinct layouts and fingerprints
+            mod = (1 << 61) - 1
+            wsum = 0
+            for b in edges.select_columns(
+                ["src", "dst", weight_col]
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                src = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                w = b[weight_col].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+                with np.errstate(over="ignore"):
+                    mix = (
+                        src * np.uint64(0x9E3779B97F4A7C15)
+                        ^ dst * np.uint64(0xC2B2AE3D27D4EB4F)
+                    ) + w * np.uint64(0xD6E8FEB86659FD93)
+                wsum = (wsum + int(np.sum(mix % np.uint64(mod)))) % mod
+            self.checksum = (self.checksum * 31 + wsum) % mod
         if num_workers is None:
             session_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
             num_workers = max(
@@ -512,21 +623,27 @@ class CsrEngine:
         self.fingerprint = (
             f"csr-p{self.P}-v{self.V}-e{self.checksum:016x}"
         )
+        wtag = "_w" if weight_col else ""
         edge_dir = os.path.join(
-            workdir, f"edges_{tag}_p{num_partitions}_c{self.checksum:016x}"
+            workdir,
+            f"edges_{tag}{wtag}_p{num_partitions}_c{self.checksum:016x}",
         )
         marker = os.path.join(edge_dir, "_SUCCESS")
         if not os.path.exists(marker):  # partitioned layout is reusable
             import shutil
 
             shutil.rmtree(edge_dir, ignore_errors=True)
-            partition_edges(edges, edge_dir, num_partitions)
+            partition_edges(
+                edges, edge_dir, num_partitions, weight_col=weight_col
+            )
             open(marker, "w").close()
         self.workers = [
             CsrWorker.remote(w, self.W, num_partitions, num_vertices)
             for w in range(self.W)
         ]
-        ray.get([a.build.remote(edge_dir) for a in self.workers])
+        ray.get(
+            [a.build.remote(edge_dir, weight_col) for a in self.workers]
+        )
         # one-time static routing exchange (dq arrays, actor-to-actor)
         dq_maps = ray.get([a.route_dq.remote() for a in self.workers])
         inbox: list[tuple[list, list]] = [([], []) for _ in range(self.W)]
@@ -706,6 +823,42 @@ class CsrEngine:
             init_args=(src,), resume_hook="bfs_restore_frontier",
             manager_kernel=f"bfs-{tag}",
         )
+
+    def sssp(
+        self,
+        sources: list,
+        max_iters: int = 10_000,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        checkpoint_keep_last: int | None = None,
+        assemble: bool = True,
+    ) -> tuple[np.ndarray | None, int, bool]:
+        """Weighted SSSP on the BSP harness (requires ``weight_col`` at
+        construction); semantics identical to engine.sssp / oracle.
+        Checkpoint shards hold the ENCODED state (see worker comment);
+        kernel label carries the source-set tag."""
+        import hashlib as _hashlib
+
+        if not self.weight_col:
+            raise ValueError("CsrEngine.sssp needs weight_col at construction")
+        src = sorted(int(x) for x in sources)
+        if not src:
+            raise ValueError("sssp needs at least one source vertex")
+        if src[0] < 0 or src[-1] >= self.V:
+            raise ValueError("source id outside [0, num_vertices)")
+        tag = _hashlib.sha1(
+            np.asarray(src, dtype=np.int64).tobytes()
+        ).hexdigest()[:8]
+        st, iters, conv = self._label_kernel(
+            "sssp", "sssp_state", max_iters, checkpoint_dir, resume,
+            checkpoint_keep_last, assemble=assemble,
+            init_args=(src,), resume_hook="sssp_restore",
+            manager_kernel=f"sssp-{tag}",
+        )
+        if st is not None:
+            neg = st < 0
+            st = np.where(neg, -st - 1, st)
+        return st, iters, conv
 
     def k_core(
         self,

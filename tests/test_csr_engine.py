@@ -255,3 +255,51 @@ def test_csr_kcore_rejects_bad_k(engines):
     _, _, _, und_eng = engines
     with pytest.raises(ValueError):
         und_eng.k_core(0)
+
+
+@pytest.fixture(scope="module")
+def weighted_engine(small_edges, tmp_path_factory):
+    import ray.data
+
+    from citationgraphs_ray.utils import fast_grouped_agg
+
+    edges, vids = small_edges
+    V = vids.count()
+    we = fast_grouped_agg(edges, ["src", "dst"], count_as="w").materialize()
+    wd = str(tmp_path_factory.mktemp("csr_w"))
+    eng = CsrEngine(we, V, num_partitions=4, workdir=wd, tag="w",
+                    weight_col="w")
+    yield we, V, eng
+    eng.shutdown()
+
+
+def test_csr_sssp_matches_oracle_and_broadcast(weighted_engine):
+    from citationgraphs_ray.graph.engine import sssp
+    from citationgraphs_ray.graph.oracle import sssp_oracle
+
+    we, V, eng = weighted_engine
+    df = we.to_pandas()
+    earr = df[["src", "dst"]].to_numpy().astype(np.int64)
+    w = df["w"].to_numpy().astype(np.int64)
+    state, iters, converged = eng.sssp([0])
+    assert converged
+    assert np.array_equal(state, sssp_oracle(earr, w, V, [0]))
+    bc = sssp(we, V, sources=[0])
+    assert np.array_equal(state, bc.state)
+
+
+def test_csr_sssp_checkpoint_resume(weighted_engine, tmp_path):
+    we, V, eng = weighted_engine
+    full, _, _ = eng.sssp([0])
+    ck = str(tmp_path / "ck_sssp")
+    eng.sssp([0], max_iters=1, checkpoint_dir=ck)
+    resumed, _, conv = eng.sssp([0], checkpoint_dir=ck, resume=True)
+    assert conv and np.array_equal(resumed, full)
+    with pytest.raises(ValueError, match="different run"):
+        eng.sssp([1], checkpoint_dir=ck, resume=True)
+
+
+def test_csr_sssp_requires_weighted_layout(engines):
+    _, _, dir_eng, _ = engines
+    with pytest.raises(Exception, match="weight_col"):
+        dir_eng.sssp([0])
