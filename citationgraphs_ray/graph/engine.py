@@ -91,15 +91,22 @@ def edge_fingerprint(num_vertices: int, num_edges: int, tag: str = "") -> str:
     ]
 
 
-def edge_checksum(eds: ray.data.Dataset) -> int:
+def edge_checksum(eds: ray.data.Dataset, weight_col: str | None = None) -> int:
     """Order-independent edge-set checksum (sum of per-edge mixes mod 2^61)
     — distinguishes different edge sets with identical (V, E) so a resume
-    cannot silently load another graph's checkpoint. One extra pass; only
-    computed when checkpointing is enabled."""
-    return edge_checksum_and_count(eds)[0]
+    cannot silently load another graph's checkpoint. When ``weight_col`` is
+    given the weights are mixed into each per-edge term, so two weightings
+    of the SAME (src, dst) set get distinct fingerprints (the invariant the
+    CSR engine enforces in ``CsrEngine.__init__``; weighted kernels like
+    ``sssp`` must pass it or a re-weighted resume silently loads the old
+    weighting's distances). One extra pass; only computed when
+    checkpointing is enabled."""
+    return edge_checksum_and_count(eds, weight_col)[0]
 
 
-def edge_checksum_and_count(eds: ray.data.Dataset) -> tuple[int, int]:
+def edge_checksum_and_count(
+    eds: ray.data.Dataset, weight_col: str | None = None
+) -> tuple[int, int]:
     """``(checksum, num_edges)`` in the same single column-pruned pass —
     callers that need E for sizing decisions (CsrEngine worker count) get
     it for free."""
@@ -112,6 +119,11 @@ def edge_checksum_and_count(eds: ray.data.Dataset) -> tuple[int, int]:
             mix = (src * np.uint64(0x9E3779B97F4A7C15)) ^ (
                 dst * np.uint64(0xC2B2AE3D27D4EB4F)
             )
+            if weight_col is not None:
+                w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                )
+                mix = mix + w * np.uint64(0xD6E8FEB86659FD93)
         return pa.table(
             {
                 "c": pa.array([int(np.sum(mix % np.uint64(mod))) % mod]),
@@ -972,7 +984,9 @@ def sssp(
             checkpoint_dir,
             kernel="sssp",
             fingerprint=edge_fingerprint(
-                num_vertices, num_edges, f"sssp|{src_tag}|{edge_checksum(eds)}"
+                num_vertices,
+                num_edges,
+                f"sssp|{src_tag}|{edge_checksum(eds, weight_col)}",
             ),
             keep_last=checkpoint_keep_last,
         )

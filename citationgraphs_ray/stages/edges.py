@@ -632,9 +632,15 @@ def _split_streaming(
     splits: list = []
     pending: list = []
     rows = 0
+    # bundles with unknown row counts (num_rows() None) must still advance
+    # the flush threshold, else every unknown-count block accumulates into
+    # ONE oversized split task (silent skew / memory blowup); assume a
+    # full-sized block per unknown bundle as the conservative proxy
+    unknown_bundle_rows = max(1, EXCHANGE_ROWS_PER_PARTITION // 8)
     for b in ds.iter_internal_ref_bundles():
         pending.extend(b.block_refs)
-        rows += b.num_rows() or 0
+        n = b.num_rows()
+        rows += n if n is not None else unknown_bundle_rows * len(b.block_refs)
         if rows >= EXCHANGE_ROWS_PER_PARTITION:
             splits.append(
                 _split_blocks.options(num_returns=P).remote(

@@ -172,7 +172,14 @@ def kmeans_fit(
     ``KMEANS_LOCAL_MAX_ROWS`` the iterations run driver-local on the
     collected matrix (same init, same update rule; allclose-tested vs
     the distributed path).
+
+    The column-pruned input is materialized ONCE up front: count, the
+    init sample, and every Lloyd iteration then read object-store blocks
+    instead of re-executing the upstream pipeline (count + sample used to
+    cost two extra full executions per fit; at scale the store spills
+    rather than recomputing num_iters+2 times).
     """
+    ds = ds.select_columns([vec_col]).materialize()
     n_rows = ds.count()
     sample = ds.random_sample(
         min(1.0, (num_clusters * 20) / max(1, n_rows)), seed=seed

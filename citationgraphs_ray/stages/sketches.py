@@ -529,6 +529,33 @@ def heavy_hitters(
 # ---------------------------------------------------------------------------
 
 
+def _group_codes(arr) -> tuple[np.ndarray, pa.Array]:
+    """Null-safe ARROW dictionary encoding of a group column: returns
+    ``(int64 codes, dictionary)`` where a null group gets its OWN trailing
+    dictionary slot. Stays in Arrow the whole way — the previous
+    ``to_numpy → pd.factorize`` hop coerced an int64 column containing any
+    null to float64, silently rounding (and colliding) group keys beyond
+    2^53; this is the same failure class :func:`..temporal._cast_out`
+    raises on."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    dictionary = enc.dictionary
+    idx = enc.indices
+    if idx.null_count:
+        codes = (
+            idx.fill_null(len(dictionary))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dictionary = pa.concat_arrays(
+            [dictionary, pa.nulls(1, type=dictionary.type)]
+        )
+    else:
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, dictionary
+
+
 def _clz64(w: np.ndarray) -> np.ndarray:
     """Exact vectorized count-leading-zeros over uint64 (no float log2 —
     values with >53 significant bits round and go off by one)."""
@@ -654,25 +681,15 @@ def approx_distinct_by(
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h << np.uint64(p)
         rho = np.minimum(_clz64(w) + 1, 64 - p + 1)
-        # per-(group, register) max inside the block: factorize the group
-        # column, encode (code, idx) into one int64 key, lexsort-free max
-        # use_na_sentinel=False: nulls get a REAL code (their own
-        # group, matching the dropna=False estimate pass) — the default
-        # -1 sentinel would floor-divide to code -1 and take(-1) would
-        # credit null rows to the LAST factorized group
-        codes, uniques = pd.factorize(
-            t[group_col].to_numpy(zero_copy_only=False),
-            use_na_sentinel=False,
-        )
-        key = codes.astype(np.int64) * m + idx
+        # per-(group, register) max inside the block: dictionary-encode the
+        # group column IN ARROW (null group = its own trailing code),
+        # encode (code, idx) into one int64 key, lexsort-free max
+        codes, dictionary = _group_codes(t[group_col])
+        key = codes * m + idx
         uk, inv = np.unique(key, return_inverse=True)
         mx = np.zeros(len(uk), dtype=np.int64)
         np.maximum.at(mx, inv, rho)
-        # from_pandas: factorize's NaN placeholder for the null group
-        # round-trips back to an Arrow null of the SOURCE type
-        garr = pa.Array.from_pandas(
-            pd.Series(uniques.take(uk // m)), type=t[group_col].type
-        )
+        garr = dictionary.take(pa.array(uk // m))
         return pa.table(
             {
                 group_col: garr,
@@ -689,24 +706,24 @@ def approx_distinct_by(
 
     alpha = 0.7213 / (1 + 1.079 / m)
 
-    def estimate_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__part")
-        g = df.groupby(group_col, sort=False, dropna=False)["rho"]
-        n_present = g.size().to_numpy()
-        inv_sum = (
-            df.assign(__inv=np.exp2(-df["rho"].to_numpy(dtype=np.float64)))
-            .groupby(group_col, sort=False, dropna=False)["__inv"]
-            .sum()
-            .to_numpy()
-        )
+    def estimate_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-native grouping (see _group_codes): no pandas hop, so
+        # int64 group keys beyond 2^53 survive exactly
+        codes, dictionary = _group_codes(t[group_col])
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ngroups = len(dictionary)
+        n_present = np.bincount(codes, minlength=ngroups).astype(np.float64)
+        inv_sum = np.bincount(codes, weights=np.exp2(-rho), minlength=ngroups)
         denom = (m - n_present) + inv_sum
         est = alpha * m * m / denom
         zeros = m - n_present  # rho >= 1 for every present register
         lc = np.where(zeros > 0, m * np.log(np.maximum(m / np.maximum(zeros, 1), 1e-300)), est)
         out = np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
-        keys = g.size().index.to_numpy()
-        return pd.DataFrame(
-            {group_col: keys, "approx_distinct": np.round(out).astype(np.int64)}
+        return pa.table(
+            {
+                group_col: dictionary,
+                "approx_distinct": pa.array(np.round(out).astype(np.int64)),
+            }
         )
 
     return (
@@ -715,5 +732,5 @@ def approx_distinct_by(
             batch_format="pyarrow",
         )
         .groupby("__part")
-        .map_groups(estimate_bucket, batch_format="pandas")
+        .map_groups(estimate_bucket, batch_format="pyarrow")
     )

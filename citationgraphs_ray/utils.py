@@ -199,6 +199,14 @@ def collect_table(ds: "ray.data.Dataset") -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+# broadcast_merge right-side budget: above either bound the "small side"
+# isn't small and a broadcast would collect it onto the driver and re-ship
+# it to every map task — the caller should shuffle instead. Enforced with
+# a raise (like decontam.BENCH_FP_BROADCAST_MAX), not a docstring.
+BROADCAST_MERGE_MAX_ROWS = 5_000_000
+BROADCAST_MERGE_MAX_BYTES = 256 << 20
+
+
 def broadcast_merge(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -211,10 +219,24 @@ def broadcast_merge(
     once, ``ray.put`` once, and pandas-merged into every batch — the
     SURVEY.md §2.7 pattern for dimension-table joins. Avoids the all-to-all
     shuffle (and Ray's hash-join empty-partition schema loss on tiny
-    inputs). Right side must fit in one object."""
+    inputs). The right side must fit one object: above
+    ``BROADCAST_MERGE_MAX_ROWS`` / ``_BYTES`` this raises — use
+    :func:`bucketed_inner_join` (reduce-side) for a big right side."""
     import pandas as pd
 
-    right_df = collect_table(right).to_pandas()
+    right_tbl = collect_table(right)
+    if (
+        right_tbl.num_rows > BROADCAST_MERGE_MAX_ROWS
+        or right_tbl.nbytes > BROADCAST_MERGE_MAX_BYTES
+    ):
+        raise ValueError(
+            f"broadcast_merge: right side too big to broadcast "
+            f"({right_tbl.num_rows} rows / {right_tbl.nbytes >> 20} MiB > "
+            f"{BROADCAST_MERGE_MAX_ROWS} rows / "
+            f"{BROADCAST_MERGE_MAX_BYTES >> 20} MiB) — use "
+            f"bucketed_inner_join for a reduce-side join"
+        )
+    right_df = right_tbl.to_pandas()
     ref = ray.put(right_df)
 
     class Merge:

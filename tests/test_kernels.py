@@ -543,3 +543,47 @@ def test_sssp_rejects_negative_weight():
     edges = np.array([[0, 1]])
     with pytest.raises(Exception, match="non-negative"):
         sssp(_weighted_ds(edges, np.array([-1])), 2, sources=[0])
+
+
+def test_sssp_resume_rejects_reweighted_edges(tmp_path):
+    """Checkpoint fingerprint must include the WEIGHT column: resuming
+    after re-deriving the same (src, dst) set with different weights
+    must compute the new weighting's distances, not silently load the
+    old ones (ADVICE r4, engine.py sssp fingerprint)."""
+    sssp, _, _ = _sssp_imports()
+    edges = np.array([[0, 1], [1, 2], [0, 2]])
+    ck = str(tmp_path / "ck")
+    r1 = sssp(
+        _weighted_ds(edges, np.array([1, 1, 5])), 3, sources=[0],
+        checkpoint_dir=ck, resume=True,
+    )
+    assert list(r1.state) == [0, 1, 2]
+    # same (src, dst) set, different weights → different fingerprint →
+    # the manager refuses the stale dir instead of silently resuming
+    with pytest.raises(ValueError, match="different run"):
+        sssp(
+            _weighted_ds(edges, np.array([4, 4, 5])), 3, sources=[0],
+            checkpoint_dir=ck, resume=True,
+        )
+    # a fresh dir computes the new weighting's distances
+    r2 = sssp(
+        _weighted_ds(edges, np.array([4, 4, 5])), 3, sources=[0],
+        checkpoint_dir=str(tmp_path / "ck2"), resume=True,
+    )
+    assert list(r2.state) == [0, 4, 5]
+
+
+def test_broadcast_merge_raises_on_oversized_right_side(monkeypatch):
+    import citationgraphs_ray.utils as U
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3])}))
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3]), "x": pa.array([9, 8, 7])})
+    )
+    monkeypatch.setattr(U, "BROADCAST_MERGE_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="bucketed_inner_join"):
+        U.broadcast_merge(left, right, "k", "k")
+    monkeypatch.setattr(U, "BROADCAST_MERGE_MAX_ROWS", 5_000_000)
+    monkeypatch.setattr(U, "BROADCAST_MERGE_MAX_BYTES", 1)
+    with pytest.raises(ValueError, match="MiB"):
+        U.broadcast_merge(left, right, "k", "k")

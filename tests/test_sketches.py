@@ -384,3 +384,28 @@ def test_approx_distinct_by_null_group_is_its_own_group():
     }
     # small exact range: linear counting is exact here
     assert by == {"a": 1, "b": 1, "<null>": 2}
+
+
+def test_approx_distinct_by_group_keys_beyond_2_53_with_nulls():
+    # int64 group keys > 2^53 + a null row: the old pandas-factorize hop
+    # coerced the column to float64 and ROUNDED adjacent keys together;
+    # the Arrow dictionary-encode path must keep them distinct and exact.
+    from citationgraphs_ray.stages.sketches import approx_distinct_by
+
+    big = (1 << 60) + 1
+    t = pa.table(
+        {
+            "g": pa.array([big, big + 1, big, None], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    from citationgraphs_ray.utils import collect_table
+
+    # stay in Arrow for the check too — pandas would float64-round the keys
+    got = collect_table(approx_distinct_by(ray.data.from_arrow(t), "g", "v"))
+    assert got.schema.field("g").type == pa.int64()
+    by = {
+        ("<null>" if k is None else k): v
+        for k, v in zip(got["g"].to_pylist(), got["approx_distinct"].to_pylist())
+    }
+    assert by == {big: 2, big + 1: 1, "<null>": 1}
