@@ -654,20 +654,40 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
+_MERSENNE_MOD = (1 << 61) - 1
+_MERSENNE_TOKEN_CAP = 12
+
+
+def mersenne_token_hash(w: str) -> int:
+    """SQL-twin-able token hash: polynomial base-257 fold of the first
+    ``_MERSENNE_TOKEN_CAP`` code points mod 2^61−1 — the same arithmetic
+    DuckDB reproduces with a HUGEINT power table (the fingerprints-oracle
+    trick, queries._FINGERPRINTS_SQL). The default blake2b ``_hash64`` has
+    no SQL twin; injecting this into :func:`simhash64` lets the
+    simhash_exact gate hash-check the WHOLE verify+resolve path against
+    an independent SQL oracle."""
+    h = 0
+    for c in w[:_MERSENNE_TOKEN_CAP]:
+        h = (h * 257 + ord(c)) % _MERSENNE_MOD
+    return h
+
+
+def simhash64(text: str, token_hash=_hash64) -> int:
     """64-bit SimHash over whitespace tokens weighted by count.
 
     All words' hashes are expanded into ONE (n_words × 64) sign matrix and
     reduced with a single matvec-shaped sum — the per-word 64-element
     numpy op it replaces was ~10-100× slower on realistic docs (VERDICT
-    r3 #5); hash inputs are unchanged, so values are identical."""
+    r3 #5); hash inputs are unchanged, so values are identical.
+    ``token_hash`` defaults to blake2b; the exact-gate path injects
+    :func:`mersenne_token_hash` (61-bit) so the value has a SQL twin."""
     counts: dict[str, int] = {}
     for w in (text or "").lower().split():
         counts[w] = counts.get(w, 0) + 1
     if not counts:
         return 0
     h = np.fromiter(
-        (_hash64(w) for w in counts), dtype=np.uint64, count=len(counts)
+        (token_hash(w) for w in counts), dtype=np.uint64, count=len(counts)
     )
     c = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
@@ -678,6 +698,40 @@ def simhash64(text: str) -> int:
     return int(powers[acc > 0].sum())
 
 
+def _hamming_pairs(
+    recs: list[tuple[int, int]], max_hamming: int, max_bucket: int
+) -> pd.DataFrame:
+    """Hamming-verified (src, dst) pairs from a bucket's [(id, simhash)]
+    records — THE simhash verify predicate, shared verbatim between the
+    banded-LSH path and the all-pairs simhash_exact gate. Buckets over
+    ``max_bucket`` emit a hamming-checked min-id STAR instead of all
+    pairs (identical docs still merge into one cluster; pair count stays
+    O(n); same mixed-bucket recall caveat as ``_bucket_pairs``)."""
+    empty = pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
+    if len(recs) < 2:
+        return empty
+    if len(recs) > max_bucket:  # explosion guard: star from min id
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "SimHash bucket of %d docs exceeds cap %d; star pairs",
+            len(recs),
+            max_bucket,
+        )
+        cand_pairs = [(recs[0], r) for r in recs[1:]]
+    else:
+        cand_pairs = list(combinations(recs, 2))
+    out = [
+        (a, b)
+        for (a, ha), (b, hb) in cand_pairs
+        if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
+    ]
+    if not out:
+        return empty
+    s, d = zip(*out)
+    return pd.DataFrame({"src": s, "dst": d}).astype(np.int64)
+
+
 def simhash_dedup(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
@@ -685,15 +739,22 @@ def simhash_dedup(
     id_col: str = "doc_id",
     num_ids: int | None = None,
     max_bucket: int = 200,
+    token_hash=_hash64,
+    all_pairs: bool = False,
 ) -> ray.data.Dataset:
     """SimHash near-dedup → (id, cluster_id). 4 bands of 16 bits: any pair
     within hamming ≤ 3 shares at least one full band (pigeonhole), so
     blocking on band values finds all candidates; verify true distance.
     The full simhash travels WITH the bucket rows, so verification is
-    in-bucket — already broadcast-free. Buckets over ``max_bucket`` emit a
-    hamming-checked min-id STAR instead of all pairs (identical docs still
-    merge into one cluster; pair count stays O(n); same mixed-bucket recall
-    caveat as ``_bucket_pairs``)."""
+    in-bucket — already broadcast-free.
+
+    ``all_pairs=True`` is the EXACT-mode gate (the minhash_exact trick):
+    banding is disabled — every doc lands in one bucket, so ALL pairs go
+    through the SAME :func:`_hamming_pairs` verify and the same cluster
+    resolution; combined with ``token_hash=mersenne_token_hash`` the whole
+    path is hash-checkable against a pure-SQL simhash+bit_count oracle.
+    Only for small subsets (one O(n²) bucket) — the banded path is the
+    scale engine."""
     if num_ids is None:
         num_ids = int(ds.max(id_col)) + 1
 
@@ -703,12 +764,12 @@ def simhash_dedup(
         vals: list[int] = []
         hashes: list[int] = []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            h = simhash64(t or "")
+            h = simhash64(t or "", token_hash)
             h_signed = h - (1 << 64) if h >= (1 << 63) else h  # int64-safe
-            for b in range(4):
+            for b in range(1 if all_pairs else 4):
                 ids.append(i)
                 bands.append(b)
-                vals.append((h >> (16 * b)) & 0xFFFF)
+                vals.append(0 if all_pairs else (h >> (16 * b)) & 0xFFFF)
                 hashes.append(h_signed)
         return pa.table(
             {
@@ -723,30 +784,9 @@ def simhash_dedup(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates(id_col).sort_values(id_col)
-        empty = pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
-        if len(rows) < 2:
-            return empty
-        recs = list(zip(rows[id_col], rows["simhash"]))
-        if len(recs) > max_bucket:  # explosion guard: star from min id
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "SimHash bucket of %d docs exceeds cap %d; star pairs",
-                len(recs),
-                max_bucket,
-            )
-            cand_pairs = [(recs[0], r) for r in recs[1:]]
-        else:
-            cand_pairs = list(combinations(recs, 2))
-        out = [
-            (a, b)
-            for (a, ha), (b, hb) in cand_pairs
-            if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming
-        ]
-        if not out:
-            return empty
-        s, d = zip(*out)
-        return pd.DataFrame({"src": s, "dst": d}).astype(np.int64)
+        return _hamming_pairs(
+            list(zip(rows[id_col], rows["simhash"])), max_hamming, max_bucket
+        )
 
     verified = fast_distinct(
         _expand_buckets_distributed(sigs, ["band", "value"], bucket_pairs),

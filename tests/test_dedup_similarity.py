@@ -555,3 +555,51 @@ def test_exact_dedup_keep_best():
         exact_dedup(ds, keep="best")  # quality_col required
     with pytest.raises(ValueError):
         exact_dedup(ds, keep="nope")
+
+
+def test_simhash_all_pairs_gate_equals_banded_path():
+    """Pigeonhole check for the simhash_exact gate: with hamming <= 3 and
+    4 bands of 16 bits, any qualifying pair shares a full band, so the
+    banded path and the all-pairs (banding-disabled) gate must produce
+    IDENTICAL clusters when no bucket overflows — same token hash on both
+    sides (the SQL-twin-able Mersenne polynomial)."""
+    from citationgraphs_ray.stages.dedup import mersenne_token_hash
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    n = docs.count()
+    banded = (
+        simhash_dedup(
+            docs, max_hamming=3, token_hash=mersenne_token_hash,
+            max_bucket=n + 1,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exact = (
+        simhash_dedup(
+            docs, max_hamming=3, token_hash=mersenne_token_hash,
+            all_pairs=True, max_bucket=n + 1,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(banded, exact)
+
+
+def test_mersenne_token_hash_matches_sql_power_table():
+    """The Python fold and the SQL HUGEINT power-table formula must agree
+    codepoint-for-codepoint (including the 12-char cap)."""
+    import duckdb
+
+    from citationgraphs_ray.pipelines.queries import _SIMHASH_POW
+    from citationgraphs_ray.stages.dedup import mersenne_token_hash
+
+    M = (1 << 61) - 1
+    for w in ["a", "customer", "exactlytwelve", "averyverylongtoken", "x" * 12]:
+        got = duckdb.sql(
+            f"SELECT (list_sum(list_transform("
+            f"range(1, least(length('{w}'), 12) + 1), "
+            f"i -> unicode('{w}'[i])::HUGEINT * ({_SIMHASH_POW}::HUGEINT[])"
+            f"[i + 12 - least(length('{w}'), 12)])) % {M})::BIGINT"
+        ).fetchone()[0]
+        assert got == mersenne_token_hash(w), w
