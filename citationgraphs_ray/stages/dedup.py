@@ -56,18 +56,85 @@ def _token_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _shingle_hash_array(text: str, k: int = 3) -> np.ndarray:
-    """Sorted unique int64 hashes of a doc's token shingles — the
-    verification feature for minhash/ngram dedup (64-bit hashes stand in
-    for the string sets; Jaccard is unchanged barring 2^-62 collisions)."""
-    sh = _token_shingles(text, k)
-    if not sh:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(
-        np.fromiter(
-            (_hash64(s) % (1 << 62) for s in sh), dtype=np.int64, count=len(sh)
-        )
+# Per-window-position odd mixing constants for the vectorized shingle
+# hash: shingle(t_i..t_{i+k-1}) = XOR_j (siphash(t_{i+j}) * C_j) mod 2^62
+# — order-sensitive (distinct C_j per position), no per-shingle string
+# build or digest call. Token hashes come from ONE pd.util.hash_array
+# pass (cython siphash, fixed key — deterministic across processes).
+_SH_GOLD = 0x9E3779B97F4A7C15
+_SH_P = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _sh_consts(k: int) -> np.ndarray:
+    return np.array(
+        [(_SH_GOLD * (2 * j + 1)) & ((1 << 64) - 1) | 1 for j in range(k)],
+        dtype=np.uint64,
     )
+
+
+def _shingle_hashes_flat(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' sorted-unique shingle hashes as ONE flat int64 buffer +
+    per-doc offsets. Tokenize (C split), siphash every token in one
+    vectorized pass, window-mix with numpy slices over the whole batch
+    buffer (doc-boundary-crossing positions excluded per doc), unique per
+    doc. Docs shorter than ``k`` tokens get ONE whole-doc fold (the old
+    single-shingle semantics). Replaces per-shingle ``' '.join`` +
+    blake2b — the measured hot spot of the minhash/ngram suite."""
+    toks_per_doc = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter(
+        (len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+    )
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(
+            len(texts) + 1, dtype=np.int64
+        )
+    flat_toks = np.empty(total, dtype=object)
+    pos = 0
+    for toks in toks_per_doc:
+        flat_toks[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat_toks)
+    consts = _sh_consts(k)
+    mod62 = np.uint64(1 << 62)
+    with np.errstate(over="ignore"):
+        n_all = max(len(th) - k + 1, 0)
+        mix = np.zeros(n_all, dtype=np.uint64)
+        for j in range(k):
+            mix ^= th[j : j + n_all] * consts[j]
+        mix62 = (mix % mod62).astype(np.int64)
+        feats: list[np.ndarray] = []
+        for d in range(len(texts)):
+            s, L = int(offs[d]), int(lens[d])
+            if L == 0:
+                feats.append(np.empty(0, dtype=np.int64))
+            elif L < k:
+                h = th[s]
+                for x in th[s + 1 : s + L]:
+                    h = (h * _SH_P) ^ x
+                feats.append(
+                    np.array([np.int64(h % mod62)], dtype=np.int64)
+                )
+            else:
+                feats.append(np.unique(mix62[s : s + L - k + 1]))
+    counts = np.fromiter((len(a) for a in feats), dtype=np.int64, count=len(feats))
+    out_offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = (
+        np.concatenate(feats) if out_offs[-1] else np.empty(0, dtype=np.int64)
+    )
+    return flat, out_offs
+
+
+def _shingle_hash_array(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique int64 hashes of ONE doc's token shingles — the scalar
+    twin of :func:`_shingle_hashes_flat` (identical values; tested). The
+    verification feature for minhash/ngram dedup: 62-bit hashes stand in
+    for the string sets; Jaccard is unchanged barring ~2^-62 collisions."""
+    flat, _ = _shingle_hashes_flat([text], k)
+    return flat
 
 
 def shingle_features(
@@ -77,17 +144,14 @@ def shingle_features(
     distributed (shingling never runs on the driver)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        feats = [
-            _shingle_hash_array(t or "", shingle_k)
-            for t in batch[text_col].to_pylist()
-        ]
+        flat, offs = _shingle_hashes_flat(
+            batch[text_col].to_pylist(), shingle_k
+        )
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+        )
         return pa.table(
-            {
-                "id": batch[id_col].cast(pa.int64()),
-                "feat": pa.array(
-                    [a.tolist() for a in feats], type=pa.list_(pa.int64())
-                ),
-            }
+            {"id": batch[id_col].cast(pa.int64()), "feat": la.cast(pa.list_(pa.int64()))}
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -174,10 +238,14 @@ def _verify_jaccard_partitioned(
     text_col: str,
     id_col: str,
     num_partitions: int = 32,
+    feats: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard pair verification as two partitioned feature joins —
-    the 100-TB-shaped path (no whole-dataset object, no driver pass)."""
-    feats = shingle_features(ds, text_col, id_col, shingle_k)
+    the 100-TB-shaped path (no whole-dataset object, no driver pass).
+    ``feats`` (shingle_features output) is reused when the caller already
+    computed it — the minhash path shingles each doc exactly once."""
+    if feats is None:
+        feats = shingle_features(ds, text_col, id_col, shingle_k)
     ltype = pa.list_(pa.int64())
     s1 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     with_src = _attach_feature(
@@ -209,11 +277,15 @@ def _verify_jaccard_broadcast(
     shingle_k: int,
     text_col: str,
     id_col: str,
+    feats: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Small-corpus fast path: feature map in one broadcast object. The
     features are computed DISTRIBUTED (map_batches) and only the compact
-    (id, hash-array) table is collected — no driver-side shingling."""
-    tbl = collect_table(shingle_features(ds, text_col, id_col, shingle_k))
+    (id, hash-array) table is collected — no driver-side shingling.
+    ``feats`` is reused when the caller already computed it."""
+    if feats is None:
+        feats = shingle_features(ds, text_col, id_col, shingle_k)
+    tbl = collect_table(feats)
     sh_map = {
         int(i): set(f)
         for i, f in zip(tbl["id"].to_pylist(), tbl["feat"].to_pylist())
@@ -235,9 +307,21 @@ def _verify_jaccard_broadcast(
             ]
             return batch.filter(pa.array(keep))
 
-    # candidates come out of fast_distinct as ONE block — without a
-    # repartition the whole verification runs on a single actor
-    return cand.repartition(32).map_batches(
+    # candidates come out of fast_distinct as ONE block; materializing
+    # them (they are band-bucket pairs — tiny next to the corpus) buys an
+    # exact count to size the verify stage: a handful of plain TASKS for
+    # small pair sets (no actor-pool spin-up — measured ~1-2 s of pure
+    # fixed cost per execution at sf0.1), the amortizing actor pool only
+    # when enough pairs exist to repay it (each task/actor deserializes
+    # the broadcast feature map once).
+    cand = cand.materialize()
+    P = max(1, min(32, -(-cand.count() // 20_000)))
+    if P <= 4:
+        verify_fn = Verify()
+        return cand.repartition(P).map_batches(
+            verify_fn, batch_format="pyarrow"
+        )
+    return cand.repartition(P).map_batches(
         Verify, batch_format="pyarrow", concurrency=(1, 8)
     )
 
@@ -251,6 +335,7 @@ def _verify_jaccard(
     id_col: str,
     num_ids: int,
     verify: str = "auto",
+    feats: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     if verify == "auto":
         verify = (
@@ -258,10 +343,10 @@ def _verify_jaccard(
         )
     if verify == "broadcast":
         return _verify_jaccard_broadcast(
-            cand, ds, threshold, shingle_k, text_col, id_col
+            cand, ds, threshold, shingle_k, text_col, id_col, feats=feats
         )
     return _verify_jaccard_partitioned(
-        cand, ds, threshold, shingle_k, text_col, id_col
+        cand, ds, threshold, shingle_k, text_col, id_col, feats=feats
     )
 
 
@@ -526,10 +611,17 @@ def _verified_pairs_to_table(pairs: set[tuple[int, int]]) -> pa.Table:
 
 
 class MinHashSigs:
-    """Per-doc minhash signature over token shingles; banded LSH keys.
+    """Per-doc minhash signatures + banded LSH keys over PRECOMPUTED
+    shingle-hash features (``shingle_features`` output) — text is
+    shingled and blake2b-hashed exactly ONCE per pipeline (the feat
+    table, which verification reuses); this stage is pure numpy: one
+    (total_shingles × perm-chunk) universal-hash product with per-doc
+    minima via ``minimum.reduceat`` over the Arrow list offsets. The
+    per-doc-Python-hash version this replaces re-shingled every doc
+    here AND in verify — together the dominant minhash_dedup cost.
 
-    num_perms universal hash fns h_i(x) = (a_i·x + b_i) mod p (seeded);
-    bands of rows hashed to one bucket key each. Emits
+    num_perms universal hash fns h_i(x) = (a_i·x + b_i) mod 2^64
+    (seeded, a odd); bands of rows folded to one bucket key each. Emits
     (doc_id, band, bucket) rows — the only thing that shuffles.
     """
 
@@ -537,9 +629,7 @@ class MinHashSigs:
         self,
         num_perms: int = 64,
         bands: int = 16,
-        shingle_k: int = 3,
         seed: int = 42,
-        text_col: str = "text",
         id_col: str = "doc_id",
     ) -> None:
         assert num_perms % bands == 0
@@ -552,40 +642,59 @@ class MinHashSigs:
         self.b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
         self.num_perms, self.bands = num_perms, bands
         self.rows_per_band = num_perms // bands
-        self.shingle_k = shingle_k
-        self.text_col, self.id_col = text_col, id_col
+        self.id_col = id_col
         self._mix = np.uint64(0x9E3779B97F4A7C15)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _token_shingles(text, self.shingle_k)
-        if not sh:
-            return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.fromiter(
-            (_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)
-        )
+    def _sig_matrix(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perms) minhash from the concatenated shingle
+        hashes + list offsets. Empty docs keep the uint64 max sentinel
+        (same as before: all-empty docs share one signature and are
+        caught by the bucket cap, never false-merged — verify is exact).
+        Perms are processed in chunks of 16 to bound the (S × chunk)
+        temporary at ~25 MB for a 200k-shingle batch."""
+        n = len(offsets) - 1
+        out = np.full((n, self.num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if n == 0 or len(flat) == 0:
+            return out
+        starts = offsets[:-1]
+        nonempty = offsets[1:] > starts
+        if not nonempty.any():
+            return out
+        # reduceat segments run start_i .. next idx: empty docs between
+        # two nonempty ones contribute zero rows, so consecutive nonempty
+        # starts bound each doc's rows exactly
+        idx = starts[nonempty].astype(np.int64)
         with np.errstate(over="ignore"):
-            vals = self.a[:, None] * base[None, :] + self.b[:, None]
-        return np.min(vals, axis=1)
+            for p0 in range(0, self.num_perms, 16):
+                vals = (
+                    self.a[None, p0 : p0 + 16] * flat[:, None]
+                    + self.b[None, p0 : p0 + 16]
+                )
+                out[nonempty, p0 : p0 + 16] = np.minimum.reduceat(
+                    vals, idx, axis=0
+                )
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        docs = batch[self.text_col].to_pylist()
-        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t or "") for t in docs]) if docs else np.zeros(
-            (0, self.num_perms), dtype=np.uint64
-        )
+        col = batch["feat"].combine_chunks()
+        # offsets are absolute into .values (pyarrow keeps slice offsets
+        # physical), so reduceat indexes the flat buffer directly
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
+        sigs = self._sig_matrix(flat, offsets)
         # band keys: xor-multiply fold across the band's rows, vectorized
         # over (docs, bands)
         R = self.rows_per_band
         with np.errstate(over="ignore"):
-            sb = sigs.reshape(len(docs), self.bands, R) if docs else sigs.reshape(
-                0, self.bands, R
-            )
-            keys = np.zeros((len(docs), self.bands), dtype=np.uint64)
+            sb = sigs.reshape(n, self.bands, R)
+            keys = np.zeros((n, self.bands), dtype=np.uint64)
             for r in range(R):
                 keys = (keys ^ sb[:, :, r]) * self._mix
             keys ^= np.arange(self.bands, dtype=np.uint64)[None, :] * self._mix
         ids = np.repeat(doc_ids.astype(np.int64), self.bands)
-        bands = np.tile(np.arange(self.bands, dtype=np.int64), len(docs))
+        bands = np.tile(np.arange(self.bands, dtype=np.int64), n)
         buckets = (keys.ravel() >> np.uint64(2)).astype(np.int64)
         return pa.table(
             {
@@ -619,20 +728,25 @@ def minhash_lsh_dedup(
     BROADCAST_VERIFY_MAX_IDS ids, partitioned reduce-side feature join
     above — no whole-dataset object either way) → CC over verified pairs.
     """
+    # shingle + hash each doc exactly ONCE: the compact (id, feat) table
+    # is materialized and feeds BOTH the signature stage (numpy minhash
+    # over the flat list buffer) and exact-Jaccard verification — the
+    # text column is read once and never re-shingled (was 3 full text
+    # passes: max, sigs, verify). At scale the feat table is far smaller
+    # than the corpus and spills to the object store rather than
+    # recomputing.
+    feats = shingle_features(ds, text_col, id_col, shingle_k).materialize()
     if num_ids is None:
-        num_ids = int(ds.max(id_col)) + 1
-    sigs = ds.map_batches(
-        MinHashSigs,
-        fn_constructor_kwargs={
-            "num_perms": num_perms,
-            "bands": bands,
-            "shingle_k": shingle_k,
-            "seed": seed,
-            "text_col": text_col,
-            "id_col": id_col,
-        },
+        num_ids = int(feats.max("id")) + 1
+    # a prebuilt INSTANCE makes this a task-pool stage: the state is two
+    # 64-element uint64 arrays (cheap to ship per task), while a callable
+    # CLASS would spin an actor pool per execution (~1-2 s fixed cost
+    # that the numpy signature kernel never repays)
+    sigs = feats.map_batches(
+        MinHashSigs(
+            num_perms=num_perms, bands=bands, seed=seed, id_col=id_col
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     cand = fast_distinct(
@@ -644,7 +758,8 @@ def minhash_lsh_dedup(
         ["src", "dst"],
     )
     verified = _verify_jaccard(
-        cand, ds, threshold, shingle_k, text_col, id_col, num_ids, verify
+        cand, ds, threshold, shingle_k, text_col, id_col, num_ids, verify,
+        feats=feats,
     )
     return resolve_dup_clusters(verified, num_ids)
 

@@ -603,3 +603,29 @@ def test_mersenne_token_hash_matches_sql_power_table():
             f"[i + 12 - least(length('{w}'), 12)])) % {M})::BIGINT"
         ).fetchone()[0]
         assert got == mersenne_token_hash(w), w
+
+
+def test_shingle_hash_scalar_equals_batch():
+    """The scalar _shingle_hash_array twin must produce exactly the batch
+    path's values for every doc shape (empty, sub-window, long, dups)."""
+    from citationgraphs_ray.stages.dedup import (
+        _shingle_hash_array,
+        _shingle_hashes_flat,
+    )
+
+    texts = [
+        "", "one", "one two", "one two three",
+        "a b c d e f g", "a a a a a", "x y z x y z x y z",
+    ]
+    flat, offs = _shingle_hashes_flat(texts, 3)
+    for d, t in enumerate(texts):
+        got = flat[offs[d]:offs[d + 1]]
+        exp = _shingle_hash_array(t, 3)
+        assert np.array_equal(got, exp), t
+    # jaccard-preserving: identical docs -> identical sets, disjoint-vocab
+    # docs -> disjoint sets
+    a = _shingle_hash_array("w1 w2 w3 w4 w5", 3)
+    b = _shingle_hash_array("w1 w2 w3 w4 w5", 3)
+    c = _shingle_hash_array("q1 q2 q3 q4 q5", 3)
+    assert np.array_equal(a, b)
+    assert not set(a) & set(c)
