@@ -22,8 +22,10 @@ column never reaches a shuffle (SURVEY.md §7.4).
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import threading
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -37,6 +39,18 @@ from ..utils import collect_table, fast_distinct, fast_grouped_agg
 # ``import m<k>`` lines and cross-repo ``from org<A>/repo<B>.m<k> import``
 # lines. Real-world extractors plug in here (user-extension hook, SURVEY.md
 # §2.11): any callable str -> list[(dst_repo_or_None, dst_module)].
+_TRACE = bool(os.environ.get("GRAFT_TRACE"))
+_TRACE_T0 = 0.0
+
+
+def _tr(msg: str) -> None:
+    """Driver-side phase tracing for the distributed extraction path
+    (GRAFT_TRACE=1) — wall-clock since extract_edge_table entry. Debug
+    instrumentation only; never on in benches or tests."""
+    if _TRACE:
+        print(f"[trace +{time.time() - _TRACE_T0:7.2f}s] {msg}", flush=True)
+
+
 _SAME_REPO = re.compile(r"^import m(\d+)\s*$", re.MULTILINE)
 _CROSS_REPO = re.compile(r"^from ([\w./-]+/[\w.-]+)\.m(\d+) import", re.MULTILINE)
 
@@ -110,9 +124,9 @@ def _hash_edge_cols(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "s1": pa.array(s1.view(np.int64)),
-            "s2": pa.array(s2.view(np.int64)),
+            "s2": pa.array(s2.view(np.int32)),
             "d1": pa.array(d1.view(np.int64)),
-            "d2": pa.array(d2.view(np.int64)),
+            "d2": pa.array(d2.view(np.int32)),
         }
     )
 
@@ -219,14 +233,14 @@ _VIDS_SCHEMA = pa.schema(
 )
 _VERT_SCHEMA = pa.schema([("repo", pa.string()), ("path", pa.string())])
 _VH_SCHEMA = pa.schema(
-    [("h1", pa.int64()), ("h2", pa.int64()), ("id", pa.int64())]
+    [("h1", pa.int64()), ("h2", pa.int32()), ("id", pa.int64())]
 )
 _EH_SCHEMA = pa.schema(
     [
         ("s1", pa.int64()),
-        ("s2", pa.int64()),
+        ("s2", pa.int32()),
         ("d1", pa.int64()),
-        ("d2", pa.int64()),
+        ("d2", pa.int32()),
     ]
 )
 
@@ -292,7 +306,7 @@ def _attach_ids(t: pa.Table, offset: int) -> tuple[pa.Table, pa.Table]:
         vh = pa.table(
             {
                 "h1": pa.array(h1.view(np.int64)),
-                "h2": pa.array(h2.view(np.int64)),
+                "h2": pa.array(h2.view(np.int32)),
                 "id": ids,
             }
         )
@@ -333,6 +347,7 @@ def _ranked_ids_refs(
 
     src = rows.select_columns(["repo", "path"]).materialize()
     refs = _materialized_block_refs(src)
+    _tr(f"mint: src materialized ({len(refs)} blocks)")
     if not refs:
         return [], []
     # tiny per-block sample tasks (≤32 rows each) → driver splitters;
@@ -371,7 +386,9 @@ def _ranked_ids_refs(
         prep_fn=_vert_distinct,
     )
     outs, metas = _reduce_exchange([splits], P, _mint_rank_reduce)
+    _tr(f"mint: exchange launched ({len(splits)} splits, P={P})")
     sizes = np.asarray(ray.get(metas), dtype=np.int64)
+    _tr("mint: reduce metas collected")
     offsets = np.zeros(P, dtype=np.int64)
     offsets[1:] = np.cumsum(sizes)[:-1]
     vid_refs, vh_refs = [], []
@@ -404,7 +421,7 @@ def _hash_vertices(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "h1": pa.array(h1.view(np.int64)),
-            "h2": pa.array(h2.view(np.int64)),
+            "h2": pa.array(h2.view(np.int32)),
             "id": t["id"],
         }
     )
@@ -618,6 +635,8 @@ def _split_streaming(
     bucket_fn,
     P: int,
     schema: pa.Schema,
+    prep_fn=None,
+    rows_per_task: int | None = None,
 ) -> list:
     """Exchange map side OVERLAPPED with the producing stage: drive the
     (lazy) upstream dataset with ``iter_internal_ref_bundles`` and
@@ -628,7 +647,19 @@ def _split_streaming(
     dominant compute at low parallelism; riding it with the split wave
     removes a full store pass's worth of wall time from the critical
     path and releases extraction blocks as soon as their split task
-    finishes (nothing pins the whole hashed table anymore)."""
+    finishes (nothing pins the whole hashed table anymore).
+
+    ``prep_fn`` is forwarded to the split tasks (runs on the concatenated
+    input BEFORE bucketing) — the map-side fusion hook: passing the
+    extraction kernel here makes the corpus-projection blocks feed
+    extract+bucket in ONE task, so the intermediate hashed-edge table is
+    never written to (or re-read from) the object store.
+    ``rows_per_task`` overrides the flush threshold — fused-compute
+    callers size tasks by INPUT rows for parallel balance rather than by
+    exchange-output volume."""
+    flush_rows = (
+        rows_per_task if rows_per_task is not None else EXCHANGE_ROWS_PER_PARTITION
+    )
     splits: list = []
     pending: list = []
     rows = 0
@@ -636,22 +667,22 @@ def _split_streaming(
     # the flush threshold, else every unknown-count block accumulates into
     # ONE oversized split task (silent skew / memory blowup); assume a
     # full-sized block per unknown bundle as the conservative proxy
-    unknown_bundle_rows = max(1, EXCHANGE_ROWS_PER_PARTITION // 8)
+    unknown_bundle_rows = max(1, flush_rows // 8)
     for b in ds.iter_internal_ref_bundles():
         pending.extend(b.block_refs)
         n = b.num_rows()
         rows += n if n is not None else unknown_bundle_rows * len(b.block_refs)
-        if rows >= EXCHANGE_ROWS_PER_PARTITION:
+        if rows >= flush_rows:
             splits.append(
                 _split_blocks.options(num_returns=P).remote(
-                    bucket_fn, P, schema, None, *pending
+                    bucket_fn, P, schema, prep_fn, *pending
                 )
             )
             pending, rows = [], 0
     if pending:
         splits.append(
             _split_blocks.options(num_returns=P).remote(
-                bucket_fn, P, schema, None, *pending
+                bucket_fn, P, schema, prep_fn, *pending
             )
         )
     return splits
@@ -774,7 +805,7 @@ def _make_finish(dedup: bool):
 
 
 _STAGE1_SCHEMA = pa.schema(
-    [("d1", pa.int64()), ("d2", pa.int64()), ("src", pa.int64())]
+    [("d1", pa.int64()), ("d2", pa.int32()), ("src", pa.int64())]
 )
 
 
@@ -853,8 +884,13 @@ def _resolve_hashed(
         ]
         o, _ = _reduce_buckets.remote(reduce2, counts2, *pieces)
         out2.append(o)
+    _tr(f"exchange submitted (P={P}, l1={len(l1)}, r={len(r_splits)})")
     if sum(ray.get(metas1)):
         raise _VertexHashCollision
+    _tr("pass-1 metas collected (stage-1 probe done)")
+    if _TRACE:
+        ray.wait(out2, num_returns=len(out2), fetch_local=False)
+        _tr("pass-2 buckets done")
     return ray.data.from_arrow_refs(out2)
 
 
@@ -1047,13 +1083,21 @@ def _row_hashes(
     polars ``hash_rows`` (xxhash family) with fixed seeds — deterministic
     across processes for one polars build, which is all a single run needs
     (hashes never persist; vertex *ids* stay rank-minted and stable).
+
+    The second hash is TRUNCATED to uint32: the pair is a 96-bit key, so
+    every exchange/probe row sheds 4 B (the resolve exchange is
+    memory-bus-bound; 96.3M-edge bench: ~0.8 GB less traffic per pass).
+    Uniqueness over the vertex map is still GUARDED, not assumed — the
+    collision fallback (string join / exact hashtable) keeps resolution
+    exact at any hash width; P(any map collision) ≈ V²/2^97 (~5e-17 at
+    the 2.9M-vertex bench, ~6e-6 at 10^12 files).
     """
     import polars as pl
 
     df = pl.from_arrow(pa.table({"r": repo, "p": path}))
     return (
         df.hash_rows(seed=0).to_numpy().astype(np.uint64),
-        df.hash_rows(seed=1).to_numpy().astype(np.uint64),
+        df.hash_rows(seed=1).to_numpy().astype(np.uint64).astype(np.uint32),
     )
 
 
@@ -1183,11 +1227,14 @@ def extract_edge_table(
     All modes are equivalence-tested.
     """
     if mode == "distributed":
+        global _TRACE_T0
+        _TRACE_T0 = time.time()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
         # V ≈ corpus rows (one file per row; parquet-metadata-fast count),
         # E ≈ 10·V — decouples the partition pick from the mint chain so
         # the two subtrees below can run concurrently
-        P = _exchange_partitions(corpus.count() * 10)
+        n_files = corpus.count()
+        P = _exchange_partitions(n_files * 10)
 
         # The id mint and the hashed-edge extraction are INDEPENDENT
         # subtrees that only meet at the resolve exchange — run them
@@ -1207,20 +1254,29 @@ def extract_edge_table(
             out["vid_refs"], out["vh_refs"] = _ranked_ids_refs(
                 corpus.select_columns(["repo", "path"])
             )
+            _tr("mint chain done (vid/vh refs ready)")
 
         def _extract_chain() -> None:
-            # STREAMING handover to the exchange: split tasks launch as
-            # extraction blocks materialize (no .materialize() barrier
-            # between the dominant compute stage and the exchange's map
-            # side; blocks release as their split task completes).
+            # FUSED extract+split: corpus-projection blocks stream
+            # straight into split tasks whose prep_fn is the extraction
+            # kernel — extract, hash and bucket happen in ONE task, so
+            # the ~3.5 GB hashed-edge table (E rows × 32 B at bench
+            # scale) is never written to or re-read from the object
+            # store between extraction and the exchange (measured: the
+            # handover round-trip was ~2-3 s of pure memory-bus traffic
+            # per leg and scaled WORSE than the regex compute). Task
+            # granularity is sized by INPUT rows: ~2 tasks per exchange
+            # partition keeps every CPU fed at both scaling legs without
+            # P² object blowup.
             out["l1_splits"] = _split_streaming(
-                slim.map_batches(
-                    extract_hashed_edges_batch, batch_format="pyarrow"
-                ),
+                slim,
                 _bucket_on("s1"),
                 P,
                 _EH_SCHEMA,
+                prep_fn=extract_hashed_edges_batch,
+                rows_per_task=max(20_000, n_files // (2 * P)),
             )
+            _tr(f"extract chain done ({len(out['l1_splits'])} split tasks launched)")
 
         errs: list[BaseException] = []
 
