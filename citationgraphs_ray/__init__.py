@@ -27,4 +27,14 @@ package calls ``ray.init``/``ray.shutdown`` (sessions are owned by bench.py,
 CLIs and the test fixture).
 """
 
+import os as _os
+
+# Polars sizes its Rust thread pool to every visible core at first import.
+# Inside Ray worker processes (one task per CPU slot already) that means
+# 32 concurrent tasks × 32-thread pools — pure oversubscription and bus
+# contention on the hot extraction/hash kernels. One thread per task is
+# the correct sizing; the env var must be set before polars' first import,
+# and this package is imported in every worker before any stage runs.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

