@@ -261,7 +261,14 @@ def run_bench(num_cpus: int, sections: tuple[str, ...]) -> dict:
             workdir="/tmp/graft_bench/csr",
             tag=f"v{EDGE_V}e{EDGE_E}",
         )
-        eng.pagerank(tol=0.0, max_iters=1)  # warm-up (untimed)
+        # warm-up (untimed): a full SUPERSTEPS-length call, not 1 iter —
+        # the first multi-superstep call after actor spawn runs ~3.5×
+        # slower than steady state (lazy per-actor double buffers +
+        # first-touch page faults on the 400M-edge message arrays;
+        # measured 0.97 s/step first call vs 0.27-0.28 steady at 32
+        # cpus). The metric is steady-state superstep throughput — real
+        # runs are thousands of supersteps against one spawn.
+        eng.pagerank(tol=0.0, max_iters=SUPERSTEPS)
         t0 = time.time()
         eng.pagerank(tol=0.0, max_iters=SUPERSTEPS)
         csr_step = (time.time() - t0) / SUPERSTEPS
