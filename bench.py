@@ -279,6 +279,50 @@ def run_bench(num_cpus: int, sections: tuple[str, ...]) -> dict:
         ]
         log(f"[{num_cpus} cpus] CSR engine: {EDGE_E / csr_step:,.0f} edges/s/step")
 
+    if "csr_kernels" in sections:
+        # Per-superstep throughput of the OTHER CSR kernels (VERDICT r4
+        # #9): CC / LPA / BFS / k-core reuse PageRank's exchange, so
+        # this measures the same harness under each kernel's message
+        # shape. Optional section (GRAFT_BENCH_SECTIONS=csr_kernels);
+        # each kernel runs twice and times the second call (same
+        # steady-state convention as the PageRank legs). Frontier
+        # kernels converge on this dense random graph in a few
+        # supersteps; edges/sec/superstep is nominal E divided by mean
+        # superstep time, with the iteration count reported beside it.
+        edge_dir = ensure_bench_edges(EDGE_V, EDGE_E)
+        big = ray.data.read_parquet(edge_dir)
+        eng = CsrEngine(
+            big,
+            EDGE_V,
+            num_partitions=CSR_PARTITIONS,
+            workdir="/tmp/graft_bench/csr",
+            tag=f"v{EDGE_V}e{EDGE_E}",
+        )
+        eng.pagerank(tol=0.0, max_iters=SUPERSTEPS)  # warm spawn+buffers
+        kernels = {
+            "cc": lambda: eng.connected_components(assemble=False),
+            "lpa": lambda: eng.label_propagation(
+                max_rounds=SUPERSTEPS, assemble=False
+            ),
+            "bfs": lambda: eng.bfs_hops([0], assemble=False),
+            "kcore": lambda: eng.k_core(int(EDGE_E / EDGE_V * 1.02),
+                                        assemble=False),
+        }
+        for name, call in kernels.items():
+            call()  # warm (first call pays first-touch buffer costs)
+            t0 = time.time()
+            _, iters, _ = call()
+            dt = time.time() - t0
+            results[f"csr_{name}_edges_per_sec_per_superstep"] = round(
+                EDGE_E * iters / dt
+            )
+            results[f"csr_{name}_supersteps"] = iters
+            log(
+                f"[{num_cpus} cpus] CSR {name}: {iters} supersteps, "
+                f"{EDGE_E * iters / dt:,.0f} edges/s/step"
+            )
+        eng.shutdown()
+
     if "tri" in sections:
         # huge-E triangle datapoint (VERDICT r2 #1 done-criterion: the
         # "shuffle" strategy on >50M edges, where the broadcast edge-key
