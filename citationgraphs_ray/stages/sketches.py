@@ -36,6 +36,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -469,49 +470,43 @@ def heavy_hitters(
     # Candidate cut: the candidate set of a final MG compress is exactly
     # the global top-``capacity`` by summed weight (subtracting the
     # threshold changes weights, never set membership — and the weights
-    # are discarded; pass 2 recounts exactly). Each value appears once
-    # after the grouped agg, so a coarse-bucket per-bucket top-capacity
-    # followed by a driver merge of ≤ P·capacity rows IS the global cut
-    # — driver memory stays bounded no matter how many block summaries
-    # exist (worst case for a naive collect is capacity × num_blocks
-    # rows when blocks hold disjoint values).
-    from ..utils import _hash_partition_column
-
-    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
-
-    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns="__part").sort_values(
-            ["__hh_w", col], ascending=[False, True], kind="mergesort"
-        ).head(capacity)
+    # are discarded; pass 2 recounts exactly). fast_grouped_agg's output
+    # already has each value in exactly ONE block (driver-merge regime:
+    # one merged table; distributed regime: hash-partitioned merge
+    # buckets), so a per-BLOCK top-capacity IS a valid global cut —
+    # the driver collects ≤ num_blocks·capacity rows with no extra
+    # shuffle (the previous form re-bucketed through a Ray Data
+    # groupby().map_groups, a full sort-shuffle of fixed ~1 s cost for
+    # a candidate table that is already value-unique).
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= capacity:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("__hh_w", "descending"), (col, "ascending")],
+        )
+        return t.take(idx.slice(0, capacity))
 
     summary = collect_table(
-        summary_ds.map_batches(
-            lambda t: _hash_partition_column(t, [col], P),
-            batch_format="pyarrow",
-        )
-        .groupby("__part")
-        .map_groups(bucket_top, batch_format="pandas")
+        summary_ds.map_batches(block_top, batch_format="pyarrow")
     )
     sdf = summary.to_pandas().sort_values(
         ["__hh_w", col], ascending=[False, True], kind="mergesort"
     ).head(capacity)
     cvals = sdf[col].to_numpy()
-    cand_ref = ray.put(pa.array(cvals, summary[col].type))
+    cands = pa.array(cvals, summary[col].type)
 
-    class Recount:
-        """Arrow C++ is_in membership against the broadcast candidate
-        array — loaded once per actor, zero Python row iteration."""
-
-        def __init__(self) -> None:
-            self.cands = ray.get(cand_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pa.compute.is_in(t[col], value_set=self.cands))
+    def recount(t: pa.Table) -> pa.Table:
+        # Arrow C++ is_in membership against the (tiny, ≤ capacity)
+        # candidate array — shipped in the task closure, zero Python
+        # row iteration; a task pool avoids the actor ramp that was
+        # ~1 s of this query's fixed cost.
+        return t.filter(pa.compute.is_in(t[col], value_set=cands))
 
     exact = collect_table(
         fast_grouped_agg(
             ds.select_columns([col]).map_batches(
-                Recount, batch_format="pyarrow", concurrency=(1, 8)
+                recount, batch_format="pyarrow"
             ),
             [col],
             {},
