@@ -596,6 +596,16 @@ def scaling_mode() -> None:
                 f"{res['extract_dist_sec']}s (cpu canary "
                 f"{canaries[n][-1]}, stream {scanaries[n][-1]} GB/s)"
             )
+    # On a fresh host the corpus is generated inside round 0's first
+    # subprocess, so the 8-proc workload canary can have fewer samples
+    # than the 32-proc one (or none at rounds=1). Top up to symmetric
+    # counts now that the corpus certainly exists — the ratio must
+    # compare equal-sized best-of samples.
+    if os.path.exists(os.path.join(dist_corpus_dir, "_SUCCESS")):
+        while len(wcanaries[8]) < len(wcanaries[32]):
+            wcanaries[8].append(workload_canary(8, dist_corpus_dir))
+        while len(wcanaries[32]) < len(wcanaries[8]):
+            wcanaries[32].append(workload_canary(32, dist_corpus_dir))
     best_p8, best_p32 = min(pipe[8]), min(pipe[32])
     best_e8, best_e32 = min(extract[8]), min(extract[32])
     best_k8, best_k32 = max(kernel[8]), max(kernel[32])

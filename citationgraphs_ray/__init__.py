@@ -35,6 +35,21 @@ import os as _os
 # contention on the hot extraction/hash kernels. One thread per task is
 # the correct sizing; the env var must be set before polars' first import,
 # and this package is imported in every worker before any stage runs.
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# Scoped to WORKER processes only — clamping the driver (and any user
+# process that merely imports this package) would be an unwanted global
+# side effect on their own polars usage.
+
+
+def _in_ray_worker_process() -> bool:
+    try:
+        import ray._private.worker as _rw
+
+        return _rw.global_worker.mode == _rw.WORKER_MODE
+    except Exception:
+        return False
+
+
+if _in_ray_worker_process():
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 __version__ = "0.1.0"

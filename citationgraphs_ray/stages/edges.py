@@ -344,6 +344,36 @@ def _vert_distinct(t: pa.Table) -> pa.Table:
     return t.group_by(["repo", "path"]).aggregate([])
 
 
+def _splitters_from_samples(samp: pa.Table, P: int) -> np.ndarray:
+    """Evenly-spaced quantile splitters (P-1 boundaries) over the
+    NUL-joined sort keys of a (repo, path) sample table — shared by the
+    generic mint and the direct-read regime so both stay consistent with
+    ``_mint_rank_reduce``'s range-disjointness assumption."""
+    keys_sorted = np.sort(
+        _exact_keys(samp["repo"], samp["path"]).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    q = np.linspace(0, len(keys_sorted) - 1, P + 1).astype(np.int64)
+    return keys_sorted[q[1:-1]]
+
+
+def _range_bucketer(splitters: np.ndarray):
+    """Range bucket function over (repo, path) rows for the splitters
+    produced by ``_splitters_from_samples`` (searchsorted side='right'
+    — the ONE bucketing the mint reduce's rank math depends on)."""
+
+    def f(t: pa.Table, nparts: int) -> np.ndarray:
+        keys = _exact_keys(t["repo"], t["path"]).to_numpy(
+            zero_copy_only=False
+        )
+        return np.searchsorted(splitters, keys, side="right").astype(
+            np.int64
+        )
+
+    return f
+
+
 def _mint_rank_reduce(t: pa.Table | None) -> tuple[pa.Table, int]:
     """Per-bucket mint reduce: C++ sort by the NUL-joined key,
     adjacent-unique dedup (buckets are key-range-disjoint, so per-bucket
@@ -445,19 +475,7 @@ def _ranked_ids_refs(
     )
     if samp.num_rows == 0:
         return [], []
-    keys_sorted = np.sort(
-        _exact_keys(samp["repo"], samp["path"]).to_numpy(
-            zero_copy_only=False
-        )
-    )
-    q = np.linspace(0, len(keys_sorted) - 1, P + 1).astype(np.int64)
-    splitters = keys_sorted[q[1:-1]]  # P - 1 boundaries
-
-    def bucket_fn(t: pa.Table, nparts: int) -> np.ndarray:
-        keys = _exact_keys(t["repo"], t["path"]).to_numpy(
-            zero_copy_only=False
-        )
-        return np.searchsorted(splitters, keys, side="right").astype(np.int64)
+    bucket_fn = _range_bucketer(_splitters_from_samples(samp, P))
 
     # the per-group distinct COMBINER is fused into the split tasks
     # (prep_fn) — same duplicate-volume protection as the old dedicated
@@ -1189,7 +1207,14 @@ def _row_hashes(
     """
     import polars as pl
 
-    df = pl.from_arrow(pa.table({"r": repo, "p": path}))
+    return _pl_row_hashes(pl.from_arrow(pa.table({"r": repo, "p": path})))
+
+
+def _pl_row_hashes(df) -> tuple[np.ndarray, np.ndarray]:
+    """THE one definition of the endpoint hash pipeline over a 2-column
+    polars frame — every producer (``_hash_edge_cols``, ``_attach_ids``
+    via ``_row_hashes``, the direct-read ``_fused_read_kernel``) must go
+    through here or the exchanges stop matching."""
     return (
         df.hash_rows(seed=0).to_numpy().astype(np.uint64),
         df.hash_rows(seed=1).to_numpy().astype(np.uint64).astype(np.uint32),
@@ -1309,26 +1334,27 @@ _CORPUS_COLUMNS = ["repo", "path", "lang", "content"]
 # ~5M tasks — fine, they launch in waves bounded by cluster slots.
 _DIRECT_TASK_ROWS = 200_000
 
+# Max parquet fragments sampled for mint splitters in the direct-read
+# regime (evenly spaced; ≤32 rows each). Splitter quality only affects
+# bucket balance, never correctness.
+_SPLITTER_SAMPLE_FILES = 512
+
 
 def _corpus_parquet_paths(ds: ray.data.Dataset):
     """Return ``(paths, filesystem)`` iff ``ds`` is a bare
-    ``read_parquet`` (column projections absorbed — the direct read
-    re-prunes to ``_CORPUS_COLUMNS``); else ``(None, None)``.
+    ``read_parquet``; else ``(None, None)``.
 
-    The direct-read regime bails out on anything that would change row
-    semantics under an independent re-read: row filters, block UDFs,
-    hive partition columns, or any transform other than a projection.
-    Introspection failures (Ray internals moved) degrade to the generic
-    streaming-handover path, never to an error."""
+    The direct-read regime bails out on ANY transform — including
+    projections (on Ray 2.49 ``input_files()`` is empty after a Project
+    anyway, and absorbing one blindly would be unsafe: Project carries
+    renames and expressions whose silent loss under an independent
+    re-read means wrong rows) — plus row filters, block UDFs, and hive
+    partition columns. Introspection failures (Ray internals moved)
+    degrade to the generic streaming-handover path, never to an error."""
     try:
-        from ray.data._internal.logical.operators.map_operator import (
-            Project,
-        )
         from ray.data._internal.logical.operators.read_operator import Read
 
         node = ds._plan._logical_plan.dag
-        while isinstance(node, Project):
-            node = node.input_dependencies[0]
         if not isinstance(node, Read) or node.name != "ReadParquet":
             return None, None
         src = getattr(node, "_datasource", None)
@@ -1383,30 +1409,18 @@ def _fused_read_kernel(paths: list, fs) -> tuple[pa.Table, pa.Table]:
         )
         v = df.select("repo", "path").unique().to_arrow().cast(_VERT_SCHEMA)
         e = _extract_edges_pl(df)
-        s = e.select(pl.col("src_repo").alias("r"), pl.col("src_path").alias("p"))
-        d = e.select(pl.col("dst_repo").alias("r"), pl.col("dst_path").alias("p"))
+        s1, s2 = _pl_row_hashes(
+            e.select(pl.col("src_repo").alias("r"), pl.col("src_path").alias("p"))
+        )
+        d1, d2 = _pl_row_hashes(
+            e.select(pl.col("dst_repo").alias("r"), pl.col("dst_path").alias("p"))
+        )
         eh = pa.table(
             {
-                "s1": pa.array(
-                    s.hash_rows(seed=0).to_numpy().astype(np.uint64).view(np.int64)
-                ),
-                "s2": pa.array(
-                    s.hash_rows(seed=1)
-                    .to_numpy()
-                    .astype(np.uint64)
-                    .astype(np.uint32)
-                    .view(np.int32)
-                ),
-                "d1": pa.array(
-                    d.hash_rows(seed=0).to_numpy().astype(np.uint64).view(np.int64)
-                ),
-                "d2": pa.array(
-                    d.hash_rows(seed=1)
-                    .to_numpy()
-                    .astype(np.uint64)
-                    .astype(np.uint32)
-                    .view(np.int32)
-                ),
+                "s1": pa.array(s1.view(np.int64)),
+                "s2": pa.array(s2.view(np.int32)),
+                "d1": pa.array(d1.view(np.int64)),
+                "d2": pa.array(d2.view(np.int32)),
             }
         )
         return v, eh
@@ -1440,16 +1454,7 @@ def _read_vert_edge_split(
     round-trips ~decompressed-corpus-size through plasma twice; at the
     96M-edge bench that was the single largest non-compute bus cost)."""
     v, e = _fused_read_kernel(paths, fs)
-
-    def vert_bucket(tbl: pa.Table, n: int) -> np.ndarray:
-        keys = _exact_keys(tbl["repo"], tbl["path"]).to_numpy(
-            zero_copy_only=False
-        )
-        return np.searchsorted(splitters, keys, side="right").astype(
-            np.int64
-        )
-
-    vs = _bucket_slices(v, vert_bucket, Pm, _VERT_SCHEMA)
+    vs = _bucket_slices(v, _range_bucketer(splitters), Pm, _VERT_SCHEMA)
     es = _bucket_slices(e, _bucket_on("s1"), P, _EH_SCHEMA)
     return vs + es
 
@@ -1464,8 +1469,21 @@ def _extract_distributed_direct(
     stage and the split tasks)."""
     P = _exchange_partitions(n_files * 10)
     Pm = min(128, max(2, 2 * int(ray.cluster_resources().get("CPU", 8))))
+    # Splitter sampling is BOUNDED: quality only affects bucket balance
+    # (correctness needs only range-disjoint buckets — see
+    # _ranked_ids_refs), so ≤512 evenly-spaced files × ≤32 rows each is
+    # plenty at any corpus size; sampling every file would launch one
+    # task per fragment (~5M at the 10^12-file design point) and concat
+    # an unbounded driver table.
+    if len(paths) > _SPLITTER_SAMPLE_FILES:
+        idx = np.linspace(
+            0, len(paths) - 1, _SPLITTER_SAMPLE_FILES
+        ).astype(np.int64)
+        sample_paths = [paths[i] for i in np.unique(idx)]
+    else:
+        sample_paths = paths
     samp = pa.concat_tables(
-        ray.get([_sample_parquet_keys.remote(p, fs) for p in paths])
+        ray.get([_sample_parquet_keys.remote(p, fs) for p in sample_paths])
     )
     _tr(f"direct: splitter samples read ({samp.num_rows} keys)")
     if samp.num_rows == 0:
@@ -1477,13 +1495,7 @@ def _extract_distributed_direct(
             ),
             ray.data.from_arrow(_VIDS_SCHEMA.empty_table()),
         )
-    keys_sorted = np.sort(
-        _exact_keys(samp["repo"], samp["path"]).to_numpy(
-            zero_copy_only=False
-        )
-    )
-    q = np.linspace(0, len(keys_sorted) - 1, Pm + 1).astype(np.int64)
-    splitters = keys_sorted[q[1:-1]]
+    splitters = _splitters_from_samples(samp, Pm)
 
     rows_per_file = max(1, n_files // max(1, len(paths)))
     files_per_task = max(1, _DIRECT_TASK_ROWS // rows_per_file)

@@ -368,3 +368,31 @@ def test_extract_distributed_direct_read_equals_fused(small_corpus, tmp_path):
     # transforms beyond projection must NOT take the direct path
     p2, _ = _corpus_parquet_paths(ds.filter(lambda r: True))
     assert p2 is None
+
+
+def test_extract_distributed_direct_collision_fallback(
+    small_corpus, tmp_path, monkeypatch
+):
+    """The direct-read regime's _VertexHashCollision handler (fresh
+    distributed mint + exact string join) must produce the correct edge
+    table — forced by making the hashed resolve always collide."""
+    from citationgraphs_ray.corpus import write_corpus_parquet
+    from citationgraphs_ray.stages import edges as edges_mod
+
+    def always_collide(*a, **k):
+        raise edges_mod._VertexHashCollision
+
+    monkeypatch.setattr(edges_mod, "_resolve_hashed", always_collide)
+    ds = ray.data.read_parquet(
+        write_corpus_parquet(small_corpus, str(tmp_path / "pq"))
+    )
+    paths, _ = edges_mod._corpus_parquet_paths(ds)
+    assert paths, "must exercise the DIRECT path's fallback branch"
+    ed, vd = edges_mod.extract_edge_table(ds, mode="distributed")
+    vt = vd.to_pandas()
+    id2key = {r.id: (r.repo, r.path) for r in vt.itertuples()}
+    got = {
+        (*id2key[s], *id2key[d])
+        for s, d in zip(*ed.to_pandas()[["src", "dst"]].T.values)
+    }
+    assert got == small_corpus.expected_edges
