@@ -112,6 +112,16 @@ def _extract_edges_pl(df) -> "object":
     return pl.concat([same, cross])
 
 
+_RAW_EDGE_SCHEMA = pa.schema(
+    [
+        ("src_repo", pa.string()),
+        ("src_path", pa.string()),
+        ("dst_repo", pa.string()),
+        ("dst_path", pa.string()),
+    ]
+)
+
+
 def _extract_edges_vectorized(batch: pa.Table) -> pa.Table:
     """Arrow adapter over ``_extract_edges_pl``."""
     import polars as pl
@@ -120,16 +130,7 @@ def _extract_edges_vectorized(batch: pa.Table) -> pa.Table:
         pl.from_arrow(batch.select(["repo", "path", "lang", "content"]))
     ).to_arrow()
     # polars emits large_string; downstream exchange schemas are string
-    return out.cast(
-        pa.schema(
-            [
-                ("src_repo", pa.string()),
-                ("src_path", pa.string()),
-                ("dst_repo", pa.string()),
-                ("dst_path", pa.string()),
-            ]
-        )
-    )
+    return out.cast(_RAW_EDGE_SCHEMA)
 
 
 class ExtractImportEdges:
@@ -1292,6 +1293,22 @@ def _vertex_lookup(vertex_ids: ray.data.Dataset) -> VertexProbe:
     return VertexProbe.build(collect_table(vertex_ids))
 
 
+def _probe_resolve_dedup(raw: pa.Table, lookup: "VertexProbe") -> pa.Table:
+    """Broadcast-probe resolve + per-block dedup of raw string edges —
+    THE one definition shared by the fused actor stage and the fused
+    direct-read tasks. Drops unresolved endpoints and self-loops; per-
+    block distinct via a composite int64 key (ids < M in the broadcast
+    regime this path is gated to)."""
+    s = lookup.probe(raw["src_repo"], raw["src_path"])
+    d = lookup.probe(raw["dst_repo"], raw["dst_path"])
+    keep = (s >= 0) & (d >= 0) & (s != d)
+    M = len(lookup) + 1
+    uniq = np.unique(s[keep] * M + d[keep])
+    return pa.table(
+        {"src": pa.array(uniq // M), "dst": pa.array(uniq % M)}
+    )
+
+
 class ExtractResolveEdges(ExtractImportEdges):
     """Fused extract → resolve → per-block dedup in ONE actor stage.
 
@@ -1306,21 +1323,9 @@ class ExtractResolveEdges(ExtractImportEdges):
     def __init__(self, lookup_ref) -> None:
         super().__init__()
         self.lookup: VertexProbe = ray.get(lookup_ref)
-        self.M = len(self.lookup) + 1  # composite-key modulus for dedup
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = super().__call__(batch)
-        s = self.lookup.probe(raw["src_repo"], raw["src_path"])
-        d = self.lookup.probe(raw["dst_repo"], raw["dst_path"])
-        keep = (s >= 0) & (d >= 0) & (s != d)
-        src = s[keep]
-        dst = d[keep]
-        # per-block partial dedup (ids < M, so the composite fits int64 in
-        # the broadcast regime this fused path is gated to)
-        uniq = np.unique(src * self.M + dst)
-        return pa.table(
-            {"src": pa.array(uniq // self.M), "dst": pa.array(uniq % self.M)}
-        )
+        return _probe_resolve_dedup(super().__call__(batch), self.lookup)
 
 
 # Columns the distributed extraction actually consumes; the direct-read
@@ -1437,6 +1442,51 @@ def _fused_read_kernel(paths: list, fs) -> tuple[pa.Table, pa.Table]:
     )
 
 
+def _read_raw_edges(paths: list, fs) -> pa.Table:
+    """Read fragments column-pruned and return the RAW string edge table
+    (polars native read + extraction on local filesystems, pyarrow
+    otherwise) — the fused broadcast regime's direct-read input."""
+    import polars as pl
+    import pyarrow.fs as pafs
+
+    if fs is None or isinstance(fs, pafs.LocalFileSystem):
+        df = pl.read_parquet(
+            paths if len(paths) > 1 else paths[0], columns=_CORPUS_COLUMNS
+        )
+        return _extract_edges_pl(df).to_arrow().cast(_RAW_EDGE_SCHEMA)
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables(
+        [
+            pq.read_table(p, columns=_CORPUS_COLUMNS, filesystem=fs)
+            for p in paths
+        ]
+    )
+    return _extract_edges_vectorized(t)
+
+
+@ray.remote
+def _read_extract_resolve(paths: list, fs, lookup: "VertexProbe") -> pa.Table:
+    """Fused-regime direct-read task: read → extract → broadcast-probe
+    resolve → per-task dedup. Content lives only in this task's heap
+    (the map_batches form round-trips every content block through the
+    object store between the read stage and the extract actors). The
+    broadcast vertex map arrives as an ObjectRef argument — Ray resolves
+    it zero-copy from plasma per task."""
+    return _probe_resolve_dedup(_read_raw_edges(paths, fs), lookup)
+
+
+def _path_groups(paths: list, n_files: int) -> list[list]:
+    """Group fragment paths so each direct-read task sees
+    ~``_DIRECT_TASK_ROWS`` input rows."""
+    rows_per_file = max(1, n_files // max(1, len(paths)))
+    files_per_task = max(1, _DIRECT_TASK_ROWS // rows_per_file)
+    return [
+        paths[i : i + files_per_task]
+        for i in range(0, len(paths), files_per_task)
+    ]
+
+
 @ray.remote
 def _read_vert_edge_split(
     paths: list, fs, splitters: np.ndarray, Pm: int, P: int
@@ -1496,13 +1546,7 @@ def _extract_distributed_direct(
             ray.data.from_arrow(_VIDS_SCHEMA.empty_table()),
         )
     splitters = _splitters_from_samples(samp, Pm)
-
-    rows_per_file = max(1, n_files // max(1, len(paths)))
-    files_per_task = max(1, _DIRECT_TASK_ROWS // rows_per_file)
-    groups = [
-        paths[i : i + files_per_task]
-        for i in range(0, len(paths), files_per_task)
-    ]
+    groups = _path_groups(paths, n_files)
     outs = [
         _read_vert_edge_split.options(num_returns=Pm + P).remote(
             g, fs, splitters, Pm, P
@@ -1678,16 +1722,28 @@ def extract_edge_table(
     slim = corpus.select_columns(["repo", "path", "lang", "content"])
     if mode == "fused":
         keys_ref = ray.put(_vertex_lookup(vids))
-        partial = slim.map_batches(
-            ExtractResolveEdges,
-            fn_constructor_kwargs={"lookup_ref": keys_ref},
-            batch_format="pyarrow",
-            concurrency=(1, 32),
-        )
-        # The per-block np.unique in ExtractResolveEdges is globally
+        paths, fs = _corpus_parquet_paths(corpus)
+        if paths is not None:
+            # direct-read regime: read + extract + probe + per-task dedup
+            # in one raw task per fragment group — content never enters
+            # the object store, and there is no actor-pool ramp
+            partial = ray.data.from_arrow_refs(
+                [
+                    _read_extract_resolve.remote(g, fs, keys_ref)
+                    for g in _path_groups(paths, corpus.count())
+                ]
+            )
+        else:
+            partial = slim.map_batches(
+                ExtractResolveEdges,
+                fn_constructor_kwargs={"lookup_ref": keys_ref},
+                batch_format="pyarrow",
+                concurrency=(1, 32),
+            )
+        # The per-block np.unique in the probe+dedup kernel is globally
         # complete whenever corpus rows are unique on (repo, path): every
         # (src, dst) is born from exactly one corpus row (src = the
-        # emitting file) and each row lives in exactly one block, so
+        # emitting file) and each row lives in exactly one block/task, so
         # cross-block duplicates cannot exist. Gate on corpus.count() == V
         # (parquet-metadata-fast); duplicated inputs keep the full global
         # dedup shuffle.

@@ -359,6 +359,14 @@ def test_extract_distributed_direct_read_equals_fused(small_corpus, tmp_path):
     assert paths, "bare read_parquet must be detected as direct-readable"
     ef, vf = extract_edge_table(ds, mode="fused")
     ed, vd = extract_edge_table(ds, mode="distributed")
+    # the parquet-backed fused path (direct-read tasks) must also equal
+    # the in-memory fused path (map_batches actor stage)
+    em, _ = extract_edge_table(
+        ray.data.from_arrow(small_corpus.table), mode="fused"
+    )
+    a0 = ef.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b0 = em.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a0.equals(b0)
     a = ef.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     b = ed.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert a.equals(b)
