@@ -1077,3 +1077,139 @@ def sssp(
             converged = True
             break
     return KernelResult(dist, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs / authorities)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HitsResult:
+    hub: np.ndarray
+    auth: np.ndarray
+    iterations: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    num_vertices: int,
+    max_iters: int = 20,
+    tol: float = 0.0,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    reduce: str = "auto",
+    checkpoint_keep_last: int | None = None,
+) -> HitsResult:
+    """HITS (Kleinberg hubs/authorities) as two message-reduce half-steps
+    per superstep over the static directed edge table, each L2-normalized:
+
+        auth_raw[d] = Σ_{(s,d)∈E} hub[s]    (reduce keyed by dst)
+        hub_raw[s]  = Σ_{(s,d)∈E} auth[d]   (reduce keyed by src)
+
+    Same broadcast-engine regimes as :func:`pagerank` — ``reduce="auto"``
+    resolves to "local" (driver bincount, tiny graphs) below
+    LOCAL_KERNEL_MAX_EDGES, else "driver" (per-batch np.unique partials
+    streamed to a dense vector; no shuffle); "groupby" is the canonical
+    all-to-all audit mode. With ``tol=0`` runs exactly ``max_iters``
+    rounds (the oracle-parity convention); with ``tol>0`` stops early
+    when both vectors' L-inf change < tol. Matches
+    graph/oracle.py:hits_oracle to allclose(1e-9) per the equivalence
+    tests. Checkpoints hold both vectors, so a resume continues
+    mid-power-iteration bitwise-identically."""
+    eds = _prepare_edges(edges)
+    num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
+
+    def _reduce_along(vec: np.ndarray, key: str, other: str) -> np.ndarray:
+        """Σ vec[other-endpoint] grouped by key-endpoint, dense over V."""
+        if reduce == "local":
+            k = src_a if key == "src" else dst_a
+            o = dst_a if key == "src" else src_a
+            return np.bincount(k, weights=vec[o], minlength=num_vertices)
+        vec_ref = ray.put(vec)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = ray.get(vec_ref)
+            k = batch[key].to_numpy(zero_copy_only=False)
+            o = batch[other].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(k, return_inverse=True)
+            return pa.table(
+                {
+                    "k": pa.array(u),
+                    "s": pa.array(np.bincount(inv, weights=v[o])),
+                }
+            )
+
+        msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "groupby":
+            agg = msgs.groupby("k").aggregate(Sum("s", alias_name="s"))
+            return dataset_to_dense_array(agg, "k", "s", num_vertices)
+        out = np.zeros(num_vertices)
+        for b in msgs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(
+                out,
+                b["k"].to_numpy(zero_copy_only=False),
+                b["s"].to_numpy(zero_copy_only=False),
+            )
+        return out
+
+    def _l2(v: np.ndarray) -> np.ndarray:
+        n = float(np.sqrt(np.sum(v * v)))
+        return v / n if n > 0 else v
+
+    hub = np.ones(num_vertices, dtype=np.float64)
+    auth = np.zeros(num_vertices, dtype=np.float64)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="hits",
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"hits|{edge_checksum(eds)}"
+            ),
+            params={"max_iters": max_iters, "tol": tol},
+            keep_last=checkpoint_keep_last,
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                hub = ck.state["hub"]
+                auth = ck.state["auth"]
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("converged"):
+                    return HitsResult(hub, auth, ck.iteration + 1, True, [])
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        new_auth = _l2(_reduce_along(hub, "dst", "src"))
+        new_hub = _l2(_reduce_along(new_auth, "src", "dst"))
+        resid = max(
+            float(np.max(np.abs(new_auth - auth))),
+            float(np.max(np.abs(new_hub - hub))),
+        )
+        auth, hub = new_auth, new_hub
+        converged = tol > 0 and resid < tol
+        history.append({"iteration": it, "linf_residual": resid})
+        if mgr:
+            mgr.save(
+                it,
+                {
+                    "id": np.arange(num_vertices, dtype=np.int64),
+                    "hub": hub,
+                    "auth": auth,
+                },
+                {"linf_residual": resid, "converged": converged},
+                parent=it - 1 if it > start_iter or start_iter > 0 else None,
+            )
+        if converged:
+            break
+    return HitsResult(hub, auth, it + 1, converged, history)

@@ -196,3 +196,37 @@ def sssp_oracle(
         if np.array_equal(new, dist):
             return dist
         dist = new
+
+
+def hits_oracle(
+    edges: np.ndarray,
+    num_vertices: int,
+    max_iters: int = 20,
+    tol: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """HITS (Kleinberg hubs/authorities), L2-normalized each half-step.
+
+    Semantics pinned for the distributed kernel: init hub = 1 (all
+    vertices); per iteration auth_raw[d] = Σ hub[s] over directed edges
+    then auth = auth_raw / ||auth_raw||₂, hub_raw[s] = Σ auth[d] then
+    hub = hub_raw / ||hub_raw||₂; run ``max_iters`` rounds or stop when
+    the L-inf change of both vectors < ``tol``. Returns (hub, auth)."""
+    edges = _clean_edges(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = edges[:, 0], edges[:, 1]
+    hub = np.ones(num_vertices, dtype=np.float64)
+    auth = np.zeros(num_vertices, dtype=np.float64)
+    for _ in range(max_iters):
+        auth_raw = np.bincount(dst, weights=hub[src], minlength=num_vertices)
+        n = np.sqrt(np.sum(auth_raw * auth_raw))
+        new_auth = auth_raw / n if n > 0 else auth_raw
+        hub_raw = np.bincount(src, weights=new_auth[dst], minlength=num_vertices)
+        n = np.sqrt(np.sum(hub_raw * hub_raw))
+        new_hub = hub_raw / n if n > 0 else hub_raw
+        done = tol > 0 and (
+            np.max(np.abs(new_auth - auth)) < tol
+            and np.max(np.abs(new_hub - hub)) < tol
+        )
+        auth, hub = new_auth, new_hub
+        if done:
+            break
+    return hub, auth

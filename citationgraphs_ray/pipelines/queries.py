@@ -3050,3 +3050,74 @@ SELECT n.i AS id, d.dist[n.i + 1] AS dist
 FROM (SELECT dist FROM ss ORDER BY it DESC LIMIT 1) d,
      range({GRAPH_MOD}) AS n(i)
 WHERE d.dist[n.i + 1] < {SSSP_BIG}"""
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities — 20 fixed power-iteration rounds, each
+    half-step L2-normalized (graph/engine.py:hits; numpy spec
+    graph/oracle.py:hits_oracle). Fixed rounds on both sides so the
+    recursive-CTE twin is value-hash comparable after round6."""
+    from ..graph.engine import hits as hits_kernel
+
+    edges = derive_edges(sf_dir).materialize()
+    res = hits_kernel(edges, GRAPH_MOD, max_iters=20)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "hub": pa.array(_round6(res.hub)),
+            "auth": pa.array(_round6(res.auth)),
+        }
+    )
+
+
+QUERIES["hits"] = q_hits
+
+ORACLE_SQL["hits"] = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+st(it, hub, auth) AS (
+  SELECT 0,
+    (SELECT list(1.0::DOUBLE) FROM range({GRAPH_MOD})),
+    (SELECT list(0.0::DOUBLE) FROM range({GRAPH_MOD}))
+  UNION ALL
+  SELECT it + 1,
+    list_transform(hub_raw,
+      x -> CASE WHEN hub_norm > 0 THEN x / hub_norm ELSE x END),
+    auth_n
+  FROM (
+    SELECT it, auth_n, hub_raw,
+      sqrt(list_sum(list_transform(hub_raw, x -> x * x))) AS hub_norm
+    FROM (
+      SELECT it, auth_n,
+        (SELECT list(
+            COALESCE((SELECT SUM(auth_n[e.dst + 1]) FROM edges e
+                      WHERE e.src = n.i), 0.0::DOUBLE) ORDER BY n.i)
+         FROM range({GRAPH_MOD}) AS n(i)) AS hub_raw
+      FROM (
+        SELECT it, hub,
+          list_transform(auth_raw,
+            x -> CASE WHEN auth_norm > 0 THEN x / auth_norm ELSE x END)
+            AS auth_n
+        FROM (
+          SELECT it, hub, auth_raw,
+            sqrt(list_sum(list_transform(auth_raw, x -> x * x))) AS auth_norm
+          FROM (
+            SELECT it, hub,
+              (SELECT list(
+                  COALESCE((SELECT SUM(hub[e.src + 1]) FROM edges e
+                            WHERE e.dst = n.i), 0.0::DOUBLE) ORDER BY n.i)
+               FROM range({GRAPH_MOD}) AS n(i)) AS auth_raw
+            FROM st WHERE it < 20
+          )
+        )
+      )
+    )
+  )
+)
+SELECT n.i AS id,
+  FLOOR(f.hub[n.i + 1] * 1e6 + 0.5) / 1e6 AS hub,
+  FLOOR(f.auth[n.i + 1] * 1e6 + 0.5) / 1e6 AS auth
+FROM (SELECT hub, auth FROM st ORDER BY it DESC LIMIT 1) f,
+     range({GRAPH_MOD}) AS n(i)
+ORDER BY id"""

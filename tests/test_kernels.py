@@ -587,3 +587,62 @@ def test_broadcast_merge_raises_on_oversized_right_side(monkeypatch):
     monkeypatch.setattr(U, "BROADCAST_MERGE_MAX_BYTES", 1)
     with pytest.raises(ValueError, match="MiB"):
         U.broadcast_merge(left, right, "k", "k")
+
+
+# ---- HITS ------------------------------------------------------------------
+
+
+def _import_hits():
+    from citationgraphs_ray.graph.engine import hits
+    from citationgraphs_ray.graph.oracle import hits_oracle
+
+    return hits, hits_oracle
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_hits_tiny(name):
+    hits, hits_oracle = _import_hits()
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    res = hits(_edge_ds(edges), V, max_iters=15)
+    oh, oa = hits_oracle(edges, V, max_iters=15)
+    assert np.allclose(res.hub, oh, atol=1e-12)
+    assert np.allclose(res.auth, oa, atol=1e-12)
+    assert res.iterations == 15
+
+
+def test_hits_reduce_strategies_agree(small_graph):
+    hits, hits_oracle = _import_hits()
+    edges, _, earr, V = small_graph
+    a = hits(edges, V, max_iters=10, reduce="driver")
+    l = hits(edges, V, max_iters=10, reduce="local")
+    g = hits(edges, V, max_iters=10, reduce="groupby")
+    oh, oa = hits_oracle(earr, V, max_iters=10)
+    for r in (a, l, g):
+        assert np.allclose(r.hub, oh, atol=1e-9)
+        assert np.allclose(r.auth, oa, atol=1e-9)
+
+
+def test_hits_tol_early_stop():
+    hits, _ = _import_hits()
+    raw, V = TINY["two_islands"]
+    edges = _clean_directed(raw)
+    res = hits(_edge_ds(edges), V, max_iters=500, tol=1e-12)
+    assert res.converged
+    assert res.iterations < 500
+    # converged point is a fixed point of one more round
+    more = hits(_edge_ds(edges), V, max_iters=res.iterations + 5, tol=0.0)
+    assert np.allclose(res.hub, more.hub, atol=1e-9)
+    assert np.allclose(res.auth, more.auth, atol=1e-9)
+
+
+def test_hits_resume_equals_uninterrupted(small_graph, tmp_path):
+    hits, _ = _import_hits()
+    edges, _, _, V = small_graph
+    ck = str(tmp_path / "hits_ck")
+    full = hits(edges, V, max_iters=12)
+    hits(edges, V, max_iters=5, checkpoint_dir=ck)
+    resumed = hits(edges, V, max_iters=12, checkpoint_dir=ck, resume=True)
+    assert resumed.iterations == 12
+    assert np.array_equal(resumed.hub, full.hub)  # bitwise: same op order
+    assert np.array_equal(resumed.auth, full.auth)
