@@ -3121,3 +3121,37 @@ SELECT n.i AS id,
 FROM (SELECT hub, auth FROM st ORDER BY it DESC LIMIT 1) f,
      range({GRAPH_MOD}) AS n(i)
 ORDER BY id"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Top-100 NON-adjacent pairs by Adamic-Adar score over the
+    symmetrized graph (graph/linkpred.py:adamic_adar_topk): bucketed
+    self-join on the common neighbor + broadcast 1/ln(deg) weights +
+    reduce-side anti-join vs the adjacency + partial top-k merge.
+    Rounded score ranks on both sides so float summation order can't
+    flip the k boundary."""
+    from ..graph.linkpred import adamic_adar_topk
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    return adamic_adar_topk(sym, GRAPH_MOD, k=100)
+
+
+QUERIES["adamic_adar"] = q_adamic_adar
+
+ORACLE_SQL["adamic_adar"] = _with_graph_ctes(
+    """SELECT u, v, n_common, score FROM (
+         SELECT p.u, p.v, p.n_common,
+                FLOOR(p.s * 1e6 + 0.5) / 1e6 AS score
+         FROM (
+           SELECT e1.dst AS u, e2.dst AS v,
+                  SUM(1.0 / ln(dg.d)) AS s, COUNT(*)::BIGINT AS n_common
+           FROM edges_sym e1
+           JOIN edges_sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           JOIN (SELECT src AS id, COUNT(*)::DOUBLE AS d
+                 FROM edges_sym GROUP BY 1) dg ON dg.id = e1.src
+           GROUP BY 1, 2
+         ) p
+         ANTI JOIN edges_sym es ON es.src = p.u AND es.dst = p.v
+       )
+       ORDER BY score DESC, u, v LIMIT 100"""
+)

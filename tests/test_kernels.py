@@ -646,3 +646,68 @@ def test_hits_resume_equals_uninterrupted(small_graph, tmp_path):
     assert resumed.iterations == 12
     assert np.array_equal(resumed.hub, full.hub)  # bitwise: same op order
     assert np.array_equal(resumed.auth, full.auth)
+
+
+# ---- Adamic-Adar link prediction --------------------------------------------
+
+
+def _import_aa():
+    from citationgraphs_ray.graph.linkpred import (
+        adamic_adar_oracle,
+        adamic_adar_topk,
+    )
+
+    return adamic_adar_topk, adamic_adar_oracle
+
+
+def _aa_rows(tbl):
+    return list(
+        zip(
+            tbl["u"].to_pylist(),
+            tbl["v"].to_pylist(),
+            tbl["n_common"].to_pylist(),
+            tbl["score"].to_pylist(),
+        )
+    )
+
+
+def test_adamic_adar_line_graph():
+    """0-1-2-3-4: each (i, i+2) pair shares one mid; scores by mid degree."""
+    adamic_adar_topk, adamic_adar_oracle = _import_aa()
+    raw, V = TINY["line5"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw))).materialize()
+    earr = und.to_pandas()[["src", "dst"]].to_numpy()
+    got = _aa_rows(adamic_adar_topk(und, V, k=10))
+    assert got == adamic_adar_oracle(earr, V, k=10)
+    # (0,2) via mid 1, (1,3) via mid 2, (2,4) via mid 3 — nothing else
+    assert {(u, v) for u, v, *_ in got} == {(0, 2), (1, 3), (2, 4)}
+
+
+def test_adamic_adar_random_matches_oracle(small_graph):
+    adamic_adar_topk, adamic_adar_oracle = _import_aa()
+    _, und, _, V = small_graph
+    earr = und.to_pandas()[["src", "dst"]].to_numpy()
+    got = _aa_rows(adamic_adar_topk(und, V, k=60))
+    assert got == adamic_adar_oracle(earr, V, k=60)
+
+
+def test_adamic_adar_complete_graph_empty():
+    adamic_adar_topk, _ = _import_aa()
+    V = 6
+    raw = np.array([[a, b] for a in range(V) for b in range(V) if a != b])
+    und = symmetrize_edges(_edge_ds(raw)).materialize()
+    res = adamic_adar_topk(und, V, k=10)
+    assert res.num_rows == 0
+
+
+def test_adamic_adar_hub_cap_drops_hub_mids():
+    """max_mid_degree excludes hub MIDS from scoring — equal to the exact
+    oracle run on the same graph with hub-mid contributions removed."""
+    adamic_adar_topk, adamic_adar_oracle = _import_aa()
+    raw, V = TINY["star_hub"]  # vertex 0 has degree 40, leaves degree 1
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw))).materialize()
+    capped = adamic_adar_topk(und, V, k=10, max_mid_degree=10)
+    # every candidate pair goes through the hub → capping kills them all
+    assert capped.num_rows == 0
+    exact = adamic_adar_topk(und, V, k=10)
+    assert exact.num_rows == 10  # leaf pairs via the hub exist uncapped
