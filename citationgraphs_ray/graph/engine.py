@@ -168,8 +168,17 @@ def pagerank(
     checkpoint_keep_last: int | None = None,
     salt_degree_threshold: int = 1 << 20,
     num_salts: int = 8,
+    reset_ids: "np.ndarray | list[int] | None" = None,
 ) -> KernelResult:
     """Power-iteration PageRank with uniform dangling-mass redistribution.
+
+    ``reset_ids`` switches to PERSONALIZED PageRank: the teleport vector
+    r0 is uniform over the seed set (0 elsewhere), ranks init at r0, and
+    both the (1-d) restart and the dangling mass land on the seeds —
+    new_rank = (1-d)·r0 + d·(sums + dangling_mass·r0). Same reduce
+    regimes; the seed set is mixed into the checkpoint fingerprint so a
+    resume can't silently load another personalization's ranks. Matches
+    graph/oracle.py:pagerank_oracle(reset_ids=...) allclose(1e-12).
 
     Per superstep: contribs = rank/out_deg shipped along out-edges →
     message reduce → new_rank = (1-d)/V + d·(sum + dangling/V).
@@ -242,7 +251,21 @@ def pagerank(
     dangling = out_deg == 0.0
     safe_deg = np.where(dangling, 1.0, out_deg)
 
-    ranks = np.full(num_vertices, 1.0 / num_vertices)
+    r0 = None
+    seed_tag = ""
+    if reset_ids is not None:
+        seeds = np.unique(np.asarray(reset_ids, dtype=np.int64))
+        if seeds.size == 0:
+            raise ValueError("personalized pagerank needs ≥1 seed vertex")
+        if np.any((seeds < 0) | (seeds >= num_vertices)):
+            raise ValueError("seed id outside [0, num_vertices)")
+        r0 = np.zeros(num_vertices)
+        r0[seeds] = 1.0 / len(seeds)
+        seed_tag = "|" + hashlib.sha1(seeds.tobytes()).hexdigest()[:8]
+
+    ranks = r0.copy() if r0 is not None else np.full(
+        num_vertices, 1.0 / num_vertices
+    )
     start_iter = 0
     mgr = None
     if checkpoint_dir:
@@ -250,7 +273,7 @@ def pagerank(
             checkpoint_dir,
             kernel="pagerank",
             fingerprint=edge_fingerprint(
-                num_vertices, num_edges, f"pr|{edge_checksum(eds)}"
+                num_vertices, num_edges, f"pr|{edge_checksum(eds)}{seed_tag}"
             ),
             params={"damping": damping, "tol": tol},
             keep_last=checkpoint_keep_last,
@@ -350,9 +373,14 @@ def pagerank(
                     b["contrib"].to_numpy(zero_copy_only=False),
                 )
         dangling_mass = ranks[dangling].sum()
-        new_ranks = (1.0 - damping) / num_vertices + damping * (
-            sums + dangling_mass / num_vertices
-        )
+        if r0 is None:
+            new_ranks = (1.0 - damping) / num_vertices + damping * (
+                sums + dangling_mass / num_vertices
+            )
+        else:
+            new_ranks = (1.0 - damping) * r0 + damping * (
+                sums + dangling_mass * r0
+            )
         resid = float(np.max(np.abs(new_ranks - ranks)))
         ranks = new_ranks
         converged = resid < tol

@@ -39,20 +39,37 @@ def pagerank_oracle(
     damping: float = 0.85,
     tol: float = 1e-9,
     max_iters: int = 200,
+    reset_ids: np.ndarray | None = None,
 ) -> np.ndarray:
+    """Uniform PageRank, or — with ``reset_ids`` — personalized PageRank:
+    the teleport vector r0 is uniform over the seed set (0 elsewhere),
+    init = r0, and dangling mass also restarts at the seeds."""
     edges = _clean_edges(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
     src, dst = edges[:, 0], edges[:, 1]
     out_deg = np.bincount(src, minlength=num_vertices).astype(np.float64)
-    ranks = np.full(num_vertices, 1.0 / num_vertices)
+    if reset_ids is None:
+        r0 = np.full(num_vertices, 1.0 / num_vertices)
+    else:
+        seeds = np.unique(np.asarray(reset_ids, dtype=np.int64))
+        r0 = np.zeros(num_vertices)
+        r0[seeds] = 1.0 / len(seeds)
+    ranks = r0.copy()
     dangling = out_deg == 0
     safe_deg = np.where(dangling, 1.0, out_deg)
     for _ in range(max_iters):
         contrib = ranks / safe_deg
         sums = np.bincount(dst, weights=contrib[src], minlength=num_vertices)
         dangling_mass = ranks[dangling].sum()
-        new_ranks = (1.0 - damping) / num_vertices + damping * (
-            sums + dangling_mass / num_vertices
-        )
+        if reset_ids is None:
+            # keep the uniform path's float op order bit-identical to the
+            # engine (round6 oracle hashing sits at the ulp boundary)
+            new_ranks = (1.0 - damping) / num_vertices + damping * (
+                sums + dangling_mass / num_vertices
+            )
+        else:
+            new_ranks = (1.0 - damping) * r0 + damping * (
+                sums + dangling_mass * r0
+            )
         if np.max(np.abs(new_ranks - ranks)) < tol:
             ranks = new_ranks
             break

@@ -3155,3 +3155,61 @@ ORACLE_SQL["adamic_adar"] = _with_graph_ctes(
        )
        ORDER BY score DESC, u, v LIMIT 100"""
 )
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank restarting at seeds {0, 17, 42} — teleport
+    AND dangling mass land on the seed set (graph/engine.py:pagerank
+    reset_ids; numpy spec graph/oracle.py:pagerank_oracle)."""
+    edges = derive_edges(sf_dir).materialize()
+    res = pagerank(
+        edges, GRAPH_MOD, tol=1e-10, reset_ids=np.array([0, 17, 42])
+    )
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "rank": pa.array(_round6(res.state))}
+    )
+
+
+QUERIES["personalized_pagerank"] = q_personalized_pagerank
+
+_PPR_SEEDS = "(0, 17, 42)"
+_PPR_NS = 3
+ORACLE_SQL["personalized_pagerank"] = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS outd FROM edges GROUP BY src),
+pr(it, ranks, resid) AS (
+  SELECT 0,
+    (SELECT list(CASE WHEN t.i IN {_PPR_SEEDS} THEN (1.0/{_PPR_NS})::DOUBLE
+                 ELSE 0.0::DOUBLE END ORDER BY t.i)
+     FROM range({GRAPH_MOD}) t(i)),
+    1.0::DOUBLE
+  UNION ALL
+  SELECT it + 1, new_ranks,
+    list_max(list_transform(list_zip(new_ranks, ranks),
+                            p -> abs(p[1] - p[2])))
+  FROM (
+    SELECT it, ranks,
+      (SELECT list(
+          (1.0 - 0.85) * (CASE WHEN n.i IN {_PPR_SEEDS}
+                          THEN (1.0/{_PPR_NS})::DOUBLE ELSE 0.0::DOUBLE END)
+          + 0.85::DOUBLE * (
+            COALESCE((SELECT SUM(ranks[e.src + 1] / d.outd)
+                      FROM edges e JOIN deg d ON e.src = d.src
+                      WHERE e.dst = n.i), 0.0::DOUBLE)
+            + (SELECT COALESCE(SUM(ranks[m.i + 1]), 0.0::DOUBLE)
+               FROM range({GRAPH_MOD}) AS m(i)
+               LEFT JOIN deg dd ON m.i = dd.src
+               WHERE dd.src IS NULL)
+              * (CASE WHEN n.i IN {_PPR_SEEDS}
+                 THEN (1.0/{_PPR_NS})::DOUBLE ELSE 0.0::DOUBLE END)
+          ) ORDER BY n.i)
+       FROM range({GRAPH_MOD}) AS n(i)) AS new_ranks
+    FROM pr WHERE it < 200 AND resid > 1e-10
+  )
+)
+SELECT n.i AS id, FLOOR(r.ranks[n.i + 1] * 1e6 + 0.5) / 1e6 AS rank
+FROM (SELECT ranks FROM pr ORDER BY it DESC LIMIT 1) r,
+     range({GRAPH_MOD}) AS n(i)
+ORDER BY id"""

@@ -711,3 +711,64 @@ def test_adamic_adar_hub_cap_drops_hub_mids():
     assert capped.num_rows == 0
     exact = adamic_adar_topk(und, V, k=10)
     assert exact.num_rows == 10  # leaf pairs via the hub exist uncapped
+
+
+# ---- Personalized PageRank ---------------------------------------------------
+
+
+def test_personalized_pagerank_matches_oracle(small_graph):
+    edges, _, earr, V = small_graph
+    seeds = np.array([0, 3, 7])
+    res = pagerank(edges, V, tol=1e-12, reset_ids=seeds)
+    exp = pagerank_oracle(earr, V, tol=1e-12, reset_ids=seeds)
+    assert np.allclose(res.state, exp, atol=1e-12)
+    # mass concentrates near seeds; total mass conserved at 1
+    assert abs(res.state.sum() - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_single_seed_line():
+    """On the directed line 0→1→2→3→4 with seed 0, rank decays downstream
+    and vertices upstream of the seed get 0 in-flow beyond teleport."""
+    raw, V = TINY["line5"]
+    res = pagerank(_edge_ds(_clean_directed(raw)), V, tol=1e-14,
+                   reset_ids=[0])
+    assert res.state[0] > res.state[1] > res.state[2] > res.state[3]
+    exp = pagerank_oracle(_clean_directed(raw), V, tol=1e-14,
+                          reset_ids=np.array([0]))
+    assert np.allclose(res.state, exp, atol=1e-12)
+
+
+def test_personalized_pagerank_uniform_path_unchanged(small_graph):
+    """reset_ids=None must stay bit-identical to the pre-change kernel
+    (same float op order) — the uniform oracle hash depends on it."""
+    edges, _, earr, V = small_graph
+    a = pagerank(edges, V, tol=1e-10)
+    o = pagerank_oracle(earr, V, tol=1e-10)
+    assert np.allclose(a.state, o, atol=1e-12)
+
+
+def test_personalized_pagerank_resume_distinct_seeds(small_graph, tmp_path):
+    """Checkpoints of different personalizations must not cross-load:
+    the seed set is in the fingerprint, so reusing the dir with other
+    seeds is rejected outright (same edges, same params otherwise)."""
+    edges, _, _, V = small_graph
+    ck = str(tmp_path / "ppr")
+    pagerank(edges, V, tol=1e-10, reset_ids=[0], checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="different run"):
+        pagerank(
+            edges, V, tol=1e-10, reset_ids=[1],
+            checkpoint_dir=ck, resume=True,
+        )
+    # same seeds → resumes cleanly (returns the converged state)
+    again = pagerank(
+        edges, V, tol=1e-10, reset_ids=[0], checkpoint_dir=ck, resume=True
+    )
+    assert again.converged
+
+
+def test_personalized_pagerank_rejects_bad_seeds(small_graph):
+    edges, _, _, V = small_graph
+    with pytest.raises(ValueError):
+        pagerank(edges, V, reset_ids=[])
+    with pytest.raises(ValueError):
+        pagerank(edges, V, reset_ids=[V + 5])
