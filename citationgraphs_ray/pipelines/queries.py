@@ -3213,3 +3213,26 @@ SELECT n.i AS id, FLOOR(r.ranks[n.i + 1] * 1e6 + 0.5) / 1e6 AS rank
 FROM (SELECT ranks FROM pr ORDER BY it DESC LIMIT 1) r,
      range({GRAPH_MOD}) AS n(i)
 ORDER BY id"""
+
+
+def q_grouped_quantiles_price(sf_dir: str):
+    """Per-returnflag EXACT quantiles of l_extendedprice — the grouped
+    multi-pass histogram refinement (stages/sketches.py:
+    grouped_exact_quantiles): one stream per round for ALL groups,
+    per-(group-interval) count vectors the only exchange."""
+    from ..stages.sketches import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_exact_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+QUERIES["grouped_quantiles_price"] = q_grouped_quantiles_price
+
+ORACLE_SQL["grouped_quantiles_price"] = " UNION ALL ".join(
+    f"SELECT l_returnflag AS grp, {q}::DOUBLE AS q, "
+    f"quantile_disc(l_extendedprice, {q})::DOUBLE AS value "
+    "FROM lineitem GROUP BY 1"
+    for q in (0.25, 0.5, 0.75, 0.95)
+)

@@ -729,3 +729,257 @@ def approx_distinct_by(
         .groupby("__part")
         .map_groups(estimate_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles (per-group multi-pass histogram refinement)
+# ---------------------------------------------------------------------------
+
+
+def grouped_exact_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    bins: int = QUANTILE_BINS,
+    cutoff: int = QUANTILE_COLLECT_CUTOFF,
+) -> pa.Table:
+    """Per-group EXACT discrete quantiles (same ``quantile_disc``
+    semantics, NaN-excluded, as :func:`exact_quantiles`) in shared
+    streaming passes: every refinement round scans the two pruned
+    columns ONCE for all groups and exchanges only per-(group-interval)
+    ``bins``-sized count vectors through ``fast_grouped_agg``'s C++
+    combiner. Driver state is G·len(qs) interval records — designed for
+    LOW-cardinality group columns (the result itself is G×Q rows; a
+    billion-group quantile wants the co-partitioned per-group sort, not
+    this). Returns an Arrow table (grp, q, value) sorted by (grp, q).
+    """
+    if not qs:
+        return pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+
+    # pass 0: per-group count / min / max (one tiny row per group per block)
+    def stats(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if np.isinf(v).any():
+            raise ValueError(
+                f"grouped_exact_quantiles: non-finite values in {col!r} — "
+                "filter ±inf upstream (NaNs are excluded automatically)"
+            )
+        keep = ~np.isnan(v)
+        sub = pa.table({"g": t[group_col].filter(pa.array(keep)), "v": pa.array(v[keep])})
+        out = sub.group_by(["g"]).aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")]
+        )
+        return out.rename_columns(["g", "n", "lo", "hi"])
+
+    merged = collect_table(
+        fast_grouped_agg(
+            ds.map_batches(stats, batch_format="pyarrow"),
+            ["g"],
+            {"n": ("n", "sum"), "lo": ("lo", "min"), "hi": ("hi", "max")},
+        )
+    )
+    if merged.num_rows == 0:
+        raise ValueError(
+            f"grouped_exact_quantiles: no non-null values in {col!r}"
+        )
+    merged = merged.sort_by("g")
+    gvals = merged["g"].to_pylist()
+    gtype = merged["g"].type
+    gn = merged["n"].to_numpy(zero_copy_only=False)
+    glos = merged["lo"].to_numpy(zero_copy_only=False)
+    ghis = merged["hi"].to_numpy(zero_copy_only=False)
+
+    # state per (group index, quantile index), same invariant as the
+    # global function: below == #values < lo, target in [lo, hi]
+    state: dict[tuple[int, int], list] = {}
+    results: dict[tuple[int, int], float] = {}
+    for gi in range(len(gvals)):
+        for qi, q in enumerate(qs):
+            state[(gi, qi)] = [
+                float(glos[gi]),
+                float(ghis[gi]),
+                0,
+                _rank_for(q, int(gn[gi])),
+            ]
+
+    def _group_masks(t: pa.Table, gis: list[int]) -> dict[int, np.ndarray]:
+        masks = {}
+        for gi in gis:
+            masks[gi] = pc.equal(
+                t[group_col], pa.scalar(gvals[gi], type=gtype)
+            ).to_numpy(zero_copy_only=False)
+        return masks
+
+    def interval_count_pass(triples: list[tuple[int, float, float]]):
+        edges = [np.linspace(lo, hi, bins + 1) for _, lo, hi in triples]
+        gis_needed = sorted({gi for gi, _, _ in triples})
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            nn = ~np.isnan(v)
+            masks = _group_masks(t, gis_needed)
+            iv, bn, ct = [], [], []
+            for i, (gi, lo, hi) in enumerate(triples):
+                gv = v[masks[gi] & nn]
+                cnt, _ = np.histogram(gv, bins=edges[i])
+                nz = np.nonzero(cnt)[0]
+                iv.extend([i] * (len(nz) + 1))
+                bn.extend(nz.tolist())
+                ct.extend(cnt[nz].tolist())
+                bn.append(-1)  # sentinel: below-lo count
+                ct.append(int((gv < lo).sum()))
+            return pa.table(
+                {
+                    "iv": pa.array(iv, pa.int64()),
+                    "bin": pa.array(bn, pa.int64()),
+                    "cnt": pa.array(ct, pa.int64()),
+                }
+            )
+
+        mt = collect_table(
+            fast_grouped_agg(
+                ds.map_batches(hist, batch_format="pyarrow"),
+                ["iv", "bin"],
+                {"n": ("cnt", "sum")},
+            )
+        )
+        out = []
+        miv = mt["iv"].to_numpy(zero_copy_only=False)
+        mbin = mt["bin"].to_numpy(zero_copy_only=False)
+        mn = mt["n"].to_numpy(zero_copy_only=False)
+        for i in range(len(triples)):
+            sel = miv == i
+            counts = np.zeros(bins, dtype=np.int64)
+            b, c = mbin[sel], mn[sel]
+            below = int(c[b == -1].sum())
+            inb = b >= 0
+            counts[b[inb]] = c[inb]
+            out.append((counts, below, edges[i]))
+        return out
+
+    max_rounds = 6
+    for _ in range(max_rounds):
+        active = {k: s for k, s in state.items() if k not in results}
+        for k, (lo, hi, below, rank) in list(active.items()):
+            if lo == hi:
+                results[k] = lo
+                del active[k]
+        if not active:
+            break
+        triples = sorted({(k[0], s[0], s[1]) for k, s in active.items()})
+        tmap = {tr: j for j, tr in enumerate(triples)}
+        passed = interval_count_pass(triples)
+        done_enough = True
+        for k, (lo, hi, below, rank) in active.items():
+            counts, pass_below, edges = passed[tmap[(k[0], lo, hi)]]
+            below = pass_below
+            need = rank - below
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, need))
+            new_lo = float(edges[b])
+            new_hi = float(edges[b + 1]) if b + 1 < len(edges) else hi
+            in_bin = int(counts[b])
+            below += int(cum[b - 1]) if b > 0 else 0
+            if b == bins - 1:
+                new_hi = hi  # last np.histogram bin is right-closed
+            state[k] = [new_lo, new_hi, below, rank]
+            if in_bin > cutoff and np.nextafter(new_lo, new_hi) < new_hi:
+                done_enough = False
+        if done_enough:
+            break
+
+    pending = [k for k in state if k not in results]
+    if pending:
+        finals = sorted({(k[0], state[k][0], state[k][1]) for k in pending})
+        fmap = {tr: j for j, tr in enumerate(finals)}
+        degenerate = [np.nextafter(lo, hi) >= hi for _, lo, hi in finals]
+        gis_needed = sorted({gi for gi, _, _ in finals})
+
+        def final_pass(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            nn = ~np.isnan(v)
+            masks = _group_masks(t, gis_needed)
+            rows_iv, rows_kind, rows_val = [], [], []
+            for j, (gi, lo, hi) in enumerate(finals):
+                gv = v[masks[gi] & nn]
+                below = int((gv < lo).sum())
+                rows_iv.append(j)
+                rows_kind.append(-1)
+                rows_val.append(float(below))
+                if degenerate[j]:
+                    rows_iv.extend([j, j])
+                    rows_kind.extend([-2, -3])
+                    rows_val.extend(
+                        [float((gv == lo).sum()), float((gv == hi).sum())]
+                    )
+                    continue
+                sel = gv[(gv >= lo) & (gv <= hi)]
+                if len(sel) > QUANTILE_MAX_COLLECT:
+                    raise ValueError(
+                        "grouped_exact_quantiles: interval holds "
+                        f"{len(sel)} values in one block; raise bins/cutoff"
+                    )
+                rows_iv.extend([j] * len(sel))
+                rows_kind.extend([0] * len(sel))
+                rows_val.extend(sel.tolist())
+            return pa.table(
+                {
+                    "iv": pa.array(rows_iv, pa.int64()),
+                    "kind": pa.array(rows_kind, pa.int64()),
+                    "val": pa.array(rows_val, pa.float64()),
+                }
+            )
+
+        ft = collect_table(ds.map_batches(final_pass, batch_format="pyarrow"))
+        fiv = ft["iv"].to_numpy(zero_copy_only=False)
+        fkind = ft["kind"].to_numpy(zero_copy_only=False)
+        fval = ft["val"].to_numpy(zero_copy_only=False)
+        for k in pending:
+            gi = k[0]
+            lo, hi = state[k][0], state[k][1]
+            j = fmap[(gi, lo, hi)]
+            sel = fiv == j
+            below = int(fval[sel & (fkind == -1)].sum())
+            r = state[k][3] - below
+            if degenerate[j]:
+                n_lo = int(fval[sel & (fkind == -2)].sum())
+                n_hi = int(fval[sel & (fkind == -3)].sum())
+                if not (1 <= r <= n_lo + n_hi):
+                    raise AssertionError(
+                        f"grouped_exact_quantiles rank bookkeeping: r={r} "
+                        f"of {n_lo}+{n_hi}"
+                    )
+                results[k] = lo if r <= n_lo else hi
+                continue
+            vals = np.sort(fval[sel & (fkind == 0)])
+            if not (1 <= r <= len(vals)):
+                raise AssertionError(
+                    f"grouped_exact_quantiles rank bookkeeping: r={r} of "
+                    f"{len(vals)}"
+                )
+            results[k] = float(vals[r - 1])
+
+    out_g, out_q, out_v = [], [], []
+    for gi in range(len(gvals)):
+        for qi, q in enumerate(qs):
+            out_g.append(gvals[gi])
+            out_q.append(float(q))
+            out_v.append(results[(gi, qi)])
+    return pa.table(
+        {
+            "grp": pa.array(out_g, type=gtype),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -409,3 +409,62 @@ def test_approx_distinct_by_group_keys_beyond_2_53_with_nulls():
         for k, v in zip(got["g"].to_pylist(), got["approx_distinct"].to_pylist())
     }
     assert by == {big: 2, big + 1: 1, "<null>": 1}
+
+
+def test_grouped_exact_quantiles_matches_per_group_numpy():
+    from citationgraphs_ray.stages.sketches import grouped_exact_quantiles
+
+    rng = np.random.default_rng(11)
+    gs = rng.choice(["a", "b", "c"], size=30_000)
+    vals = np.where(
+        gs == "a",
+        rng.lognormal(3, 2, 30_000),
+        np.where(gs == "b", rng.normal(-50, 4, 30_000), rng.uniform(0, 1, 30_000)),
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"g": gs, "x": vals})).repartition(7)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = grouped_exact_quantiles(ds, "g", "x", qs, bins=64, cutoff=100)
+    rows = list(zip(got["grp"].to_pylist(), got["q"].to_pylist(), got["value"].to_pylist()))
+    assert len(rows) == 15
+    for g, q, v in rows:
+        assert v == _disc(vals[gs == g], q), (g, q)
+
+
+def test_grouped_exact_quantiles_nan_and_int_groups():
+    from citationgraphs_ray.stages.sketches import grouped_exact_quantiles
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 2, 2],
+            "x": [np.nan, 5.0, 1.0, 3.0, np.nan, 7.0, 2.0],
+        }
+    )
+    got = grouped_exact_quantiles(
+        ray.data.from_pandas(df), "g", "x", [0.0, 0.5, 1.0]
+    )
+    d = {
+        (g, q): v
+        for g, q, v in zip(
+            got["grp"].to_pylist(), got["q"].to_pylist(), got["value"].to_pylist()
+        )
+    }
+    assert got["grp"].type == pa.int64()
+    assert d[(1, 0.0)] == 1.0 and d[(1, 0.5)] == 1.0 and d[(1, 1.0)] == 5.0
+    assert d[(2, 0.5)] == 3.0 and d[(2, 1.0)] == 7.0
+
+
+def test_grouped_exact_quantiles_duplicate_heavy_group():
+    from citationgraphs_ray.stages.sketches import grouped_exact_quantiles
+
+    base = np.float64(1.25)
+    nxt = np.nextafter(base, 2.0)
+    vals = np.concatenate(
+        [np.full(40_000, base), np.full(15_000, nxt), np.linspace(10, 20, 500)]
+    )
+    gs = np.array(["hot"] * 55_000 + ["cold"] * 500)
+    ds = ray.data.from_pandas(pd.DataFrame({"g": gs, "x": vals})).repartition(5)
+    got = grouped_exact_quantiles(ds, "g", "x", [0.5, 0.8], bins=16, cutoff=10)
+    for g, q, v in zip(
+        got["grp"].to_pylist(), got["q"].to_pylist(), got["value"].to_pylist()
+    ):
+        assert v == _disc(vals[gs == g], q), (g, q)
