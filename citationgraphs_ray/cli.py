@@ -35,8 +35,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--kernel",
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "bfs", "kcore", "triangles", "edges"],
-        help="analysis to run over the extracted edge table",
+        choices=[
+            "pagerank",
+            "cc",
+            "lpa",
+            "bfs",
+            "kcore",
+            "triangles",
+            "edges",
+            "hits",
+            "ppr",
+        ],
+        help="analysis to run over the extracted edge table (hits/ppr run "
+        "on the broadcast engine regardless of --engine)",
     )
     p.add_argument(
         "--engine",
@@ -70,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--kcore-k", type=int, default=3, help="k for --kernel kcore"
+    )
+    p.add_argument(
+        "--seeds",
+        default="0",
+        help="comma-separated seed vertex ids for --kernel ppr",
     )
     p.add_argument("--tol", type=float, default=1e-9)
     p.add_argument("--max-iters", type=int, default=200)
@@ -116,10 +132,58 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"kernel": "edges", "rows": edges.count(), "V": V}))
         return 0
 
+    if args.kernel == "hits":
+        from .graph.engine import hits
+
+        res = hits(
+            edges,
+            V,
+            max_iters=args.max_iters,
+            tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        out = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(np.arange(V, dtype=np.int64)),
+                    "hub": pa.array(res.hub),
+                    "auth": pa.array(res.auth),
+                }
+            )
+        )
+        out.write_parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "kernel": "hits",
+                    "V": V,
+                    "iterations": res.iterations,
+                    "converged": bool(res.converged),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
     if args.kernel == "triangles":
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
+    elif args.kernel == "ppr":
+        seeds = [int(s) for s in args.seeds.split(",") if s.strip() != ""]
+        res = pagerank(
+            edges,
+            V,
+            damping=args.damping,
+            tol=args.tol,
+            max_iters=args.max_iters,
+            reset_ids=seeds,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        state, iters, converged = res.state, res.iterations, res.converged
+        col = "rank"
     elif args.engine == "csr" and (
         args.kernel in ("pagerank", "cc", "lpa", "bfs")
         or (args.kernel == "kcore" and args.output_mode == "table")

@@ -191,3 +191,40 @@ def test_cli_kcore_csr_shards_rejected(tmp_path, capsys):
     )
     assert rc == 2
     assert "ENCODED" in capsys.readouterr().err
+
+
+def test_cli_hits_and_ppr(tmp_path, capsys):
+    cdir = _corpus_dir(tmp_path)
+    out_h = str(tmp_path / "out_hits")
+    rc = main(
+        [
+            "--corpus", cdir,
+            "--output", out_h,
+            "--kernel", "hits",
+            "--max-iters", "10",
+            "--tol", "0",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["kernel"] == "hits" and info["iterations"] == 10
+    res = pq.read_table(out_h).to_pandas().sort_values("id")
+    assert set(res.columns) == {"id", "hub", "auth"}
+
+    out_p = str(tmp_path / "out_ppr")
+    rc = main(
+        [
+            "--corpus", cdir,
+            "--output", out_p,
+            "--kernel", "ppr",
+            "--seeds", "0,2",
+            "--tol", "1e-10",
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["converged"]
+    ranks = pq.read_table(out_p).to_pandas().sort_values("id")["rank"].to_numpy()
+    assert abs(ranks.sum() - 1.0) < 1e-9
+    # seed 0 holds restart mass
+    assert ranks[0] > np.median(ranks)
