@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "k_core",
     "sssp",
     "weighted_pagerank",
+    "personalized_pagerank",
+    "hits",
+    "adamic_adar",
+    "edge_jaccard",
     "two_hop_counts",
     "scrubbed_docs",
     "decontaminated_docs",
@@ -68,6 +72,7 @@ BENCH_QUERIES = [
     "asof_prior_purchase",
     "rolling_user_value",
     "quantiles_price",
+    "grouped_quantiles_price",
     "heavy_hitters_suppliers",
     "hash_sample_orders",
 ]

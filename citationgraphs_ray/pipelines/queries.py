@@ -3236,3 +3236,34 @@ ORACLE_SQL["grouped_quantiles_price"] = " UNION ALL ".join(
     "FROM lineitem GROUP BY 1"
     for q in (0.25, 0.5, 0.75, 0.95)
 )
+
+
+def q_edge_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard embeddedness per existing edge (u < v):
+    c / (deg(u)+deg(v)−c) over raw symmetrized neighbor sets; edges
+    with no shared neighbor omitted (graph/linkpred.py:edge_jaccard,
+    dense/join regimes equivalence-tested)."""
+    from ..graph.linkpred import edge_jaccard
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    return edge_jaccard(sym, GRAPH_MOD)
+
+
+QUERIES["edge_jaccard"] = q_edge_jaccard
+
+ORACLE_SQL["edge_jaccard"] = _with_graph_ctes(
+    """SELECT c.u, c.v, c.n_common,
+              FLOOR(c.n_common::DOUBLE / (du.d + dv.d - c.n_common)
+                    * 1e6 + 0.5) / 1e6 AS jaccard
+       FROM (
+         SELECT e1.dst AS u, e2.dst AS v, COUNT(*)::BIGINT AS n_common
+         FROM edges_sym e1
+         JOIN edges_sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         GROUP BY 1, 2
+       ) c
+       JOIN edges_sym es ON es.src = c.u AND es.dst = c.v
+       JOIN (SELECT src AS id, COUNT(*)::BIGINT AS d
+             FROM edges_sym GROUP BY 1) du ON du.id = c.u
+       JOIN (SELECT src AS id, COUNT(*)::BIGINT AS d
+             FROM edges_sym GROUP BY 1) dv ON dv.id = c.v"""
+)

@@ -772,3 +772,51 @@ def test_personalized_pagerank_rejects_bad_seeds(small_graph):
         pagerank(edges, V, reset_ids=[])
     with pytest.raises(ValueError):
         pagerank(edges, V, reset_ids=[V + 5])
+
+
+def test_adamic_adar_regimes_agree(small_graph):
+    from citationgraphs_ray.graph.linkpred import adamic_adar_topk
+
+    _, und, _, V = small_graph
+    d = adamic_adar_topk(und, V, k=80, mode="dense")
+    j = adamic_adar_topk(und, V, k=80, mode="join")
+    assert d.to_pydict() == j.to_pydict()
+    dc = adamic_adar_topk(und, V, k=40, mode="dense", max_mid_degree=15)
+    jc = adamic_adar_topk(und, V, k=40, mode="join", max_mid_degree=15)
+    assert dc.to_pydict() == jc.to_pydict()
+
+
+def test_edge_jaccard_regimes_and_values(small_graph):
+    from citationgraphs_ray.graph.linkpred import edge_jaccard
+
+    _, und, earr, V = small_graph
+    d = edge_jaccard(und, V, mode="dense").to_pandas()
+    j = edge_jaccard(und, V, mode="join").to_pandas()
+    key = ["u", "v"]
+    d = d.sort_values(key).reset_index(drop=True)
+    j = j.sort_values(key).reset_index(drop=True)
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(d, j[d.columns.tolist()])
+    # spot-check one row against the set definition
+    adj = {}
+    for s, t in earr:
+        adj.setdefault(int(s), set()).add(int(t))
+        adj.setdefault(int(t), set()).add(int(s))
+    row = d.iloc[0]
+    u, v = int(row.u), int(row.v)
+    c = len(adj[u] & adj[v])
+    expect = c / len(adj[u] | adj[v])
+    assert row.n_common == c
+    assert abs(row.jaccard - expect) < 1e-6
+
+
+def test_edge_jaccard_triangle_is_one_third():
+    from citationgraphs_ray.graph.linkpred import edge_jaccard
+
+    raw, V = TINY["tri3"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw))).materialize()
+    res = edge_jaccard(und, V).to_pandas().sort_values(["u", "v"])
+    # each edge of a triangle: N(u)={v,m}, N(v)={u,m} → c=1, union=3
+    assert len(res) == 3
+    assert (res.n_common == 1).all()
+    assert np.allclose(res.jaccard, 1 / 3, atol=1e-6)
