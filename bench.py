@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "hits",
     "adamic_adar",
     "edge_jaccard",
+    "mis",
     "two_hop_counts",
     "scrubbed_docs",
     "decontaminated_docs",

@@ -45,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
             "edges",
             "hits",
             "ppr",
+            "mis",
         ],
         help="analysis to run over the extracted edge table (hits/ppr run "
         "on the broadcast engine regardless of --engine)",
@@ -170,6 +171,18 @@ def main(argv: list[str] | None = None) -> int:
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
         col = "tri_count"
+    elif args.kernel == "mis":
+        from .graph.engine import maximal_independent_set
+
+        res = maximal_independent_set(
+            symmetrize_edges(edges).materialize(),
+            V,
+            max_iters=args.max_iters,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        state, iters, converged = res.state, res.iterations, res.converged
+        col = "state"
     elif args.kernel == "ppr":
         seeds = [int(s) for s in args.seeds.split(",") if s.strip() != ""]
         res = pagerank(

@@ -1241,3 +1241,167 @@ def hits(
         if converged:
             break
     return HitsResult(hub, auth, it + 1, converged, history)
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (deterministic Luby — fixed bijective priorities)
+# ---------------------------------------------------------------------------
+
+
+def maximal_independent_set(
+    edges_undirected: ray.data.Dataset,
+    num_vertices: int,
+    seed: int = 41,
+    max_iters: int = 10_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    reduce: str = "auto",
+    checkpoint_keep_last: int | None = None,
+) -> KernelResult:
+    """Deterministic parallel MIS over the symmetrized edge table —
+    Luby's algorithm with FIXED priorities p(v) = ((v + seed) ·
+    golden-odd) mod 2^64 (a bijection, so priorities are distinct and
+    the result is the unique lexicographically-first MIS under that
+    permutation; both the numpy oracle and the HUGEINT SQL twin compute
+    the identical integers). Two message reduces per round over the
+    static edges: (1) min undecided-neighbor priority keyed by dst —
+    an undecided vertex JOINS when its own priority beats it; (2) an
+    any-joined-neighbor flag — undecided neighbors of joiners become
+    DOMINATED. States int64: 0 undecided / 1 in MIS / 2 dominated;
+    isolated vertices join in round one. Same local/driver/groupby
+    regimes and checkpoint contract as the other kernels."""
+    from .oracle import mis_priority
+
+    eds = _prepare_edges(edges_undirected)
+    num_edges = eds.count()
+    reduce = _resolve_reduce(reduce, num_edges)
+    src_a = dst_a = None
+    if reduce == "local":
+        src_a, dst_a = _local_edge_arrays(eds)
+    p = mis_priority(np.arange(num_vertices, dtype=np.int64), seed)
+    # static across rounds — one plasma object, zero-copy in every task
+    p_ref = ray.put(p) if reduce != "local" else None
+    SENTINEL = np.int64(np.iinfo(np.int64).max)
+
+    state = np.zeros(num_vertices, dtype=np.int64)
+    start_iter = 0
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            kernel="mis",
+            fingerprint=edge_fingerprint(
+                num_vertices, num_edges, f"mis|{seed}|{edge_checksum(eds)}"
+            ),
+            params={"seed": seed},
+            keep_last=checkpoint_keep_last,
+        )
+        if resume:
+            ck = mgr.latest()
+            if ck is not None:
+                state = ck.state["state"]
+                start_iter = ck.iteration + 1
+                if ck.manifest["metric"].get("undecided") == 0.0:
+                    return KernelResult(state, ck.iteration + 1, True, [])
+
+    def _exchange(undec: np.ndarray, join: np.ndarray | None):
+        """join is None → round phase 1: per-dst min priority over
+        undecided-endpoint edges. Otherwise phase 2: per-dst joined-
+        neighbor flag."""
+        if reduce == "local":
+            if join is None:
+                live = undec[src_a] & undec[dst_a]
+                nbr_min = np.full(num_vertices, SENTINEL, dtype=np.int64)
+                if live.any():
+                    np.minimum.at(nbr_min, dst_a[live], p[src_a[live]])
+                return nbr_min
+            hit = join[src_a]
+            dom = np.zeros(num_vertices, dtype=bool)
+            dom[dst_a[hit]] = True
+            return dom
+        undec_ref = ray.put(undec)
+        join_ref = ray.put(join) if join is not None else None
+
+        def partial(batch: pa.Table) -> pa.Table:
+            u_mask = ray.get(undec_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            if join_ref is None:
+                pv = ray.get(p_ref)
+                live = u_mask[src] & u_mask[dst]
+                d, s = dst[live], src[live]
+                u, inv = np.unique(d, return_inverse=True)
+                mins = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, pv[s])
+                return pa.table(
+                    {"dst": pa.array(u), "m": pa.array(mins)}
+                )
+            j_mask = ray.get(join_ref)
+            hit = j_mask[src]
+            u = np.unique(dst[hit])
+            return pa.table(
+                {
+                    "dst": pa.array(u),
+                    "m": pa.array(np.ones(len(u), dtype=np.int64)),
+                }
+            )
+
+        msgs = eds.map_batches(partial, batch_format="pyarrow")
+        if reduce == "groupby":
+            fn = Min("m", alias_name="m") if join is None else Max(
+                "m", alias_name="m"
+            )
+            agg = msgs.groupby("dst").aggregate(fn)
+            dense = dataset_to_dense_array(
+                agg, "dst", "m", num_vertices,
+                default=int(SENTINEL) if join is None else 0,
+                dtype=np.int64,
+            )
+        else:
+            dense = np.full(
+                num_vertices,
+                SENTINEL if join is None else np.int64(0),
+                dtype=np.int64,
+            )
+            op = np.minimum if join is None else np.maximum
+            for b in msgs.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            ):
+                op.at(
+                    dense,
+                    b["dst"].to_numpy(zero_copy_only=False),
+                    b["m"].to_numpy(zero_copy_only=False),
+                )
+        return dense if join is None else dense.astype(bool)
+
+    history: list[dict] = []
+    converged = False
+    it = start_iter
+    for it in range(start_iter, max_iters):
+        undec = state == 0
+        n_undec = int(np.count_nonzero(undec))
+        if n_undec == 0:
+            converged = True
+            break
+        nbr_min = _exchange(undec, None)
+        join = undec & (p < nbr_min)
+        state[join] = 1
+        dom = _exchange(undec, join)
+        state[dom & (state == 0)] = 2
+        n_left = int(np.count_nonzero(state == 0))
+        history.append({"iteration": it, "undecided": n_left})
+        if mgr:
+            mgr.save(
+                it,
+                {
+                    "id": np.arange(num_vertices, dtype=np.int64),
+                    "state": state,
+                },
+                {"undecided": float(n_left)},
+                parent=it - 1 if it > start_iter or start_iter > 0 else None,
+            )
+        if n_left == 0:
+            converged = True
+            it += 1
+            break
+    return KernelResult(state, it if converged else it + 1, converged, history)

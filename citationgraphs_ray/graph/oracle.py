@@ -247,3 +247,58 @@ def hits_oracle(
         if done:
             break
     return hub, auth
+
+
+MIS_MULT = 11400714819323198485  # odd → bijection on 64-bit ids
+
+
+def mis_priority(ids: np.ndarray, seed: int = 41) -> np.ndarray:
+    """Fixed per-vertex priority: ((id + seed) · golden-odd) mod 2^64,
+    shifted to int64 by −2^63 (order-preserving, so the permutation is
+    unchanged) — a BIJECTION, so priorities are distinct and no
+    tie-break is needed. int64 because the distributed groupby reduce
+    must carry the values through Arrow aggregates; the SQL twin does
+    the identical HUGEINT arithmetic minus 9223372036854775808."""
+    with np.errstate(over="ignore"):
+        raw = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(MIS_MULT)
+    p = (raw ^ np.uint64(1 << 63)).view(np.int64)
+    if len(p) and p.max() == np.iinfo(np.int64).max:
+        # one id in 2^64 collides with the no-neighbor sentinel; the SQL
+        # twin handles it, the engine's dense reduce cannot distinguish
+        # it from "no message" — refuse loudly rather than diverge
+        raise ValueError("mis_priority: a priority hit the sentinel; "
+                         "use a different seed")
+    return p
+
+
+def mis_oracle(
+    edges: np.ndarray, num_vertices: int, seed: int = 41
+) -> np.ndarray:
+    """Deterministic parallel MIS (Luby with FIXED hash priorities — the
+    lexicographically-first MIS under the hash permutation): per round,
+    an undecided vertex joins when its priority beats every undecided
+    neighbor's; undecided neighbors of joiners drop out. int64 states:
+    0 = undecided, 1 = in MIS, 2 = dominated. Isolated vertices join in
+    round one."""
+    und = _undirected(np.asarray(edges, dtype=np.int64).reshape(-1, 2))
+    src, dst = und[:, 0], und[:, 1]
+    p = mis_priority(np.arange(num_vertices, dtype=np.int64), seed)
+    state = np.zeros(num_vertices, dtype=np.int64)
+    for _ in range(num_vertices + 1):
+        undec = state == 0
+        if not undec.any():
+            break
+        live = undec[src] & undec[dst]
+        nbr_min = np.full(
+            num_vertices, np.iinfo(np.int64).max, dtype=np.int64
+        )
+        if live.any():
+            np.minimum.at(nbr_min, dst[live], p[src[live]])
+        join = undec & (p < nbr_min)
+        state[join] = 1
+        # dominated: undecided with a joined neighbor
+        hit = join[src]
+        dom = np.zeros(num_vertices, dtype=bool)
+        dom[dst[hit]] = True
+        state[dom & (state == 0)] = 2
+    return state

@@ -3267,3 +3267,61 @@ ORACLE_SQL["edge_jaccard"] = _with_graph_ctes(
        JOIN (SELECT src AS id, COUNT(*)::BIGINT AS d
              FROM edges_sym GROUP BY 1) dv ON dv.id = c.v"""
 )
+
+
+def q_mis(sf_dir: str):
+    """Deterministic maximal independent set (Luby, fixed bijective
+    hash priorities — graph/engine.py:maximal_independent_set; numpy
+    spec graph/oracle.py:mis_oracle). state: 0 never survives
+    convergence; 1 = in MIS, 2 = dominated."""
+    from ..graph.engine import maximal_independent_set
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    res = maximal_independent_set(sym, GRAPH_MOD, seed=41)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table({"id": pa.array(ids), "state": pa.array(res.state)})
+
+
+QUERIES["mis"] = q_mis
+
+ORACLE_SQL["mis"] = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+edges_sym AS ({_EDGES_SYM_SQL}),
+pri AS (SELECT i, ((i + 41)::HUGEINT * 11400714819323198485)
+               % 18446744073709551616 AS p FROM range({GRAPH_MOD}) t(i)),
+ms(it, state, undec) AS (
+  SELECT 0, (SELECT list(0::BIGINT) FROM range({GRAPH_MOD})), {GRAPH_MOD}
+  UNION ALL
+  SELECT it + 1, new_state,
+    len(list_filter(new_state, s -> s = 0))
+  FROM (
+    SELECT it,
+      (SELECT list(
+         CASE
+           WHEN state[n.i + 1] <> 0 THEN state[n.i + 1]
+           WHEN joined[n.i + 1] THEN 1::BIGINT
+           WHEN EXISTS (SELECT 1 FROM edges_sym e
+                        WHERE e.dst = n.i AND joined[e.src + 1]) THEN 2::BIGINT
+           ELSE 0::BIGINT
+         END ORDER BY n.i)
+       FROM range({GRAPH_MOD}) AS n(i)) AS new_state
+    FROM (
+      SELECT it, state,
+        (SELECT list(
+           state[m.i + 1] = 0 AND
+           (SELECT p FROM pri WHERE i = m.i) <
+           COALESCE((SELECT MIN(pp.p) FROM edges_sym e
+                     JOIN pri pp ON pp.i = e.src
+                     WHERE e.dst = m.i AND state[e.src + 1] = 0),
+                    18446744073709551616::HUGEINT)
+           ORDER BY m.i)
+         FROM range({GRAPH_MOD}) AS m(i)) AS joined
+      FROM ms WHERE it < 200 AND undec > 0
+    )
+  )
+)
+SELECT n.i AS id, f.state[n.i + 1] AS state
+FROM (SELECT state FROM ms ORDER BY it DESC LIMIT 1) f,
+     range({GRAPH_MOD}) AS n(i)
+ORDER BY id"""

@@ -820,3 +820,75 @@ def test_edge_jaccard_triangle_is_one_third():
     assert len(res) == 3
     assert (res.n_common == 1).all()
     assert np.allclose(res.jaccard, 1 / 3, atol=1e-6)
+
+
+# ---- Maximal independent set -------------------------------------------------
+
+
+def _import_mis():
+    from citationgraphs_ray.graph.engine import maximal_independent_set
+    from citationgraphs_ray.graph.oracle import mis_oracle
+
+    return maximal_independent_set, mis_oracle
+
+
+@pytest.mark.parametrize("name", list(TINY))
+def test_mis_tiny(name):
+    maximal_independent_set, mis_oracle = _import_mis()
+    raw, V = TINY[name]
+    edges = _clean_directed(raw)
+    und = symmetrize_edges(_edge_ds(edges)).materialize()
+    res = maximal_independent_set(und, V)
+    exp = mis_oracle(edges, V)
+    assert np.array_equal(res.state, exp)
+    assert res.converged
+    # invariants: independence + maximality over the symmetrized graph
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    in_mis = set(np.nonzero(res.state == 1)[0].tolist())
+    for a, b in sym:
+        assert not (a in in_mis and b in in_mis)
+    for v in range(V):
+        if v not in in_mis:
+            assert any((v, u) in sym for u in in_mis), v
+
+
+def test_mis_reduce_strategies_agree(small_graph):
+    maximal_independent_set, mis_oracle = _import_mis()
+    _, und, earr, V = small_graph
+    a = maximal_independent_set(und, V, reduce="driver")
+    l = maximal_independent_set(und, V, reduce="local")
+    g = maximal_independent_set(und, V, reduce="groupby")
+    exp = mis_oracle(earr, V)
+    for r in (a, l, g):
+        assert np.array_equal(r.state, exp)
+        assert r.converged
+    assert (a.iterations, a.converged) == (l.iterations, l.converged)
+
+
+def test_mis_seed_changes_set_but_keeps_invariants(small_graph):
+    maximal_independent_set, _ = _import_mis()
+    _, und, earr, V = small_graph
+    a = maximal_independent_set(und, V, seed=41)
+    b = maximal_independent_set(und, V, seed=99)
+    # different hash permutation → (almost surely) different MIS
+    assert not np.array_equal(a.state, b.state)
+    sym = {(int(s), int(d)) for s, d in earr} | {
+        (int(d), int(s)) for s, d in earr
+    }
+    for r in (a, b):
+        in_mis = set(np.nonzero(r.state == 1)[0].tolist())
+        for x, y in sym:
+            assert not (x in in_mis and y in in_mis)
+
+
+def test_mis_resume_equals_uninterrupted(small_graph, tmp_path):
+    maximal_independent_set, _ = _import_mis()
+    _, und, _, V = small_graph
+    ck = str(tmp_path / "mis_ck")
+    full = maximal_independent_set(und, V)
+    maximal_independent_set(und, V, max_iters=1, checkpoint_dir=ck)
+    resumed = maximal_independent_set(
+        und, V, checkpoint_dir=ck, resume=True
+    )
+    assert resumed.converged
+    assert np.array_equal(resumed.state, full.state)
