@@ -206,10 +206,23 @@ class CsrWorker:
         return {p: pt.state for p, pt in self.parts.items()}
 
     # -- PageRank -----------------------------------------------------------
-    def pr_init(self) -> dict[int, float]:
+    def pr_init(self, seeds: list | None = None) -> dict[int, float]:
+        """Uniform init, or — with ``seeds`` — the personalized teleport
+        vector r0 (uniform over the seed set, 0 elsewhere); r0's local
+        slice is kept on the partition for every gather."""
+        seed_arr = (
+            np.asarray(seeds, dtype=np.int64) if seeds is not None else None
+        )
         out = {}
         for p, pt in self.parts.items():
-            pt.state = np.full(pt.n_local, 1.0 / self.V)
+            if seed_arr is None:
+                pt.state = np.full(pt.n_local, 1.0 / self.V)
+                pt.ppr_r0 = None
+            else:
+                r0 = np.zeros(pt.n_local)
+                r0[np.isin(pt.local_ids(), seed_arr)] = 1.0 / len(seed_arr)
+                pt.ppr_r0 = r0
+                pt.state = r0.copy()
             out[p] = float(pt.state[pt.out_deg == 0].sum())
         return out
 
@@ -259,9 +272,16 @@ class CsrWorker:
         resid = 0.0
         dangling = {}
         for q, pt in self.parts.items():
-            new_state = (1.0 - damping) / self.V + damping * (
-                sums[q] + dangling_mass / self.V
-            )
+            r0 = getattr(pt, "ppr_r0", None)
+            if r0 is None:
+                # uniform path bit-identical to the pre-PPR kernel
+                new_state = (1.0 - damping) / self.V + damping * (
+                    sums[q] + dangling_mass / self.V
+                )
+            else:
+                new_state = (1.0 - damping) * r0 + damping * (
+                    sums[q] + dangling_mass * r0
+                )
             if pt.n_local:
                 resid = max(resid, float(np.max(np.abs(new_state - pt.state))))
             pt.state = new_state
@@ -752,18 +772,36 @@ class CsrEngine:
         checkpoint_every: int = 1,
         checkpoint_keep_last: int | None = None,
         assemble: bool = True,
+        reset_ids: "list | np.ndarray | None" = None,
     ) -> tuple[np.ndarray | None, int, bool]:
         """``assemble=False`` skips the V-sized driver array — state stays
         in the workers; drain it with ``write_states`` (the 10^12-vertex
-        sink)."""
-        dmaps = ray.get([a.pr_init.remote() for a in self.workers])
+        sink). ``reset_ids`` runs PERSONALIZED PageRank (same semantics
+        as engine.pagerank(reset_ids=...)); the checkpoint kernel label
+        carries the seed-set tag so a resume cannot load another
+        personalization's ranks."""
+        seeds = None
+        kernel_label = "pagerank"
+        if reset_ids is not None:
+            seeds = sorted(int(x) for x in np.unique(np.asarray(reset_ids)))
+            if not seeds:
+                raise ValueError("personalized pagerank needs ≥1 seed vertex")
+            if seeds[0] < 0 or seeds[-1] >= self.V:
+                raise ValueError("seed id outside [0, num_vertices)")
+            import hashlib as _hashlib
+
+            tag = _hashlib.sha1(
+                np.asarray(seeds, dtype=np.int64).tobytes()
+            ).hexdigest()[:8]
+            kernel_label = f"pagerank-ppr-{tag}"
+        dmaps = ray.get([a.pr_init.remote(seeds) for a in self.workers])
         dangling = _sum_by_partition(dmaps)
         start = 0
         mgr = None
         if checkpoint_dir:
             mgr = CheckpointManager(
                 checkpoint_dir,
-                kernel="pagerank",
+                kernel=kernel_label,
                 fingerprint=self.fingerprint,
                 params={"damping": damping, "tol": tol},
                 num_partitions=self.P,

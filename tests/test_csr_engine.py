@@ -303,3 +303,28 @@ def test_csr_sssp_requires_weighted_layout(engines):
     _, _, dir_eng, _ = engines
     with pytest.raises(Exception, match="weight_col"):
         dir_eng.sssp([0])
+
+
+def test_csr_personalized_pagerank(engines, tmp_path):
+    """CSR PPR matches the oracle and the broadcast engine; a resume
+    under a DIFFERENT seed set is rejected by the kernel label."""
+    edges, V, dir_eng, _ = engines
+    earr = edges.to_pandas()[["src", "dst"]].to_numpy()
+    seeds = [0, 3]
+    state, iters, converged = dir_eng.pagerank(tol=1e-12, reset_ids=seeds)
+    assert converged
+    exp = pagerank_oracle(earr, V, tol=1e-12, reset_ids=np.array(seeds))
+    assert np.allclose(state, exp, atol=1e-9)
+    bc = pagerank(edges, V, tol=1e-12, reset_ids=seeds)
+    assert np.allclose(state, bc.state, atol=1e-9)
+    # uniform run right after a PPR run must NOT inherit r0
+    uni, _, _ = dir_eng.pagerank(tol=1e-10)
+    exp_uni = pagerank_oracle(earr, V, tol=1e-10)
+    assert np.allclose(uni, exp_uni, atol=1e-6)
+    # checkpoint label carries the seed tag → other seeds rejected
+    ck = str(tmp_path / "pprck")
+    dir_eng.pagerank(tol=1e-12, reset_ids=[0], checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="different run"):
+        dir_eng.pagerank(
+            tol=1e-12, reset_ids=[1], checkpoint_dir=ck, resume=True
+        )
