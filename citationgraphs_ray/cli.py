@@ -47,8 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
             "ppr",
             "mis",
         ],
-        help="analysis to run over the extracted edge table (hits/ppr run "
-        "on the broadcast engine regardless of --engine)",
+        help="analysis to run over the extracted edge table (hits/mis run "
+        "on the broadcast engine regardless of --engine; ppr honors it)",
     )
     p.add_argument(
         "--engine",
@@ -183,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         state, iters, converged = res.state, res.iterations, res.converged
         col = "state"
-    elif args.kernel == "ppr":
+    elif args.kernel == "ppr" and args.engine != "csr":
         seeds = [int(s) for s in args.seeds.split(",") if s.strip() != ""]
         res = pagerank(
             edges,
@@ -198,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
         state, iters, converged = res.state, res.iterations, res.converged
         col = "rank"
     elif args.engine == "csr" and (
-        args.kernel in ("pagerank", "cc", "lpa", "bfs")
+        args.kernel in ("pagerank", "ppr", "cc", "lpa", "bfs")
         or (args.kernel == "kcore" and args.output_mode == "table")
     ):
         # kcore's CSR checkpoint shards hold its ENCODED state column, so
@@ -209,7 +209,7 @@ def main(argv: list[str] | None = None) -> int:
         # full checksum + partition + CSR build
         eng_edges = (
             edges
-            if args.kernel == "pagerank"
+            if args.kernel in ("pagerank", "ppr")
             else symmetrize_edges(edges).materialize()
         )
         eng = CsrEngine(
@@ -221,7 +221,12 @@ def main(argv: list[str] | None = None) -> int:
         # shards mode never assembles the V-sized driver array — the
         # state is drained straight from the workers via write_states
         assemble = args.output_mode != "shards"
-        if args.kernel == "pagerank":
+        if args.kernel in ("pagerank", "ppr"):
+            seeds = (
+                [int(s) for s in args.seeds.split(",") if s.strip() != ""]
+                if args.kernel == "ppr"
+                else None
+            )
             state, iters, converged = eng.pagerank(
                 damping=args.damping,
                 tol=args.tol,
@@ -229,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 resume=args.resume,
                 assemble=assemble,
+                reset_ids=seeds,
             )
             col = "rank"
         elif args.kernel == "cc":

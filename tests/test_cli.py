@@ -228,3 +228,23 @@ def test_cli_hits_and_ppr(tmp_path, capsys):
     assert abs(ranks.sum() - 1.0) < 1e-9
     # seed 0 holds restart mass
     assert ranks[0] > np.median(ranks)
+
+
+def test_cli_ppr_csr_engine(tmp_path, capsys):
+    """ppr honors --engine csr; output matches the broadcast leg."""
+    cdir = _corpus_dir(tmp_path)
+    outs = {}
+    for engine in ("broadcast", "csr"):
+        out = str(tmp_path / f"out_ppr_{engine}")
+        rc = main(
+            ["--corpus", cdir, "--output", out, "--kernel", "ppr",
+             "--engine", engine, "--seeds", "0,2", "--tol", "1e-12",
+             "--num-partitions", "4",
+             "--workdir", str(tmp_path / f"wd_ppr_{engine}")]
+        )
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        outs[engine] = (
+            pq.read_table(out).to_pandas().sort_values("id")["rank"].to_numpy()
+        )
+    assert np.allclose(outs["broadcast"], outs["csr"], atol=1e-9)
