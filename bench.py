@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "adamic_adar",
     "edge_jaccard",
     "mis",
+    "k_truss",
     "two_hop_counts",
     "scrubbed_docs",
     "decontaminated_docs",

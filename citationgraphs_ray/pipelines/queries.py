@@ -3325,3 +3325,56 @@ SELECT n.i AS id, f.state[n.i + 1] AS state
 FROM (SELECT state FROM ms ORDER BY it DESC LIMIT 1) f,
      range({GRAPH_MOD}) AS n(i)
 ORDER BY id"""
+
+
+TRUSS_K = 8
+TRUSS_SQL_ROUNDS = 12  # unroll depth; measured fixpoint at sf0.01 = 4
+
+
+def q_k_truss(sf_dir: str):
+    """k-truss decomposition (k=8): surviving canon (u < v) edges after
+    support peeling to fixpoint (graph/truss.py:k_truss; dense/join
+    regimes equivalence-tested). Raises if the peel needs more rounds
+    than the SQL twin unrolls — a loud guard instead of a silent
+    value-hash mismatch."""
+    from ..graph.truss import k_truss
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    tbl, rounds = k_truss(sym, GRAPH_MOD, TRUSS_K)
+    if rounds > TRUSS_SQL_ROUNDS:
+        raise RuntimeError(
+            f"k_truss peel took {rounds} rounds > SQL unroll "
+            f"{TRUSS_SQL_ROUNDS} — raise TRUSS_SQL_ROUNDS"
+        )
+    return tbl
+
+
+QUERIES["k_truss"] = q_k_truss
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    parts = [
+        f"edges AS ({_EDGES_SQL})",
+        f"edges_sym AS ({_EDGES_SYM_SQL})",
+        "e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges_sym "
+        "WHERE src < dst)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT u AS a, v AS b FROM e{r} "
+            f"UNION ALL SELECT v AS a, u AS b FROM e{r})"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT u, v FROM ("
+            f"SELECT e.u, e.v, COUNT(*) AS c FROM e{r} e "
+            f"JOIN s{r} x ON x.a = e.u "
+            f"JOIN s{r} y ON y.a = e.v AND y.b = x.b "
+            f"GROUP BY e.u, e.v) WHERE c >= {k - 2})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT u, v FROM e{rounds} "
+        "ORDER BY u, v"
+    )
+
+
+ORACLE_SQL["k_truss"] = _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS)

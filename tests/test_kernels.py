@@ -892,3 +892,90 @@ def test_mis_resume_equals_uninterrupted(small_graph, tmp_path):
     )
     assert resumed.converged
     assert np.array_equal(resumed.state, full.state)
+
+
+# ---- k-truss -----------------------------------------------------------------
+
+
+def _import_truss():
+    from citationgraphs_ray.graph.truss import k_truss, k_truss_oracle
+
+    return k_truss, k_truss_oracle
+
+
+def _truss_rows(tbl):
+    return list(zip(tbl["u"].to_pylist(), tbl["v"].to_pylist()))
+
+
+def test_k_truss_tri3_and_line():
+    k_truss, k_truss_oracle = _import_truss()
+    raw, V = TINY["tri3"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw))).materialize()
+    t3, _ = k_truss(und, V, 3)  # the triangle IS a 3-truss
+    assert _truss_rows(t3) == [(0, 1), (0, 2), (1, 2)]
+    t4, _ = k_truss(und, V, 4)  # one triangle is not a 4-truss
+    assert t4.num_rows == 0
+    raw, V = TINY["line5"]
+    und = symmetrize_edges(_edge_ds(_clean_directed(raw))).materialize()
+    t3, _ = k_truss(und, V, 3)  # path: no triangles at all
+    assert t3.num_rows == 0
+    t2, rounds = k_truss(und, V, 3 - 1)  # 2-truss keeps every edge
+    assert t2.num_rows == 4 and rounds == 0
+
+
+def test_k_truss_regimes_match_oracle(small_graph):
+    k_truss, k_truss_oracle = _import_truss()
+    _, und, earr, V = small_graph
+    for k in (2, 3, 4, 6):
+        exp = [tuple(r) for r in k_truss_oracle(earr, V, k)]
+        d, rd = k_truss(und, V, k, mode="dense")
+        j, rj = k_truss(und, V, k, mode="join")
+        assert _truss_rows(d) == exp, ("dense", k)
+        assert _truss_rows(j) == exp, ("join", k)
+        assert rd == rj or k == 2, k
+
+
+def test_k_truss_peel_cascade():
+    """Two triangles sharing an edge + a pendant triangle: the 4-truss
+    peel must CASCADE (killing the pendant's edges lowers nothing, but
+    the bowtie center survives only while both wings do)."""
+    k_truss, k_truss_oracle = _import_truss()
+    # K4 (4-clique) has every edge in 2 triangles → it IS a 4-truss;
+    # hang a pendant triangle off vertex 3: pendant edges die at k=4,
+    # the K4 survives
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pend = [(3, 4), (3, 5), (4, 5)]
+    raw = np.array(k4 + pend)
+    V = 6
+    und = symmetrize_edges(_edge_ds(raw)).materialize()
+    t4, _ = k_truss(und, V, 4)
+    assert _truss_rows(t4) == k4
+    exp = [tuple(r) for r in k_truss_oracle(
+        np.vstack([raw, raw[:, ::-1]]), V, 4)]
+    assert _truss_rows(t4) == exp
+
+
+def test_k_truss_rejects_bad_k(small_graph):
+    k_truss, _ = _import_truss()
+    _, und, _, V = small_graph
+    with pytest.raises(ValueError):
+        k_truss(und, V, 1)
+
+
+def test_k_truss_gate_unroll_covers_fixpoint():
+    """The SQL twin unrolls TRUSS_SQL_ROUNDS peel rounds; the gate graph
+    must reach fixpoint within them (q_k_truss raises loudly otherwise —
+    this pins the contract at the gate scale)."""
+    from citationgraphs_ray.pipelines.queries import (
+        GRAPH_MOD,
+        TRUSS_K,
+        TRUSS_SQL_ROUNDS,
+        derive_edges,
+    )
+    from citationgraphs_ray.graph.truss import k_truss as kt
+
+    sym = symmetrize_edges(
+        derive_edges("/root/testdata/sf0.001")
+    ).materialize()
+    _, rounds = kt(sym, GRAPH_MOD, TRUSS_K)
+    assert rounds <= TRUSS_SQL_ROUNDS
