@@ -3378,3 +3378,44 @@ def _truss_sql(k: int, rounds: int) -> str:
 
 
 ORACLE_SQL["k_truss"] = _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS)
+
+
+def q_weighted_sample_lineitem(sf_dir: str):
+    """Weight-proportional deterministic sample: P(keep) = min(1,
+    l_quantity · 40/10000) keyed on l_orderkey — integer-exact twin of
+    the HUGEINT SQL expression (stages/sketches.py:weighted_sample)."""
+    from ..stages.sketches import weighted_sample
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def int_qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_quantity": pa.compute.cast(
+                    pa.compute.round(t["l_quantity"]), pa.int64()
+                ),
+            }
+        )
+
+    return weighted_sample(
+        ds.map_batches(int_qty, batch_format="pyarrow"),
+        "l_orderkey",
+        "l_quantity",
+        rate_per_10k=40,
+        seed=41,
+    )
+
+
+QUERIES["weighted_sample_lineitem"] = q_weighted_sample_lineitem
+
+ORACLE_SQL["weighted_sample_lineitem"] = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_quantity) AS BIGINT) AS l_quantity
+FROM lineitem
+WHERE ((((l_orderkey + 41)::HUGEINT * {_FIB_SQL}) % {_M64_SQL})
+       // 4294967296) % 10000
+      < LEAST(CAST(round(l_quantity) AS BIGINT) * 40, 10000)"""

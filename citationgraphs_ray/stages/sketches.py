@@ -983,3 +983,43 @@ def grouped_exact_quantiles(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    rate_per_10k: int,
+    seed: int = 41,
+) -> ray.data.Dataset:
+    """Deterministic weight-PROPORTIONAL Bernoulli sample: a row is kept
+    with probability min(1, w · rate_per_10k / 10000) — pure integer
+    arithmetic (keep iff hash_bucket(key) < min(w · rate_per_10k,
+    10000)), so the SQL twin is bit-exact and the decision is
+    reproducible across reruns / partitionings and joinable across
+    tables sharing the key, like :func:`hash_sample`. Map-only, zero
+    shuffle. Weights must be non-negative integers (the exact-parity
+    contract; scale fractional weights into rate_per_10k's unit).
+    """
+    if not (0 <= rate_per_10k <= SAMPLE_BUCKETS):
+        raise ValueError(f"rate_per_10k outside [0, {SAMPLE_BUCKETS}]")
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(w.dtype, np.floating):
+            wi = w.astype(np.int64)
+            if not np.array_equal(wi, w):
+                raise ValueError(
+                    "weighted_sample needs integer weights "
+                    "(exact SQL-parity contract)"
+                )
+            w = wi
+        if len(w) and w.min() < 0:
+            raise ValueError("weighted_sample needs non-negative weights")
+        thresh = np.minimum(
+            w.astype(np.int64) * int(rate_per_10k), SAMPLE_BUCKETS
+        )
+        return t.filter(pa.array(hash_bucket(keys, seed) < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -468,3 +468,52 @@ def test_grouped_exact_quantiles_duplicate_heavy_group():
         got["grp"].to_pylist(), got["q"].to_pylist(), got["value"].to_pylist()
     ):
         assert v == _disc(vals[gs == g], q), (g, q)
+
+
+def test_weighted_sample_rate_scales_with_weight():
+    from citationgraphs_ray.stages.sketches import weighted_sample
+
+    n = 40_000
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {"k": np.arange(n), "w": rng.integers(0, 5, n).astype(np.int64)}
+    )
+    got = weighted_sample(
+        ray.data.from_pandas(df).repartition(6), "k", "w", 1000, seed=41
+    ).to_pandas()
+    # w=0 rows can never be sampled
+    assert (got.w > 0).all()
+    # empirical rate per weight ≈ w/10 (binomial tolerance)
+    full = df.groupby("w").size()
+    samp = got.groupby("w").size()
+    for w in (1, 2, 3, 4):
+        rate = samp.get(w, 0) / full[w]
+        assert abs(rate - w * 0.1) < 0.02, (w, rate)
+    # deterministic + partition-invariant
+    again = weighted_sample(
+        ray.data.from_pandas(df).repartition(13), "k", "w", 1000, seed=41
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True),
+        again.sort_values("k").reset_index(drop=True),
+    )
+
+
+def test_weighted_sample_caps_at_certainty_and_guards():
+    from citationgraphs_ray.stages.sketches import weighted_sample
+
+    df = pd.DataFrame({"k": np.arange(500), "w": np.full(500, 1000)})
+    got = weighted_sample(ray.data.from_pandas(df), "k", "w", 100, seed=1)
+    assert got.count() == 500  # w·rate ≥ 10000 → probability 1
+    with pytest.raises(ValueError, match="rate_per_10k"):
+        weighted_sample(ray.data.from_pandas(df), "k", "w", 10001)
+    bad = pd.DataFrame({"k": [1], "w": [-2]})
+    with pytest.raises(Exception):
+        weighted_sample(
+            ray.data.from_pandas(bad), "k", "w", 10
+        ).materialize()
+    frac = pd.DataFrame({"k": [1], "w": [1.5]})
+    with pytest.raises(Exception):
+        weighted_sample(
+            ray.data.from_pandas(frac), "k", "w", 10
+        ).materialize()
