@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "k_truss",
     "two_hop_counts",
     "scrubbed_docs",
+    "repetition_scores",
+    "weighted_sample_lineitem",
     "decontaminated_docs",
     "pack_sequences",
     "doc_cooccurrence",

@@ -3419,3 +3419,43 @@ FROM lineitem
 WHERE ((((l_orderkey + 41)::HUGEINT * {_FIB_SQL}) % {_M64_SQL})
        // 4294967296) % 10000
       < LEAST(CAST(round(l_quantity) AS BIGINT) * 40, 10000)"""
+
+
+def q_repetition_scores(sf_dir: str):
+    """Per-doc repetition quality signals (duplicate-word fraction +
+    top-bigram fraction) — stages/text.py:repetition_score_batch, one
+    vectorized Arrow pass, no Python row loop."""
+    from ..stages.text import repetition_score_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_score_batch, batch_format="pyarrow")
+
+
+QUERIES["repetition_scores"] = q_repetition_scores
+
+ORACLE_SQL["repetition_scores"] = """
+WITH arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+uni AS (
+  SELECT doc_id, len(a) AS n_words, len(list_distinct(a)) AS n_distinct
+  FROM arrs
+),
+bigs AS (
+  SELECT doc_id, unnest(list_zip(a, list_slice(a, 2, len(a)))) AS pr
+  FROM arrs WHERE len(a) >= 2
+),
+bstr AS (
+  SELECT doc_id, (pr[1] || ' ' || pr[2]) AS bg
+  FROM bigs WHERE pr[2] IS NOT NULL
+),
+btop AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_frac FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bstr GROUP BY 1, 2
+  ) tt GROUP BY doc_id
+)
+SELECT u.doc_id AS doc_id, u.n_words AS n_words,
+  FLOOR((1.0 - u.n_distinct::DOUBLE / u.n_words) * 1e6 + 0.5) / 1e6
+    AS dup_word_frac,
+  FLOOR(COALESCE(b.top_frac, 0.0) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+FROM uni u LEFT JOIN btop b ON u.doc_id = b.doc_id"""

@@ -294,3 +294,82 @@ def scrub_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("scrubbed", s).append_column(
         "n_chars_scrubbed", pc.utf8_length(s).cast(pa.int64())
     )
+
+
+def repetition_score_batch(
+    batch: pa.Table, id_col: str = "doc_id", col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition quality signals, fully vectorized:
+
+    - ``n_words``: single-space split length (DuckDB ``string_split``
+      parity — consecutive spaces yield empty tokens on both sides)
+    - ``dup_word_frac``: 1 − distinct_words / n_words
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      / total bigrams (0 when the doc has < 2 words)
+
+    No Python row loop: one Arrow split, per-doc distinct and bigram
+    counts via dictionary codes + ``pa.Table.group_by`` (C++), bigram
+    keys as code[i]·K + code[i+1] across the flattened token stream
+    masked at document boundaries. Fractions are round6 on both sides
+    of the SQL twin.
+    """
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    words = pc.split_pattern(batch[col], " ")
+    n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    n_words = np.where(n_words == 0, 1, n_words)  # '' splits to [''] in SQL
+    # combine BEFORE encoding — per-chunk dictionaries would make the
+    # integer codes inconsistent across chunk boundaries
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    pidx = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    codes = (
+        pc.dictionary_encode(flat)
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    # distinct words per doc
+    dtab = pa.table(
+        {"d": pa.array(pidx), "c": pa.array(codes)}
+    ).group_by(["d", "c"]).aggregate([("c", "count")])
+    ddoc = dtab.group_by(["d"]).aggregate([("c_count", "count")])
+    n_distinct = np.ones(n, dtype=np.int64)  # empty docs: 1 token ('')
+    n_distinct[
+        ddoc["d"].to_numpy(zero_copy_only=False)
+    ] = ddoc["c_count_count"].to_numpy(zero_copy_only=False)
+
+    # bigram counts: adjacent positions within the same doc
+    top_frac = np.zeros(n, dtype=np.float64)
+    if len(codes) > 1:
+        same = pidx[:-1] == pidx[1:]
+        if same.any():
+            K = int(codes.max()) + 1
+            key = codes[:-1][same] * K + codes[1:][same]
+            btab = pa.table(
+                {"d": pa.array(pidx[:-1][same]), "k": pa.array(key)}
+            ).group_by(["d", "k"]).aggregate([("k", "count")])
+            bdoc = btab.group_by(["d"]).aggregate(
+                [("k_count", "max"), ("k_count", "sum")]
+            )
+            dd = bdoc["d"].to_numpy(zero_copy_only=False)
+            mx = bdoc["k_count_max"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            tot = bdoc["k_count_sum"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            top_frac[dd] = mx / tot
+
+    dup_frac = 1.0 - n_distinct / n_words.astype(np.float64)
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "dup_word_frac": pa.array(r6(dup_frac)),
+            "top_bigram_frac": pa.array(r6(top_frac)),
+        }
+    )

@@ -58,3 +58,62 @@ def test_scrub_matches_duckdb_chain():
     want = [r[0] for r in con.execute(sql).fetchall()]
     got = scrub_text_batch(pa.table({"text": SAMPLES}))["scrubbed"].to_pylist()
     assert got == want
+
+
+def test_repetition_scores_hand_checked_and_multichunk():
+    import pyarrow as pa
+    import numpy as np
+    from citationgraphs_ray.stages.text import repetition_score_batch
+
+    docs = [
+        "a b a b a b",          # 6 words, 2 distinct; bigrams: ab×3, ba×2 → 3/5
+        "x y z",                # all distinct; bigrams xy, yz → 1/2
+        "solo",                 # 1 word → no bigrams
+        "",                     # '' splits to [''] → 1 word, dup 0
+        "q q",                  # 2 words 1 distinct; 1 bigram → 1.0
+    ]
+    # two chunks to exercise the chunked dictionary-encode path
+    col = pa.chunked_array([docs[:2], docs[2:]])
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": col})
+    out = repetition_score_batch(t)
+    assert out["n_words"].to_pylist() == [6, 3, 1, 1, 2]
+    assert np.allclose(
+        out["dup_word_frac"].to_pylist(),
+        [1 - 2 / 6, 0.0, 0.0, 0.0, 0.5],
+        atol=1e-6,
+    )
+    assert np.allclose(
+        out["top_bigram_frac"].to_pylist(),
+        [3 / 5, 1 / 2, 0.0, 0.0, 1.0],
+        atol=1e-6,
+    )
+
+
+def test_repetition_scores_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    from citationgraphs_ray.stages.text import repetition_score_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat the cat the cat",
+                "one  two", # double space → empty token, SQL-parity
+                "a",
+                "w1 w2 w1 w2 w3",
+            ],
+        }
+    )
+    got = repetition_score_batch(pa.Table.from_pandas(df)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    from citationgraphs_ray.pipelines.queries import ORACLE_SQL
+
+    want = con.execute(
+        ORACLE_SQL["repetition_scores"] + " ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want
+    )
