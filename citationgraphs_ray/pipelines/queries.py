@@ -3459,3 +3459,87 @@ SELECT u.doc_id AS doc_id, u.n_words AS n_words,
     AS dup_word_frac,
   FLOOR(COALESCE(b.top_frac, 0.0) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
 FROM uni u LEFT JOIN btop b ON u.doc_id = b.doc_id"""
+
+
+def q_component_sizes(sf_dir: str):
+    """Connected-component size distribution — CC kernel composed with a
+    grouped count (the pipeline-composability shape: kernel output is a
+    Dataset-compatible table feeding fast_grouped_agg)."""
+    edges = derive_edges(sf_dir).materialize()
+    und = symmetrize_edges(edges)
+    res = connected_components(und, GRAPH_MOD)
+    ids = _present_vertex_ids(edges)
+    members = ray.data.from_arrow(
+        pa.table({"component": pa.array(res.state[ids])})
+    )
+    return fast_grouped_agg(members, ["component"], count_as="size")
+
+
+QUERIES["component_sizes"] = q_component_sizes
+
+ORACLE_SQL["component_sizes"] = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+edges_sym AS ({_EDGES_SYM_SQL}),
+nodes AS ({_NODES_SQL}),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM edges_sym e
+  JOIN reach ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component"""
+
+
+def q_truss_communities(sf_dir: str):
+    """Communities = connected components of the 8-truss subgraph —
+    k_truss composed with the CC kernel over its surviving edge table
+    (cohesion filter → community extraction, the standard truss-based
+    community pipeline). Returns (id, community) for truss vertices."""
+    from ..graph.truss import k_truss
+
+    sym = symmetrize_edges(derive_edges(sf_dir)).materialize()
+    tbl, rounds = k_truss(sym, GRAPH_MOD, TRUSS_K)
+    if rounds > TRUSS_SQL_ROUNDS:
+        raise RuntimeError("truss peel exceeded SQL unroll")
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "id": pa.array([], pa.int64()),
+                "community": pa.array([], pa.int64()),
+            }
+        )
+    truss_edges = ray.data.from_arrow(
+        pa.table({"src": tbl["u"], "dst": tbl["v"]})
+    )
+    und = symmetrize_edges(truss_edges).materialize()
+    res = connected_components(und, GRAPH_MOD)
+    ids = np.unique(
+        np.concatenate(
+            [
+                tbl["u"].to_numpy(zero_copy_only=False),
+                tbl["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    return pa.table(
+        {"id": pa.array(ids), "community": pa.array(res.state[ids])}
+    )
+
+
+QUERIES["truss_communities"] = q_truss_communities
+
+# the truss peel CTE chain with the final SELECT stripped, made
+# RECURSIVE so the component CTE can self-reference
+_TRUSS_CTES = _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS).rsplit("\nSELECT", 1)[0]
+ORACLE_SQL["truss_communities"] = (
+    _TRUSS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+ts AS (SELECT u AS src, v AS dst FROM e{TRUSS_SQL_ROUNDS}
+       UNION ALL SELECT v AS src, u AS dst FROM e{TRUSS_SQL_ROUNDS}),
+tnodes AS (SELECT DISTINCT src AS id FROM ts),
+treach(id, r) AS (
+  SELECT id, id FROM tnodes
+  UNION
+  SELECT t.dst, treach.r FROM ts t JOIN treach ON t.src = treach.id)
+SELECT id, min(r) AS community FROM treach GROUP BY id"""
+)
