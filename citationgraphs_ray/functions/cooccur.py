@@ -244,11 +244,112 @@ def tfidf(
     return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def top_k_tfidf_per_doc(
-    scored: ray.data.Dataset, k: int = 5, id_col: str = "doc_id"
+def bm25(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> ray.data.Dataset:
-    """Per-doc top-k by tfidf desc, ties by word asc (the reference's greedy
-    per-doc ArgSort selection shape, CitationGraphs.go:2175-2191).
+    """Per-(doc, word) Okapi BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Same two-broadcast shape as :func:`tfidf` (the reference's TF/IDF
+    boundary, CitationGraphs.go:2058-2102, with the saturating BM25 weight
+    a training-data quality pipeline wants): df and the scalar avgdl are
+    the small sides; TF and the per-doc length dl are computed inside the
+    vectorized scoring stage from the same token long-table, so dl is
+    definitionally consistent with tf (dl = Σ_w tf). Returns
+    (doc_id, word, tf, dl, bm25).
+    """
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = collect_table(doc_frequencies(ds, text_col, id_col))
+    dfs_ref = ray.put(
+        pd.Series(
+            df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64),
+            index=df_tbl["word"].to_pylist(),
+        )
+    )
+
+    # avgdl over docs with ≥1 token (int64 partial sums — exact under any
+    # accumulation order, so the single final division matches SQL AVG).
+    def lens(batch: pa.Table) -> pa.Table:
+        long = _tokens_long(
+            batch,
+            text_col,
+            np.arange(batch.num_rows, dtype=np.int64),
+            "__row",
+        )
+        per_row = long.group_by("__row").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dl_sum": pa.array(
+                    [int(pa.compute.sum(per_row["count_all"]).as_py() or 0)],
+                    type=pa.int64(),
+                ),
+                "n_nonempty": pa.array(
+                    [per_row.num_rows], type=pa.int64()
+                ),
+            }
+        )
+
+    totals = collect_table(ds.map_batches(lens, batch_format="pyarrow"))
+    dl_sum = int(pa.compute.sum(totals["dl_sum"]).as_py() or 0)
+    n_nonempty = int(pa.compute.sum(totals["n_nonempty"]).as_py() or 0)
+    avgdl = dl_sum / max(1, n_nonempty)
+
+    class Score:
+        """Vectorized TF + dl + BM25 in one pass over the token long-table
+        (the tfidf Score skeleton with the per-doc length transform)."""
+
+        def __init__(self) -> None:
+            self.dfs = ray.get(dfs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_np = (
+                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            pairs = _tokens_long(batch, text_col, ids_np, id_col)
+            g = (
+                pairs.group_by([id_col, "word"])
+                .aggregate([([], "count_all")])
+                .to_pandas()
+                .sort_values([id_col, "word"], kind="mergesort")
+            )
+            tf = g["count_all"].to_numpy().astype(np.float64)
+            dl = (
+                g.groupby(id_col, sort=False)["count_all"]
+                .transform("sum")
+                .to_numpy()
+                .astype(np.float64)
+            )
+            df = g["word"].map(self.dfs).to_numpy(dtype=np.float64)
+            idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+            score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            return pa.table(
+                {
+                    id_col: pa.array(g[id_col].to_numpy(), type=pa.int64()),
+                    "word": pa.array(g["word"].tolist()),
+                    "tf": pa.array(tf),
+                    "dl": pa.array(dl),
+                    "bm25": pa.array(score),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def top_k_tfidf_per_doc(
+    scored: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    value_col: str = "tfidf",
+) -> ray.data.Dataset:
+    """Per-doc top-k by ``value_col`` desc, ties by word asc (the
+    reference's greedy per-doc ArgSort selection shape,
+    CitationGraphs.go:2175-2191).
 
     Docs are hash-partitioned into P coarse buckets (P ≈ CPUs), and each
     bucket selects in one vectorized pass (sort + cython groupby-head) —
@@ -263,7 +364,7 @@ def top_k_tfidf_per_doc(
         return (
             df.drop(columns="__part")
             .sort_values(
-                [id_col, "tfidf", "word"],
+                [id_col, value_col, "word"],
                 ascending=[True, False, True],
                 kind="mergesort",
             )

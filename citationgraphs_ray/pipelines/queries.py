@@ -3543,3 +3543,46 @@ treach(id, r) AS (
   SELECT t.dst, treach.r FROM ts t JOIN treach ON t.src = treach.id)
 SELECT id, min(r) AS community FROM treach GROUP BY id"""
 )
+
+
+def q_bm25_top3(sf_dir: str):
+    """Okapi BM25 top-3 terms per doc — the saturating-TF counterpart of
+    tfidf_top3 (same token long-table, same broadcast-df shape)."""
+    from ..functions.cooccur import bm25
+
+    scored = bm25(_read(sf_dir, "documents", ["doc_id", "text"]))
+    top = top_k_tfidf_per_doc(scored, k=3, value_col="bm25")
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "word"]].copy()
+        out["bm25"] = _round6(df["bm25"].to_numpy())
+        return out
+
+    return top.map_batches(clean, batch_format="pandas")
+
+
+QUERIES["bm25_top3"] = q_bm25_top3
+
+ORACLE_SQL["bm25_top3"] = f"""
+WITH tok AS (SELECT doc_id, {_TOK} FROM documents),
+tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+df AS (SELECT word, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS bm25,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) DESC,
+                    tf.word ASC) AS rn
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl ON dl.doc_id = tf.doc_id, n, ad)
+SELECT doc_id, word, round(bm25, 6) AS bm25 FROM scored WHERE rn <= 3
+"""

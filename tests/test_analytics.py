@@ -8,6 +8,7 @@ import pytest
 import ray.data
 
 from citationgraphs_ray.functions.cooccur import (
+    bm25,
     doc_cooccurrence,
     doc_frequencies,
     strongly_connected_pairs,
@@ -108,6 +109,39 @@ def test_tfidf_and_topk(docs, con):
     assert len(got) == len(exp)
     assert np.allclose(got.tfidf.to_numpy(), exp.tfidf.to_numpy())
     top = top_k_tfidf_per_doc(tfidf(docs), k=3).to_pandas()
+    assert (top.groupby("doc_id").size() <= 3).all()
+
+
+def test_bm25_matches_sql(docs, con):
+    got = (
+        bm25(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "word"])
+        .reset_index(drop=True)
+    )
+    exp = con.sql(
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(lower(text),' ')) AS word
+             FROM documents),
+           tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM tok GROUP BY 1,2),
+           dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+           df AS (SELECT word, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+           n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+           ad AS (SELECT avg(dl) AS avgdl FROM dl)
+           SELECT tf.doc_id, tf.word,
+                  ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS bm25
+           FROM tf JOIN df USING (word)
+           JOIN dl ON dl.doc_id = tf.doc_id, n, ad
+           ORDER BY tf.doc_id, tf.word"""
+    ).df()
+    assert len(got) == len(exp)
+    assert np.allclose(got.bm25.to_numpy(), exp.bm25.to_numpy())
+    # dl is consistent with tf by construction: dl = sum of tf per doc
+    per_doc = got.groupby("doc_id").agg(tf_sum=("tf", "sum"), dl=("dl", "first"))
+    assert np.array_equal(per_doc.tf_sum.to_numpy(), per_doc.dl.to_numpy())
+    top = top_k_tfidf_per_doc(bm25(docs), k=3, value_col="bm25").to_pandas()
     assert (top.groupby("doc_id").size() <= 3).all()
 
 
