@@ -3586,3 +3586,86 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id, n, ad)
 SELECT doc_id, word, round(bm25, 6) AS bm25 FROM scored WHERE rn <= 3
 """
+
+
+def _orders_cents(sf_dir: str):
+    """orders with o_totalprice as exact integer cents (float sums are
+    accumulation-order-dependent; int64 partials are not)."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return orders.map_batches(pre, batch_format="pyarrow")
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): finest level + per-priority
+    subtotals + grand total, NULL-keyed like the SQL shape."""
+    from ..stages.relational import rollup_aggregate
+
+    return rollup_aggregate(
+        _orders_cents(sf_dir),
+        ["o_orderpriority", "o_orderstatus"],
+        {"sum_cents": ("cents", "sum")},
+        count_as="n_orders",
+    )
+
+
+def q_pivot_order_status(sf_dir: str):
+    """Wide pivot: one row per priority, one int64 column per order
+    status holding the summed cents (0 for absent cells)."""
+    from ..stages.relational import pivot_wide
+
+    wide = pivot_wide(
+        _orders_cents(sf_dir),
+        "o_orderpriority",
+        "o_orderstatus",
+        "cents",
+        agg="sum",
+        fill=0,
+    )
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c != "o_orderpriority":
+                df[c] = df[c].astype(np.int64)
+        return df
+
+    return wide.map_batches(clean, batch_format="pandas")
+
+
+QUERIES["rollup_orders"] = q_rollup_orders
+QUERIES["pivot_order_status"] = q_pivot_order_status
+
+ORACLE_SQL["rollup_orders"] = """
+SELECT o_orderpriority, o_orderstatus,
+       (SUM(CAST(round(o_totalprice * 100) AS BIGINT)))::BIGINT AS sum_cents,
+       count(*) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+ORACLE_SQL["pivot_order_status"] = """
+SELECT o_orderpriority,
+       (SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END))::BIGINT AS o_orderstatus_F,
+       (SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END))::BIGINT AS o_orderstatus_O,
+       (SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END))::BIGINT AS o_orderstatus_P
+FROM orders GROUP BY o_orderpriority
+"""

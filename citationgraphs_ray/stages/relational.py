@@ -1,0 +1,156 @@
+"""Multi-level grouped aggregation shapes: ROLLUP and PIVOT.
+
+The reference's analytics surface is single-level grouped histograms
+(year buckets, CitationGraphs.go:3947-3961) — a reporting pipeline over
+the same tables also wants the subtotal/grand-total and wide layouts SQL
+spells GROUP BY ROLLUP and PIVOT. Both are built on the combiner-style
+``fast_grouped_agg``:
+
+- :func:`rollup_aggregate` scans the input ONCE at the finest level and
+  cascades the (small) grouped partials upward — sum/min/max/count all
+  re-aggregate losslessly, so coarser levels never touch the raw table.
+  At 100 TB that is one wide shuffle plus sketch-sized follow-ups.
+- :func:`pivot_wide` aggregates on (index, category) — one shuffle whose
+  reduce side is bounded by index-cardinality × category-cardinality —
+  then widens per hash-bucket of the index with a vectorized pandas
+  pivot; the category list is discovered from the grouped result (tiny
+  by pivot's nature) or passed explicitly to skip that pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..utils import _hash_partition_column, collect_table, fast_grouped_agg
+
+_CASCADE_FN = {"sum": "sum", "min": "min", "max": "max"}
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    count_as: str | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): every key prefix (finest → grand total),
+    coarser levels carrying NULL in the rolled-away key columns.
+
+    aggs: {out_col: (in_col, fn)} with fn in sum|min|max (the lossless
+    cascades; means/medians do not re-aggregate and are rejected).
+    """
+    aggs = aggs or {}
+    for out, (_, fn) in aggs.items():
+        if fn not in _CASCADE_FN:
+            raise ValueError(
+                f"rollup_aggregate: {out!r} uses {fn!r}; only "
+                f"{sorted(_CASCADE_FN)} cascade losslessly across levels"
+            )
+
+    schema = ds.schema()
+    key_types = {k: schema.base_schema.field(k).type for k in keys}
+
+    finest = fast_grouped_agg(ds, keys, aggs, count_as=count_as).materialize()
+    out_cols = list(aggs) + ([count_as] if count_as else [])
+
+    # re-aggregation spec over the partials: counts become sums
+    respec = {o: (o, _CASCADE_FN[fn]) for o, (_, fn) in aggs.items()}
+    if count_as:
+        respec[count_as] = (count_as, "sum")
+
+    def normalize(level_keys: list[str]):
+        """Project to the full (keys + out_cols) schema, null-filling the
+        rolled-away key columns."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (
+                    t[k]
+                    if k in level_keys
+                    else pa.nulls(t.num_rows, type=key_types[k])
+                )
+            for c in out_cols:
+                cols[c] = t[c]
+            return pa.table(cols)
+
+        return fn
+
+    levels = [finest.map_batches(normalize(keys), batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        lv = keys[:i]
+        if lv:
+            g = fast_grouped_agg(cur, lv, respec).materialize()
+        else:
+            const = cur.map_batches(
+                lambda t: t.append_column(
+                    "__all", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+            g = (
+                fast_grouped_agg(const, ["__all"], respec)
+                .drop_columns(["__all"])
+                .materialize()
+            )
+        levels.append(g.map_batches(normalize(lv), batch_format="pyarrow"))
+        cur = g
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def pivot_wide(
+    ds: ray.data.Dataset,
+    index_col: str,
+    col_col: str,
+    val_col: str,
+    agg: str = "sum",
+    categories: list | None = None,
+    fill: float = 0.0,
+) -> ray.data.Dataset:
+    """Wide pivot: one row per ``index_col``, one column per category of
+    ``col_col`` holding agg(val_col), named ``{col_col}_{category}``.
+
+    Missing (index, category) cells get ``fill``. Output columns follow
+    sorted category order so the wide schema is deterministic.
+    """
+    grouped = fast_grouped_agg(
+        ds, [index_col, col_col], {"__val": (val_col, agg)}
+    ).materialize()
+    if categories is None:
+        cats_tbl = collect_table(
+            fast_grouped_agg(grouped, [col_col], {})
+        )
+        categories = sorted(cats_tbl[col_col].to_pylist())
+    wide_cols = [f"{col_col}_{c}" for c in categories]
+
+    P = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pivot_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(
+            index=index_col,
+            columns=col_col,
+            values="__val",
+            aggfunc=_CASCADE_FN.get(agg, "sum"),
+            fill_value=fill,
+        ).reindex(columns=categories, fill_value=fill)
+        w.columns = wide_cols
+        return w.reset_index()
+
+    return (
+        grouped.map_batches(
+            lambda t: _hash_partition_column(t, [index_col], P),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda df: pivot_bucket(df.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )

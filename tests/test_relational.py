@@ -1,0 +1,109 @@
+"""ROLLUP / PIVOT operators vs DuckDB on the orders table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from citationgraphs_ray.stages.relational import pivot_wide, rollup_aggregate
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders():
+    return ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_orderkey"],
+    ).materialize()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.fillna({"o_orderpriority": "<null>", "o_orderstatus": "<null>"})
+        .sort_values(list(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+def test_rollup_matches_sql(orders, con):
+    got = rollup_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        {"max_key": ("o_orderkey", "max"), "sum_key": ("o_orderkey", "sum")},
+        count_as="n",
+    ).to_pandas()
+    exp = con.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  max(o_orderkey) AS max_key, sum(o_orderkey)::BIGINT AS sum_key,
+                  count(*) AS n
+           FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+    ).df()
+    exp["sum_key"] = exp["sum_key"].astype(np.int64)
+    got, exp = _norm(got), _norm(exp[list(got.columns)])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # one grand-total row, null in every key column
+    gt = got[got.o_orderpriority == "<null>"]
+    assert (gt.o_orderstatus == "<null>").all()
+    assert gt.n.sum() == orders.count()
+
+
+def test_rollup_rejects_non_cascading_agg(orders):
+    with pytest.raises(ValueError, match="cascade"):
+        rollup_aggregate(
+            orders, ["o_orderstatus"], {"m": ("o_orderkey", "mean")}
+        )
+
+
+def test_pivot_matches_sql(orders, con):
+    got = (
+        pivot_wide(
+            orders, "o_orderpriority", "o_orderstatus", "o_orderkey", agg="sum"
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    exp = con.sql(
+        """SELECT o_orderpriority,
+                  coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_orderkey END), 0)::BIGINT AS o_orderstatus_F,
+                  coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_orderkey END), 0)::BIGINT AS o_orderstatus_O,
+                  coalesce(sum(CASE WHEN o_orderstatus='P' THEN o_orderkey END), 0)::BIGINT AS o_orderstatus_P
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[list(exp.columns)], exp, check_dtype=False
+    )
+
+
+def test_pivot_explicit_categories_fill():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "idx": [1, 1, 2],
+                "cat": ["a", "b", "a"],
+                "v": [10, 20, 30],
+            }
+        )
+    )
+    got = (
+        pivot_wide(ds, "idx", "cat", "v", categories=["a", "b", "zzz"], fill=0)
+        .to_pandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["idx", "cat_a", "cat_b", "cat_zzz"]
+    assert got.cat_zzz.tolist() == [0, 0]
+    assert got.cat_a.tolist() == [10, 30]
+    assert got.cat_b.tolist() == [20, 0]
