@@ -3669,3 +3669,61 @@ SELECT o_orderpriority,
                  ELSE 0 END))::BIGINT AS o_orderstatus_P
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def q_edit_distance_dedup(sf_dir: str):
+    """Levenshtein near-dup clusters (normalized distance ≤ 0.25) with
+    the ngram family's shingle blocking — the SQL twin replays the same
+    blocking and DuckDB's levenshtein() through the same recursive-CTE
+    CC, so the whole pipeline is value-hash-checked end to end."""
+    from ..stages.dedup import edit_distance_dedup
+
+    return edit_distance_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_ratio=0.25
+    )
+
+
+QUERIES["edit_distance_dedup"] = q_edit_distance_dedup
+
+ORACLE_SQL["edit_distance_dedup"] = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+ids AS (SELECT doc_id AS i FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+    FROM tok)
+  WHERE s <> ''),
+hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 50),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM hot)),
+ver AS (
+  SELECT c.src, c.dst FROM cand c
+  JOIN documents a ON a.doc_id = c.src
+  JOIN documents b ON b.doc_id = c.dst
+  WHERE levenshtein(a.text, b.text)::DOUBLE
+        / greatest(len(a.text), len(b.text), 1) <= 0.25),
+sym AS (SELECT src, dst FROM ver UNION SELECT dst AS src, src AS dst FROM ver),
+cc(it, labels, changed) AS (
+  SELECT 0, (SELECT list(t.i ORDER BY t.i) FROM ids t), 1
+  UNION ALL
+  SELECT it + 1, new_labels,
+    len(list_filter(list_zip(new_labels, labels), p -> p[1] <> p[2]))
+  FROM (
+    SELECT it, labels,
+      (SELECT list(LEAST(labels[n.i + 1], COALESCE(
+          (SELECT MIN(labels[e.src + 1]) FROM sym e WHERE e.dst = n.i),
+          labels[n.i + 1])) ORDER BY n.i)
+       FROM ids n) AS new_labels
+    FROM cc WHERE changed > 0 AND it < 1000
+  )
+)
+SELECT n.i AS id, l.labels[n.i + 1] AS cluster_id
+FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
+ORDER BY id
+"""

@@ -968,6 +968,188 @@ def ngram_jaccard_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str, limit: int | None = None) -> int:
+    """Levenshtein distance via the row DP, vectorized over ``b``: the
+    substitution/deletion row is one numpy minimum, the serial insertion
+    chain cur[j] = min(cur[j], cur[j-1]+1) collapses to
+    minimum.accumulate(cur - j) + j (d[j] = cur[j] - j is non-increasing
+    under min-plus-1 from the left). len(a) numpy passes of width len(b)
+    instead of a len(a)·len(b) Python loop.
+
+    ``limit``: early-out — once every cell of a row exceeds it, returns
+    limit + 1 (callers only need "is the distance ≤ limit").
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    if limit is not None and abs(la - lb) > limit:
+        return limit + 1
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        sub = prev[:-1] + (bb != ord(ca))
+        cur[0] = i
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        np.subtract(cur, idx, out=cur)
+        np.minimum.accumulate(cur, out=cur)
+        np.add(cur, idx, out=cur)
+        prev, cur = cur, prev
+        if limit is not None and int(prev.min()) > limit:
+            return limit + 1
+    return int(prev[lb])
+
+
+def _edit_keep(a: str | None, b: str | None, max_ratio: float) -> bool:
+    """Normalized-distance predicate: lev(a,b) / max(len a, len b, 1)
+    ≤ max_ratio, with the same double division a SQL twin computes."""
+    a = a or ""
+    b = b or ""
+    if a == b:
+        return True
+    m = max(len(a), len(b), 1)
+    limit = int(max_ratio * m) + 1  # band upper bound, never cuts boundary
+    d = _levenshtein(a, b, limit)
+    return d / m <= max_ratio
+
+
+def _text_features(
+    ds: ray.data.Dataset, text_col: str, id_col: str
+) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": t[id_col].cast(pa.int64()), "feat": t[text_col]}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _verify_edit_distance(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    max_ratio: float,
+    text_col: str,
+    id_col: str,
+    num_ids: int,
+    verify: str = "auto",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Same broadcast/partitioned split as ``_verify_jaccard``, with the
+    raw text as the pair feature and the banded DP as the predicate."""
+    if verify == "auto":
+        verify = (
+            "broadcast" if num_ids <= BROADCAST_VERIFY_MAX_IDS else "partitioned"
+        )
+    if verify == "broadcast":
+        tbl = collect_table(_text_features(ds, text_col, id_col))
+        txt_map = dict(zip(tbl["id"].to_pylist(), tbl["feat"].to_pylist()))
+        txt_ref = ray.put(txt_map)
+
+        class Verify:
+            def __init__(self) -> None:
+                self.txt = ray.get(txt_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                txt = self.txt
+                keep = [
+                    _edit_keep(txt.get(s), txt.get(d), max_ratio)
+                    for s, d in zip(
+                        batch["src"].to_pylist(), batch["dst"].to_pylist()
+                    )
+                ]
+                return batch.filter(pa.array(keep))
+
+        # candidates land in ONE fast_distinct block; a banded DP costs
+        # ~0.5-1 ms/pair (vs ~5 µs for a set-Jaccard), so split far more
+        # aggressively than the jaccard verifier or the stage runs serial.
+        cand = cand.materialize()
+        P = max(1, min(32, -(-cand.count() // 500)))
+        return cand.repartition(P).map_batches(
+            Verify, batch_format="pyarrow", concurrency=(1, 8)
+        )
+
+    feats = _text_features(ds, text_col, id_col)
+    s1 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    with_src = _attach_feature(
+        cand, feats, "src", "text_src", s1, pa.string(), num_partitions
+    )
+    s2 = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("text_src", pa.string())]
+    )
+    with_both = _attach_feature(
+        with_src, feats, "dst", "text_dst", s2, pa.string(), num_partitions
+    )
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        keep = [
+            _edit_keep(a, b, max_ratio)
+            for a, b in zip(
+                batch["text_src"].to_pylist(), batch["text_dst"].to_pylist()
+            )
+        ]
+        return batch.select(["src", "dst"]).filter(pa.array(keep))
+
+    return with_both.map_batches(verify_batch, batch_format="pyarrow")
+
+
+def edit_distance_dedup(
+    ds: ray.data.Dataset,
+    max_ratio: float = 0.25,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ids: int | None = None,
+    max_bucket: int = 50,
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    """Near-dup clusters under normalized Levenshtein distance:
+    lev(a, b) / max(len a, len b, 1) ≤ ``max_ratio``.
+
+    Candidates come from the SAME shingle blocking as
+    :func:`ngram_jaccard_dedup` (docs sharing any shingle, stop-shingle
+    buckets dropped above ``max_bucket``) — edit-similar docs share
+    shingles unless every window mutated, the standard recall trade every
+    blocked pair-verifier makes. Verification is the banded numpy row-DP
+    over the candidate pairs only; clustering is the CC kernel."""
+    if num_ids is None:
+        num_ids = int(ds.max(id_col)) + 1
+
+    feats = shingle_features(ds, text_col, id_col, shingle_k)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t["feat"]).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["id"].to_numpy(zero_copy_only=False), n)
+        return pa.table(
+            {id_col: pa.array(ids), "shingle": pc.list_flatten(t["feat"])}
+        )
+
+    rows = feats.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))
+        if len(ids) < 2 or len(ids) > max_bucket:  # hot-shingle guard
+            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
+        src, dst = zip(*combinations(ids, 2))
+        return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
+
+    cand = fast_distinct(
+        _expand_buckets_distributed(rows, ["shingle"], bucket_pairs),
+        ["src", "dst"],
+    )
+    verified = _verify_edit_distance(
+        cand, ds, max_ratio, text_col, id_col, num_ids, verify
+    )
+    return resolve_dup_clusters(verified, num_ids)
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (random-hyperplane LSH)
 # ---------------------------------------------------------------------------
 

@@ -629,3 +629,61 @@ def test_shingle_hash_scalar_equals_batch():
     c = _shingle_hash_array("q1 q2 q3 q4 q5", 3)
     assert np.array_equal(a, b)
     assert not set(a) & set(c)
+
+
+def test_levenshtein_matches_reference_dp():
+    import random
+
+    from citationgraphs_ray.stages.dedup import _levenshtein
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    rng = random.Random(11)
+    for _ in range(200):
+        a = "".join(rng.choices("abcd ", k=rng.randint(0, 30)))
+        b = "".join(rng.choices("abcd ", k=rng.randint(0, 30)))
+        assert _levenshtein(a, b) == ref(a, b)
+        r, lim = ref(a, b), rng.randint(0, 12)
+        got = _levenshtein(a, b, lim)
+        # early-out contract: exact when within limit, else any value > limit
+        assert got == r if r <= lim else got > lim
+
+
+def test_edit_distance_dedup():
+    from citationgraphs_ray.stages.dedup import edit_distance_dedup
+
+    ds = _docs([BASE, NEAR, OTHER, BASE])
+    out = edit_distance_dedup(ds, max_ratio=0.2).to_pandas().sort_values("id")
+    cl = list(out.cluster_id)
+    assert cl[0] == cl[1] == cl[3] == 0  # one-word mutation clusters
+    assert cl[2] == 2
+
+
+def test_edit_distance_partitioned_verify_equals_broadcast():
+    from citationgraphs_ray.stages.dedup import edit_distance_dedup
+
+    texts = [f"shared prefix tokens for doc {i} payload tail" for i in range(30)]
+    texts[9] = texts[4] + " x"
+    texts[21] = texts[4]
+    ds = _docs(texts)
+    a = (
+        edit_distance_dedup(ds, max_ratio=0.2, verify="broadcast")
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        edit_distance_dedup(ds, max_ratio=0.2, verify="partitioned")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(a.cluster_id) == list(b.cluster_id)
+    assert a.cluster_id.iloc[9] == a.cluster_id.iloc[4] == a.cluster_id.iloc[21]
