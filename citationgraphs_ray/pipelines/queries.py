@@ -3727,3 +3727,75 @@ SELECT n.i AS id, l.labels[n.i + 1] AS cluster_id
 FROM (SELECT labels FROM cc ORDER BY it DESC LIMIT 1) l, ids n
 ORDER BY id
 """
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user LAG/LEAD over event values ordered by time (ties
+    pre-aggregated per the operator contract) plus the delta vs the
+    previous event — the ANSI window-function shape."""
+    from ..stages.temporal import lag_lead
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    uniq = fast_grouped_agg(ev, ["user_id", "ts"], {"v": ("value", "sum")})
+    r = lag_lead(uniq, "user_id", "ts", "v", lags=(1,), leads=(1,))
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        lag1 = t["v_lag1"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "v": pa.array(_round6(v)),
+                "prev_v": pa.array(_round6(lag1)),
+                "next_v": pa.array(
+                    _round6(t["v_lead1"].to_numpy(zero_copy_only=False))
+                ),
+                "delta": pa.array(_round6(v - lag1)),
+            }
+        )
+
+    return r.map_batches(clean, batch_format="pyarrow")
+
+
+QUERIES["event_deltas"] = q_event_deltas
+
+ORACLE_SQL["event_deltas"] = """
+WITH uniq AS (
+  SELECT user_id, ts, round(sum(value), 6) AS v
+  FROM events GROUP BY user_id, ts)
+SELECT user_id, epoch_us(ts) AS ts_us, v,
+       round(LAG(v) OVER w, 6) AS prev_v,
+       round(LEAD(v) OVER w, 6) AS next_v,
+       round(v - LAG(v) OVER w, 6) AS delta
+FROM uniq WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+def q_chunk_dedup_signal(sf_dir: str):
+    """Chunk-level (10-token) cross-corpus duplication fractions per
+    doc — the line-level exact-dedup cleaning gate."""
+    from ..stages.text import chunk_dedup_signal
+
+    return chunk_dedup_signal(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=10
+    )
+
+
+QUERIES["chunk_dedup_signal"] = q_chunk_dedup_signal
+
+ORACLE_SQL["chunk_dedup_signal"] = """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+ch AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, (len(w) + 9) // 10),
+                i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))) AS chunk
+  FROM tok),
+df AS (SELECT chunk, count(*) AS d FROM ch GROUP BY chunk)
+SELECT ch.doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       round(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_chunk_frac
+FROM ch JOIN df USING (chunk)
+GROUP BY ch.doc_id
+"""

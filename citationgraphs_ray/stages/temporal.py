@@ -309,6 +309,69 @@ def rolling_window(
     )
 
 
+def lag_lead(
+    events: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key LAG/LEAD: appends ``{value_col}_lag{n}`` /
+    ``{value_col}_lead{n}`` (float64, NaN≡SQL NULL at partition edges),
+    ordered by ``ts`` within ``key`` — ANSI
+    ``LAG(v, n) OVER (PARTITION BY key ORDER BY ts)`` semantics.
+
+    Contract: rows unique per ``(key, ts)`` (same as
+    :func:`rolling_window`; SQL LAG over order-by ties is
+    tie-order-dependent) — pre-aggregate ties upstream.
+
+    One hash shuffle on ``key`` into P coarse buckets; the in-bucket
+    kernel is one mergesort + cython ``groupby(...).shift`` per offset —
+    no per-key Python dispatch, so P (not key cardinality) bounds task
+    count and memory.
+    """
+    types = _types_of(events)
+    shift_cols = [f"{value_col}_lag{n}" for n in lags] + [
+        f"{value_col}_lead{n}" for n in leads
+    ]
+    out_cols = list(types) + shift_cols
+    types = {**types, **{c: pa.float64() for c in shift_cols}}
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").sort_values(
+            [key, ts], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        dup = df.duplicated([key, ts])
+        if dup.any():
+            raise ValueError(
+                "lag_lead: duplicate (key, ts) rows violate the "
+                "unique-(key, ts) contract (SQL LAG over ties is "
+                "tie-order-dependent) — pre-aggregate ties, e.g. "
+                f"fast_grouped_agg on ({key}, {ts})"
+            )
+        g = df.groupby(key, sort=False, dropna=False)[value_col]
+        for n in lags:
+            df[f"{value_col}_lag{n}"] = g.shift(n).to_numpy()
+        for n in leads:
+            df[f"{value_col}_lead{n}"] = g.shift(-n).to_numpy()
+        return _cast_out(df, out_cols, types)
+
+    return (
+        events.map_batches(
+            lambda t: _hash_partition_column(t, [key], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     key: str,

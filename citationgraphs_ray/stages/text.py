@@ -373,3 +373,87 @@ def repetition_score_batch(
             "top_bigram_frac": pa.array(r6(top_frac)),
         }
     )
+
+
+def chunk_dedup_signal(
+    ds,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Cross-corpus chunk-level duplication signal: split each doc into
+    fixed ``chunk_tokens``-token chunks (last chunk partial), count per
+    doc how many of its DISTINCT chunks also occur in ≥2 distinct docs.
+    Returns (doc_id, n_chunks, dup_chunks, dup_chunk_frac) — the
+    line/paragraph-level exact-dedup quality gate of corpus-cleaning
+    pipelines, at the chunk granularity this corpus has (no sentence
+    delimiters).
+
+    Shape: chunk rows → one grouped count on the chunk hash (combiner
+    aggregate) → one bucketed reduce-side join back → one per-doc
+    grouped aggregate. Nothing driver-side; both shuffles keyed and
+    bounded. Docs with zero tokens emit no row (no chunks to score).
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    from ..utils import bucketed_inner_join, fast_grouped_agg
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        chunks: list[str] = []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            seen = set()
+            for s in range(0, len(toks), chunk_tokens):
+                c = " ".join(toks[s : s + chunk_tokens])
+                if c not in seen:
+                    seen.add(c)
+                    ids.append(i)
+                    chunks.append(c)
+        h = pd.util.hash_array(np.asarray(chunks, dtype=object)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "chunk_hash": pa.array(h),
+            }
+        )
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow")
+    df = fast_grouped_agg(rows, ["chunk_hash"], count_as="d")
+    joined = bucketed_inner_join(rows, df, ["chunk_hash"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "dup": pa.array((d >= 2).astype(np.int64)),
+            }
+        )
+
+    per_doc = fast_grouped_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        [id_col],
+        {"dup_chunks": ("dup", "sum")},
+        count_as="n_chunks",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = t["dup_chunks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.floor(dup / n * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chunks": t["n_chunks"],
+                "dup_chunks": t["dup_chunks"],
+                "dup_chunk_frac": pa.array(frac),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

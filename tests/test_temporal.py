@@ -379,3 +379,71 @@ def test_sessionize_null_keys_share_partition():
     nulls = out[out["k"].isna()].sort_values("ts")
     # one NULL partition: the 99-gap splits it into sessions 1 and 2
     assert nulls["session_idx"].tolist() == [1, 2]
+
+
+def test_lag_lead_matches_duckdb(event_frames):
+    import duckdb
+
+    from citationgraphs_ray.stages.temporal import lag_lead
+
+    left, _ = event_frames
+    df = left.drop_duplicates(["user_id", "ts"]).copy()
+    df["value"] = df["event_id"].astype(np.float64) * 1.5
+    got = (
+        lag_lead(_ds(df), "user_id", "ts", "value", lags=(1, 2), leads=(1,))
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT user_id, ts, value,
+                  LAG(value) OVER w AS value_lag1,
+                  LAG(value, 2) OVER w AS value_lag2,
+                  LEAD(value) OVER w AS value_lead1
+           FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           ORDER BY user_id, ts"""
+    ).df()
+    for c in ("value_lag1", "value_lag2", "value_lead1"):
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_lag_lead_rejects_duplicate_key_ts():
+    from citationgraphs_ray.stages.temporal import lag_lead
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [pd.Timestamp("2024-01-01")] * 2,
+            "value": [1.0, 2.0],
+        }
+    )
+    with pytest.raises(Exception, match="unique-"):
+        lag_lead(_ds(df), "user_id", "ts", "value").materialize()
+
+
+def test_chunk_dedup_signal():
+    from citationgraphs_ray.stages.text import chunk_dedup_signal
+
+    shared = " ".join(f"tok{i}" for i in range(10))  # one exact 10-token chunk
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                shared + " unique tail alpha beta gamma",
+                shared + " other tail delta epsilon zeta",
+                "entirely different words " * 4,
+            ],
+        }
+    )
+    got = (
+        chunk_dedup_signal(_ds(docs), chunk_tokens=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # docs 0/1 share exactly their first chunk; doc 2 shares nothing
+    assert got.n_chunks.tolist() == [2, 2, 2]
+    assert got.dup_chunks.tolist() == [1, 1, 0]
+    assert got.dup_chunk_frac.tolist() == [0.5, 0.5, 0.0]
