@@ -46,9 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
             "hits",
             "ppr",
             "mis",
+            "katz",
         ],
-        help="analysis to run over the extracted edge table (hits/mis run "
-        "on the broadcast engine regardless of --engine; ppr honors it)",
+        help="analysis to run over the extracted edge table (hits/mis/katz "
+        "run on the broadcast engine regardless of --engine; ppr honors it)",
+    )
+    p.add_argument(
+        "--katz-alpha",
+        type=float,
+        default=0.001,
+        help="attenuation for --kernel katz (must be < 1/lambda_max)",
     )
     p.add_argument(
         "--engine",
@@ -167,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    # actual engine a kernel ran on (triangles/mis/katz and non-csr ppr
+    # always use the broadcast engine, whatever --engine says)
+    engine_used = "broadcast"
     if args.kernel == "triangles":
         res = triangle_counts(symmetrize_edges(edges), V)
         state, iters, converged = res.state, res.iterations, True
@@ -183,6 +193,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         state, iters, converged = res.state, res.iterations, res.converged
         col = "state"
+    elif args.kernel == "katz":
+        from .graph.engine import katz_centrality
+
+        res = katz_centrality(
+            edges,
+            V,
+            alpha=args.katz_alpha,
+            tol=args.tol,
+            max_iters=args.max_iters,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        state, iters, converged = res.state, res.iterations, res.converged
+        col = "katz"
     elif args.kernel == "ppr" and args.engine != "csr":
         seeds = [int(s) for s in args.seeds.split(",") if s.strip() != ""]
         res = pagerank(
@@ -289,6 +313,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         eng.shutdown()
+        engine_used = "csr"
     else:
         kw = dict(checkpoint_dir=args.checkpoint_dir, resume=args.resume)
         if args.kernel == "pagerank":
@@ -337,7 +362,7 @@ def main(argv: list[str] | None = None) -> int:
         json.dumps(
             {
                 "kernel": args.kernel,
-                "engine": args.engine,
+                "engine": engine_used,
                 "V": V,
                 "iterations": iters,
                 "converged": bool(converged),

@@ -3799,3 +3799,39 @@ SELECT ch.doc_id, count(*) AS n_chunks,
 FROM ch JOIN df USING (chunk)
 GROUP BY ch.doc_id
 """
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality, 15 fixed supersteps at alpha=0.001/beta=1 (alpha < 1/lambda_max on this graph, so the series converges and round6 is float-order-proof) — the
+    attenuated-walk generalization of in-citation counting
+    (graph/engine.py:katz_centrality); fixed rounds on both sides so the
+    recursive-CTE twin is value-hash comparable after round6."""
+    from ..graph.engine import katz_centrality
+
+    edges = derive_edges(sf_dir).materialize()
+    res = katz_centrality(edges, GRAPH_MOD, alpha=0.001, beta=1.0, max_iters=15)
+    ids = np.arange(GRAPH_MOD, dtype=np.int64)
+    return pa.table(
+        {"id": pa.array(ids), "katz": pa.array(_round6(res.state))}
+    )
+
+
+QUERIES["katz"] = q_katz
+
+ORACLE_SQL["katz"] = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+st(it, x) AS (
+  SELECT 0, (SELECT list(1.0::DOUBLE) FROM range({GRAPH_MOD}))
+  UNION ALL
+  SELECT it + 1,
+    (SELECT list(
+        1.0::DOUBLE + 0.001::DOUBLE * COALESCE(
+          (SELECT SUM(x[e.src + 1]) FROM edges e WHERE e.dst = n.i),
+          0.0::DOUBLE) ORDER BY n.i)
+     FROM range({GRAPH_MOD}) AS n(i))
+  FROM st WHERE it < 15
+)
+SELECT n.i AS id, FLOOR(f.x[n.i + 1] * 1e6 + 0.5) / 1e6 AS katz
+FROM (SELECT x FROM st ORDER BY it DESC LIMIT 1) f, range({GRAPH_MOD}) AS n(i)
+ORDER BY id"""

@@ -979,3 +979,52 @@ def test_k_truss_gate_unroll_covers_fixpoint():
     ).materialize()
     _, rounds = kt(sym, GRAPH_MOD, TRUSS_K)
     assert rounds <= TRUSS_SQL_ROUNDS
+
+
+def _katz_numpy(earr, V, alpha, beta, iters):
+    x = np.full(V, beta)
+    for _ in range(iters):
+        nx = np.full(V, beta)
+        np.add.at(nx, earr[:, 1], alpha * x[earr[:, 0]])
+        x = nx
+    return x
+
+
+def test_katz_reduce_strategies_agree(small_graph):
+    from citationgraphs_ray.graph.engine import katz_centrality
+
+    edges, _, earr, V = small_graph
+    exp = _katz_numpy(earr, V, 0.01, 1.0, 12)
+    for mode in ("local", "driver", "groupby"):
+        r = katz_centrality(
+            edges, V, alpha=0.01, beta=1.0, max_iters=12, reduce=mode
+        )
+        assert np.allclose(r.state, exp, atol=1e-9), mode
+        assert r.iterations == 12
+
+
+def test_katz_converges_to_linear_solve():
+    from citationgraphs_ray.graph.engine import katz_centrality
+
+    # path graph 0→1→2→3: closed form x = (I - a·A^T)^-1 · b·1
+    earr = np.array([[0, 1], [1, 2], [2, 3]], dtype=np.int64)
+    V, a, b = 4, 0.3, 1.0
+    A = np.zeros((V, V))
+    A[earr[:, 0], earr[:, 1]] = 1.0
+    exp = np.linalg.solve(np.eye(V) - a * A.T, np.full(V, b))
+    r = katz_centrality(_edge_ds(earr), V, alpha=a, beta=b, tol=1e-13, max_iters=500)
+    assert r.converged
+    assert np.allclose(r.state, exp, atol=1e-10)
+
+
+def test_katz_resume_equals_uninterrupted(small_graph, tmp_path):
+    from citationgraphs_ray.graph.engine import katz_centrality
+
+    edges, _, earr, V = small_graph
+    full = katz_centrality(edges, V, alpha=0.01, max_iters=12)
+    d = str(tmp_path / "katz_ck")
+    katz_centrality(edges, V, alpha=0.01, max_iters=6, checkpoint_dir=d)
+    resumed = katz_centrality(
+        edges, V, alpha=0.01, max_iters=12, checkpoint_dir=d, resume=True
+    )
+    assert np.array_equal(full.state, resumed.state)
