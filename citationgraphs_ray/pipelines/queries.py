@@ -3835,3 +3835,53 @@ st(it, x) AS (
 SELECT n.i AS id, FLOOR(f.x[n.i + 1] * 1e6 + 0.5) / 1e6 AS katz
 FROM (SELECT x FROM st ORDER BY it DESC LIMIT 1) f, range({GRAPH_MOD}) AS n(i)
 ORDER BY id"""
+
+
+def q_quantity_moments(sf_dir: str):
+    """Per-(returnflag, linestatus) count/mean/variance of l_quantity in
+    one mergeable-moments pass; integer quantities keep the partial sums
+    exact, so the derived doubles match the SQL twin bit-for-bit before
+    round6."""
+    from ..stages.relational import grouped_moments
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    m = grouped_moments(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", assume_integral=True
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n": t["n"],
+                "mean_qty": pa.array(
+                    _round6(t["mean"].to_numpy(zero_copy_only=False))
+                ),
+                "var_qty": pa.array(
+                    _round6(t["var"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return m.map_batches(clean, batch_format="pyarrow")
+
+
+QUERIES["quantity_moments"] = q_quantity_moments
+
+# the oracle spells the SAME moment formula over the SAME exact integer
+# sums (var_pop's internal accumulation order would not be reproducible)
+ORACLE_SQL["quantity_moments"] = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         sum(l_quantity::BIGINT)::BIGINT AS sx,
+         sum((l_quantity::BIGINT) * (l_quantity::BIGINT))::BIGINT AS sx2
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, n,
+       round(sx::DOUBLE / n, 6) AS mean_qty,
+       round((sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n, 6) AS var_qty
+FROM s
+"""

@@ -105,6 +105,55 @@ def rollup_aggregate(
     return out
 
 
+def grouped_moments(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    assume_integral: bool = False,
+) -> ray.data.Dataset:
+    """Per-group count / mean / population variance in ONE combiner-style
+    pass: partial (Σx, Σx², n) per block, merged by ``fast_grouped_agg``,
+    moments derived at the end — the mergeable-statistic shape (no second
+    pass over the data, unlike the textbook mean-then-deviations form).
+
+    With ``assume_integral`` the sums accumulate as int64 (exact under any
+    merge order — the determinism the value-hash gate needs); the caller
+    asserts Σx² fits int64. Otherwise float64 partials (standard
+    sum-of-squares caveat: catastrophic cancellation when stddev ≪ mean).
+    Returns (keys..., n, mean, var).
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False)
+        if assume_integral:
+            x = x.astype(np.int64)
+        else:
+            x = x.astype(np.float64)
+        cols = {k: t[k] for k in keys}
+        cols["__x"] = pa.array(x)
+        cols["__x2"] = pa.array(x * x)
+        return pa.table(cols)
+
+    agg = fast_grouped_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        keys,
+        {"sum_x": ("__x", "sum"), "sum_x2": ("__x2", "sum")},
+        count_as="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t["sum_x2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["n"]
+        cols["mean"] = pa.array(s / n)
+        cols["var"] = pa.array((s2 - s * s / n) / n)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def pivot_wide(
     ds: ray.data.Dataset,
     index_col: str,

@@ -107,3 +107,49 @@ def test_pivot_explicit_categories_fill():
     assert got.cat_zzz.tolist() == [0, 0]
     assert got.cat_a.tolist() == [10, 30]
     assert got.cat_b.tolist() == [20, 0]
+
+
+def test_grouped_moments_matches_numpy(orders):
+    from citationgraphs_ray.stages.relational import grouped_moments
+
+    got = (
+        grouped_moments(
+            orders, ["o_orderstatus"], "o_orderkey", assume_integral=True
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    df = orders.to_pandas()
+    for _, row in got.iterrows():
+        x = df.loc[
+            df.o_orderstatus == row.o_orderstatus, "o_orderkey"
+        ].to_numpy(dtype=np.float64)
+        assert row.n == len(x)
+        assert np.isclose(row["mean"], x.mean())
+        assert np.isclose(row["var"], x.var())
+
+
+def test_grouped_moments_partition_invariant(orders):
+    from citationgraphs_ray.stages.relational import grouped_moments
+
+    a = (
+        grouped_moments(
+            orders.repartition(2), ["o_orderstatus"], "o_orderkey",
+            assume_integral=True,
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    b = (
+        grouped_moments(
+            orders.repartition(17), ["o_orderstatus"], "o_orderkey",
+            assume_integral=True,
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    # exact int partials: bitwise-equal moments under any partitioning
+    pd.testing.assert_frame_equal(a, b)
