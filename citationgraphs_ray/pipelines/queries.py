@@ -3885,3 +3885,26 @@ SELECT l_returnflag, l_linestatus, n,
        round((sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n, 6) AS var_qty
 FROM s
 """
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(priority, status): all four grouping sets from one
+    finest-level scan (stages/relational.py:cube_aggregate)."""
+    from ..stages.relational import cube_aggregate
+
+    return cube_aggregate(
+        _orders_cents(sf_dir),
+        ["o_orderpriority", "o_orderstatus"],
+        {"sum_cents": ("cents", "sum")},
+        count_as="n_orders",
+    )
+
+
+QUERIES["cube_orders"] = q_cube_orders
+
+ORACLE_SQL["cube_orders"] = """
+SELECT o_orderpriority, o_orderstatus,
+       (SUM(CAST(round(o_totalprice * 100) AS BIGINT)))::BIGINT AS sum_cents,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""

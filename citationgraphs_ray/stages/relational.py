@@ -29,25 +29,33 @@ from ..utils import _hash_partition_column, collect_table, fast_grouped_agg
 _CASCADE_FN = {"sum": "sum", "min": "min", "max": "max"}
 
 
-def rollup_aggregate(
+def grouping_sets_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],
+    sets: list[list[str]],
     aggs: dict[str, tuple[str, str]] | None = None,
     count_as: str | None = None,
 ) -> ray.data.Dataset:
-    """GROUP BY ROLLUP(keys): every key prefix (finest → grand total),
-    coarser levels carrying NULL in the rolled-away key columns.
+    """GROUP BY GROUPING SETS: one result row set per entry of ``sets``
+    (each a subset of ``keys``), absent key columns carried as NULL.
 
-    aggs: {out_col: (in_col, fn)} with fn in sum|min|max (the lossless
-    cascades; means/medians do not re-aggregate and are rejected).
+    The raw table is scanned ONCE at the finest level (all ``keys``);
+    every requested set then re-aggregates the (small) finest partials —
+    sum/min/max/count cascade losslessly, means/medians are rejected. At
+    scale that is one wide shuffle plus sketch-sized follow-ups per set.
+
+    aggs: {out_col: (in_col, fn)} with fn in sum|min|max.
     """
     aggs = aggs or {}
     for out, (_, fn) in aggs.items():
         if fn not in _CASCADE_FN:
             raise ValueError(
-                f"rollup_aggregate: {out!r} uses {fn!r}; only "
+                f"grouping_sets_aggregate: {out!r} uses {fn!r}; only "
                 f"{sorted(_CASCADE_FN)} cascade losslessly across levels"
             )
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
 
     schema = ds.schema()
     key_types = {k: schema.base_schema.field(k).type for k in keys}
@@ -78,31 +86,53 @@ def rollup_aggregate(
 
         return fn
 
-    levels = [finest.map_batches(normalize(keys), batch_format="pyarrow")]
-    cur = finest
-    for i in range(len(keys) - 1, -1, -1):
-        lv = keys[:i]
-        if lv:
-            g = fast_grouped_agg(cur, lv, respec).materialize()
+    levels = []
+    for s in sets:
+        if set(s) == set(keys):
+            g = finest
+        elif s:
+            g = fast_grouped_agg(finest, list(s), respec)
         else:
-            const = cur.map_batches(
+            const = finest.map_batches(
                 lambda t: t.append_column(
                     "__all", pa.array(np.zeros(t.num_rows, dtype=np.int64))
                 ),
                 batch_format="pyarrow",
             )
-            g = (
-                fast_grouped_agg(const, ["__all"], respec)
-                .drop_columns(["__all"])
-                .materialize()
+            g = fast_grouped_agg(const, ["__all"], respec).drop_columns(
+                ["__all"]
             )
-        levels.append(g.map_batches(normalize(lv), batch_format="pyarrow"))
-        cur = g
+        levels.append(g.map_batches(normalize(list(s)), batch_format="pyarrow"))
 
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    count_as: str | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): every key prefix (finest → grand total)."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs, count_as)
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    count_as: str | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): every subset of the keys (2^k levels)."""
+    sets = [
+        [k for j, k in enumerate(keys) if mask & (1 << j)]
+        for mask in range((1 << len(keys)) - 1, -1, -1)
+    ]
+    return grouping_sets_aggregate(ds, keys, sets, aggs, count_as)
 
 
 def grouped_moments(

@@ -153,3 +153,36 @@ def test_grouped_moments_partition_invariant(orders):
     )
     # exact int partials: bitwise-equal moments under any partitioning
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cube_matches_sql(orders, con):
+    from citationgraphs_ray.stages.relational import cube_aggregate
+
+    got = cube_aggregate(
+        orders,
+        ["o_orderpriority", "o_orderstatus"],
+        {"sum_key": ("o_orderkey", "sum")},
+        count_as="n",
+    ).to_pandas()
+    exp = con.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  sum(o_orderkey)::BIGINT AS sum_key, count(*) AS n
+           FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"""
+    ).df()
+    exp["sum_key"] = exp["sum_key"].astype(np.int64)
+    got, exp = _norm(got), _norm(exp[list(got.columns)])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the per-status-only level exists (the set ROLLUP cannot produce)
+    st_only = got[
+        (got.o_orderpriority == "<null>") & (got.o_orderstatus != "<null>")
+    ]
+    assert len(st_only) == 3
+
+
+def test_grouping_sets_rejects_non_subset(orders):
+    from citationgraphs_ray.stages.relational import grouping_sets_aggregate
+
+    with pytest.raises(ValueError, match="subset"):
+        grouping_sets_aggregate(
+            orders, ["o_orderstatus"], [["nope"]], {"m": ("o_orderkey", "max")}
+        )
