@@ -3908,3 +3908,72 @@ SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders
 FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
+
+
+def q_customers_without_urgent(sf_dir: str):
+    """LEFT ANTI JOIN (NOT EXISTS): customers with no '1-URGENT' order —
+    only the right side's distinct keys enter the shuffle
+    (utils.py:bucketed_anti_join)."""
+    from ..utils import bucketed_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    renamed = urgent.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    out = bucketed_anti_join(cust, renamed, ["c_custkey"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "acctbal_cents": pa.array(
+                    np.floor(
+                        t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def q_customers_with_urgent(sf_dir: str):
+    """LEFT SEMI JOIN (EXISTS): the complement set through the same
+    membership core — no row duplication from order multiplicity."""
+    from ..utils import bucketed_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    renamed = urgent.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    return bucketed_semi_join(cust, renamed, ["c_custkey"])
+
+
+QUERIES["customers_without_urgent"] = q_customers_without_urgent
+QUERIES["customers_with_urgent"] = q_customers_with_urgent
+
+ORACLE_SQL["customers_without_urgent"] = """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+ORACLE_SQL["customers_with_urgent"] = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""

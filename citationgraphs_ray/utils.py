@@ -334,6 +334,99 @@ def bucketed_inner_join(
     )
 
 
+def _bucketed_membership_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    keep_matched: bool,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Shared core of semi/anti join: ONE hash shuffle of the left rows +
+    the right side's DISTINCT KEYS into P coarse buckets, per-bucket
+    vectorized membership merge. Only keys ship for the right side, so
+    the exchange is bounded by left + |distinct right keys| regardless of
+    right's width or row count. Left columns/types pass through exactly.
+    """
+    import pandas as pd
+
+    ls = left.schema(fetch_if_missing=True)
+    if ls is None:
+        raise ValueError(
+            "semi/anti join: left side has no schema (empty dataset) — "
+            "guard the empty case at the call site"
+        )
+    l_types = dict(zip(ls.names, ls.types))
+    out_cols = list(ls.names)
+    if not set(on) <= set(out_cols):
+        raise ValueError(f"join keys {on!r} missing from left {out_cols!r}")
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    rkeys = fast_distinct(right.select_columns(list(on)), list(on))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in out_cols}
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] if c in on else pa.nulls(t.num_rows, l_types[c])
+                for c in out_cols}
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        rkeys.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def filter_bucket(df: "pd.DataFrame") -> pa.Table:
+        l = df[df["__side"] == 0]
+        rk = df[df["__side"] == 1][list(on)]
+        m = l[list(on)].merge(
+            rk.drop_duplicates(), on=list(on), how="left", indicator=True
+        )
+        matched = (m["_merge"] == "both").to_numpy()
+        out = l[matched if keep_matched else ~matched]
+        arrs = {}
+        for c in out_cols:
+            a = pa.array(out[c].to_numpy(), from_pandas=True)
+            arrs[c] = a.cast(l_types[c]) if a.type != l_types[c] else a
+        return pa.table(arrs)
+
+    return (
+        tagged.map_batches(
+            lambda t: _hash_partition_column(t, list(on), num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda df: filter_bucket(df.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )
+
+
+def bucketed_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """LEFT SEMI JOIN (SQL EXISTS): left rows with ≥1 key match in right,
+    left columns only, no duplication from right multiplicity."""
+    return _bucketed_membership_join(left, right, on, True, num_partitions)
+
+
+def bucketed_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """LEFT ANTI JOIN (SQL NOT EXISTS): left rows with NO key match."""
+    return _bucketed_membership_join(left, right, on, False, num_partitions)
+
+
 _AGG_PARTIAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 # Partial-row count above which stage 2 of fast_grouped_agg/fast_distinct

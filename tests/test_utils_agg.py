@@ -81,3 +81,42 @@ def test_empty_after_filter_preserves_schema():
     sch = out.schema()
     types = dict(zip(sch.names, sch.types))
     assert types["k"] == pa.int64()
+
+
+def test_semi_anti_join_partition_and_complement():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from citationgraphs_ray.utils import bucketed_anti_join, bucketed_semi_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 300).astype(np.int64),
+            "payload": rng.integers(0, 10**12, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": rng.choice(50, 20, replace=False).astype(np.int64)}
+    )
+    # right multiplicity must not duplicate semi rows
+    right = pd.concat([right, right, right])
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    semi = bucketed_semi_join(lds, rds, ["k"]).to_pandas()
+    anti = bucketed_anti_join(lds, rds, ["k"]).to_pandas()
+    member = left.k.isin(set(right.k))
+    assert len(semi) == int(member.sum())
+    assert len(anti) == int((~member).sum())
+    # exact complement, payloads intact (int64 not float-rounded)
+    both = pd.concat([semi, anti]).sort_values(["k", "payload"])
+    exp = left.sort_values(["k", "payload"])
+    assert np.array_equal(both.k.to_numpy(), exp.k.to_numpy())
+    assert np.array_equal(both.payload.to_numpy(), exp.payload.to_numpy())
+    assert both.payload.dtype == np.int64
+    # partition invariance
+    semi7 = bucketed_semi_join(lds, rds, ["k"], num_partitions=7).to_pandas()
+    assert sorted(semi7.payload) == sorted(semi.payload)
