@@ -3977,3 +3977,61 @@ WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
 """
+
+
+def q_region_revenue_rollup(sf_dir: str):
+    """Composition query: two broadcast dimension joins
+    (customer→nation→region) into GROUP BY ROLLUP(region, nation) over
+    integer order cents — star-schema join + multi-level aggregate in
+    one streaming pipeline."""
+    from ..stages.relational import rollup_aggregate
+    from ..utils import broadcast_merge
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    dim = broadcast_merge(
+        broadcast_merge(cust, nation, "c_nationkey", "n_nationkey"),
+        region,
+        "n_regionkey",
+        "r_regionkey",
+    )
+    fact = broadcast_merge(orders, dim, "o_custkey", "c_custkey")
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region": t["r_name"],
+                "nation": t["n_name"],
+                "cents": pa.array(
+                    np.floor(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return rollup_aggregate(
+        fact.map_batches(pre, batch_format="pyarrow"),
+        ["region", "nation"],
+        {"sum_cents": ("cents", "sum")},
+        count_as="n_orders",
+    )
+
+
+QUERIES["region_revenue_rollup"] = q_region_revenue_rollup
+
+ORACLE_SQL["region_revenue_rollup"] = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       (SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)))::BIGINT AS sum_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
