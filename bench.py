@@ -79,6 +79,17 @@ BENCH_QUERIES = [
     "grouped_quantiles_price",
     "heavy_hitters_suppliers",
     "hash_sample_orders",
+    "katz",
+    "bm25_top3",
+    "edit_distance_dedup",
+    "chunk_dedup_signal",
+    "event_deltas",
+    "rollup_orders",
+    "cube_orders",
+    "pivot_order_status",
+    "quantity_moments",
+    "region_revenue_rollup",
+    "customers_without_urgent",
 ]
 
 

@@ -3699,9 +3699,10 @@ sh AS (
   WHERE s <> ''),
 hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 50),
 cand AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  SELECT a.doc_id AS src, b.doc_id AS dst
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  WHERE a.s IN (SELECT s FROM hot)),
+  WHERE a.s IN (SELECT s FROM hot)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
 ver AS (
   SELECT c.src, c.dst FROM cand c
   JOIN documents a ON a.doc_id = c.src

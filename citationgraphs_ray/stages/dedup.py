@@ -32,6 +32,7 @@ import ray.data
 from ..utils import (
     collect_table,
     fast_distinct,
+    fast_grouped_agg,
     list_column_to_matrix,
     matrix_to_list_array,
 )
@@ -1114,17 +1115,21 @@ def edit_distance_dedup(
     id_col: str = "doc_id",
     num_ids: int | None = None,
     max_bucket: int = 50,
+    min_shared: int = 5,
     verify: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup clusters under normalized Levenshtein distance:
     lev(a, b) / max(len a, len b, 1) ≤ ``max_ratio``.
 
-    Candidates come from the SAME shingle blocking as
-    :func:`ngram_jaccard_dedup` (docs sharing any shingle, stop-shingle
-    buckets dropped above ``max_bucket``) — edit-similar docs share
-    shingles unless every window mutated, the standard recall trade every
-    blocked pair-verifier makes. Verification is the banded numpy row-DP
-    over the candidate pairs only; clustering is the CC kernel."""
+    Candidates come from the ngram family's shingle blocking sharpened by
+    a shared-shingle COUNT: a pair must share ≥ ``min_shared`` distinct
+    non-stop shingles (buckets above ``max_bucket`` dropped). The count
+    is the blocking's recall knob — an edit-close pair shares many
+    windows, a topically-similar far pair only a few (measured at sf0.1:
+    ≥5 keeps 305 of 1.13M any-shared pairs and ALL 256 true dups; the
+    single-shared rule made the DP verify 3700× over-verify).
+    Verification is the banded numpy row-DP over the surviving pairs;
+    clustering is the CC kernel."""
     # three consumers (num_ids max, shingle blocking, text verify) — pin
     # the projected input in the object store instead of re-running the
     # upstream read per consumer (measured ~4 s of re-read/re-shingle at
@@ -1151,10 +1156,16 @@ def edit_distance_dedup(
         src, dst = zip(*combinations(ids, 2))
         return pd.DataFrame({"src": src, "dst": dst}).astype(np.int64)
 
-    cand = fast_distinct(
+    # one pair row PER shared shingle → grouped count → min_shared filter
+    # (shingle sets are per-doc distinct, so count == |shared shingles|)
+    pair_counts = fast_grouped_agg(
         _expand_buckets_distributed(rows, ["shingle"], bucket_pairs),
         ["src", "dst"],
+        count_as="shared",
     )
+    cand = pair_counts.filter(
+        expr=f"shared >= {int(min_shared)}"
+    ).select_columns(["src", "dst"])
     verified = _verify_edit_distance(
         cand, ds, max_ratio, text_col, id_col, num_ids, verify
     )
