@@ -4036,3 +4036,57 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY ROLLUP(r.r_name, n.n_name)
 """
+
+
+def q_order_price_ranks(sf_dir: str):
+    """ANSI RANK / DENSE_RANK / PERCENT_RANK of order price within each
+    priority class (stages/temporal.py:rank_in_group)."""
+    from ..stages.temporal import rank_in_group
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    r = rank_in_group(orders, "o_orderpriority", "o_totalprice")
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "rnk": t["rank"],
+                "drnk": t["dense_rank"],
+                "prnk": pa.array(
+                    _round6(t["percent_rank"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return r.map_batches(clean, batch_format="pyarrow")
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (behavioral-sequence aggregate,
+    stages/temporal.py:path_aggregate; ties broken by the value so both
+    sides are deterministic)."""
+    from ..stages.temporal import path_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return path_aggregate(ev, "user_id", "ts", "event_type", sep="->")
+
+
+QUERIES["order_price_ranks"] = q_order_price_ranks
+QUERIES["user_event_paths"] = q_user_event_paths
+
+ORACLE_SQL["order_price_ranks"] = """
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       round(PERCENT_RANK() OVER w, 6) AS prnk
+FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+ORACLE_SQL["user_event_paths"] = """
+SELECT user_id, count(*) AS n_steps,
+       string_agg(event_type, '->' ORDER BY ts, event_type) AS path
+FROM events GROUP BY user_id
+"""

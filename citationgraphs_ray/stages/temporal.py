@@ -372,6 +372,111 @@ def lag_lead(
     )
 
 
+def rank_in_group(
+    events: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key dense ordering stats: appends ``rank`` (1-based, ANSI
+    RANK() — ties share the min rank, gaps after), ``dense_rank`` and
+    ``percent_rank`` ((rank-1)/(n-1), 0 for single-row keys) over
+    ``order_col`` ascending within ``key``.
+
+    Same co-partition shape as :func:`lag_lead` (one hash shuffle into P
+    coarse buckets, vectorized pandas rank kernels in-bucket) — unlike
+    LAG/LEAD, ties are well-defined (SQL peers), so no unique-(key,ts)
+    contract is needed."""
+    types = _types_of(events)
+    out_cols = list(types) + ["rank", "dense_rank", "percent_rank"]
+    types = {
+        **types,
+        "rank": pa.int64(),
+        "dense_rank": pa.int64(),
+        "percent_rank": pa.float64(),
+    }
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").sort_values(
+            [key, order_col], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        g = df.groupby(key, sort=False, dropna=False)[order_col]
+        rank = g.rank(method="min").to_numpy()
+        df["rank"] = rank.astype(np.int64)
+        df["dense_rank"] = g.rank(method="dense").to_numpy().astype(np.int64)
+        n = g.transform("size").to_numpy().astype(np.float64)
+        df["percent_rank"] = np.where(n > 1, (rank - 1.0) / (n - 1.0), 0.0)
+        return _cast_out(df, out_cols, types)
+
+    return (
+        events.map_batches(
+            lambda t: _hash_partition_column(t, [key], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
+def path_aggregate(
+    events: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    value_col: str,
+    sep: str = "->",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key ordered value path: ``(key, n_steps, path)`` with path =
+    the ``value_col`` strings joined by ``sep`` in ``order_col`` order
+    (ties broken by ``value_col`` so the result is deterministic) — the
+    behavioral-sequence shape (SQL string_agg(... ORDER BY ...)).
+
+    One hash shuffle on ``key``; the per-bucket kernel is one mergesort +
+    a pandas groupby str-join (the join itself is inherent string work,
+    bounded per key)."""
+    types = _types_of(events)
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").sort_values(
+            [key, order_col, value_col], kind="mergesort"
+        )
+        if not len(df):
+            return pa.table(
+                {
+                    key: pa.array([], type=types[key]),
+                    "n_steps": pa.array([], type=pa.int64()),
+                    "path": pa.array([], type=pa.string()),
+                }
+            )
+        g = df.groupby(key, sort=False, dropna=False)[value_col]
+        agg = g.agg(n_steps="size", path=lambda s: sep.join(s.astype(str)))
+        out = agg.reset_index()
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(out[key]).cast(types[key]),
+                "n_steps": pa.array(
+                    out["n_steps"].to_numpy().astype(np.int64)
+                ),
+                "path": pa.array(out["path"].tolist(), type=pa.string()),
+            }
+        )
+
+    return (
+        events.map_batches(
+            lambda t: _hash_partition_column(t, [key], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     key: str,

@@ -447,3 +447,54 @@ def test_chunk_dedup_signal():
     assert got.n_chunks.tolist() == [2, 2, 2]
     assert got.dup_chunks.tolist() == [1, 1, 0]
     assert got.dup_chunk_frac.tolist() == [0.5, 0.5, 0.0]
+
+
+def test_rank_in_group_matches_duckdb_with_ties():
+    import duckdb
+
+    from citationgraphs_ray.stages.temporal import rank_in_group
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 3],
+            "v": [10.0, 10.0, 20.0, 30.0, 5.0, 5.0, 7.0],
+            "rid": np.arange(7, dtype=np.int64),
+        }
+    )
+    got = (
+        rank_in_group(_ds(df), "k", "v")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT rid, RANK() OVER w AS rank, DENSE_RANK() OVER w AS dense_rank,
+                  PERCENT_RANK() OVER w AS percent_rank
+           FROM df WINDOW w AS (PARTITION BY k ORDER BY v) ORDER BY rid"""
+    ).df()
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    assert got.dense_rank.tolist() == exp.dense_rank.tolist()
+    assert np.allclose(got.percent_rank, exp.percent_rank)
+    # single-row key: percent_rank 0 (the ANSI n=1 convention)
+    assert got.loc[got.rid == 6, "percent_rank"].iloc[0] == 0.0
+
+
+def test_path_aggregate_order_and_ties():
+    from citationgraphs_ray.stages.temporal import path_aggregate
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "t": [3, 1, 1, 9],
+            "v": ["c", "b", "a", "z"],
+        }
+    )
+    got = (
+        path_aggregate(_ds(df), "k", "t", "v", sep="|")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # t=1 tie broken by value: a before b
+    assert got.path.tolist() == ["a|b|c", "z"]
+    assert got.n_steps.tolist() == [3, 1]
