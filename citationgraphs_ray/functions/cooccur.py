@@ -465,3 +465,78 @@ def corpusx_concurrences(
             batch_format="pyarrow",
         )
     return fast_grouped_agg(partial, ["w1", "w2"], {"weight": ("weight", "sum")})
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM: mean over token OCCURRENCES of ln(count(w)/N_total) —
+    i.e. Σ_w tf·ln(p_w) / Σ_w tf. No smoothing needed (the LM is trained
+    on the scored corpus, so every token has count ≥ 1). Returns
+    (doc_id, n_tokens, mean_logprob); low scores flag gibberish /
+    rare-token-heavy docs — the standard cheap fluency filter.
+
+    Two passes like :func:`tfidf`: one combiner-style grouped count
+    builds the (small) LM table, broadcast via ray.put; the scoring pass
+    reuses the vectorized token long-table + C++ group_by skeleton.
+    """
+    import ray
+
+    cnt_tbl = collect_table(
+        fast_grouped_agg(explode_tokens(ds, text_col, id_col), ["word"],
+                         count_as="c")
+    )
+    total = float(
+        pa.compute.sum(cnt_tbl["c"]).as_py() or 0
+    )
+    logp_ref = ray.put(
+        pd.Series(
+            np.log(
+                cnt_tbl["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / total
+            ),
+            index=cnt_tbl["word"].to_pylist(),
+        )
+    )
+
+    class Score:
+        def __init__(self) -> None:
+            self.logp = ray.get(logp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_np = (
+                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            pairs = _tokens_long(batch, text_col, ids_np, id_col)
+            g = (
+                pairs.group_by([id_col, "word"])
+                .aggregate([([], "count_all")])
+                .to_pandas()
+                .sort_values([id_col, "word"], kind="mergesort")
+            )
+            tf = g["count_all"].to_numpy().astype(np.float64)
+            lp = g["word"].map(self.logp).to_numpy(dtype=np.float64)
+            agg = (
+                pd.DataFrame({id_col: g[id_col], "w": tf * lp, "n": tf})
+                .groupby(id_col, sort=False)
+                .sum()
+                .reset_index()
+            )
+            n = agg["n"].to_numpy()
+            mean = agg["w"].to_numpy() / n
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        agg[id_col].to_numpy(), type=pa.int64()
+                    ),
+                    "n_tokens": pa.array(n.astype(np.int64)),
+                    "mean_logprob": pa.array(
+                        np.floor(mean * 1e6 + 0.5) / 1e6
+                    ),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))

@@ -4090,3 +4090,26 @@ SELECT user_id, count(*) AS n_steps,
        string_agg(event_type, '->' ORDER BY ts, event_type) AS path
 FROM events GROUP BY user_id
 """
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap fluency/quality score for corpus
+    filtering. Same broadcast shape as tfidf: one grouped count pass
+    builds the LM, one vectorized scoring pass applies it."""
+    from ..functions.cooccur import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+
+ORACLE_SQL["unigram_logprob"] = f"""
+WITH tok AS (SELECT doc_id, {_TOK} FROM documents),
+cnt AS (SELECT word, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt.c / tot.n)), 6) AS mean_logprob
+FROM tok JOIN cnt USING (word), tot
+GROUP BY tok.doc_id
+"""

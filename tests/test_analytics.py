@@ -335,3 +335,29 @@ def test_two_hop_regimes_agree():
     )
     a = a.reset_index(drop=True)
     assert a.equals(b[["id", "n_two_hop"]].astype(a.dtypes.to_dict()))
+
+
+def test_unigram_logprob_matches_sql(docs, con):
+    from citationgraphs_ray.functions.cooccur import unigram_logprob
+
+    got = (
+        unigram_logprob(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = con.sql(
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(lower(text),' ')) AS word
+             FROM documents),
+           cnt AS (SELECT word, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+           tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+           SELECT tok.doc_id, count(*) AS n_tokens,
+                  avg(ln(cnt.c / tot.n)) AS mean_logprob
+           FROM tok JOIN cnt USING (word), tot
+           GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+    ).df()
+    assert got.n_tokens.tolist() == exp.n_tokens.tolist()
+    assert np.allclose(got.mean_logprob, exp.mean_logprob, atol=1e-6)
+    # every score is a negative log-prob; docs of common words score higher
+    assert (got.mean_logprob < 0).all()
