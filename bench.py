@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "quantity_moments",
     "region_revenue_rollup",
     "customers_without_urgent",
+    "order_price_ranks",
+    "user_event_paths",
+    "unigram_logprob",
 ]
 
 

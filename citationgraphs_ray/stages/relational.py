@@ -57,10 +57,11 @@ def grouping_sets_aggregate(
         if not set(s) <= set(keys):
             raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
 
-    schema = ds.schema()
-    key_types = {k: schema.base_schema.field(k).type for k in keys}
-
     finest = fast_grouped_agg(ds, keys, aggs, count_as=count_as).materialize()
+    # key types read off the materialized finest level — probing the lazy
+    # input's schema would execute its upstream pipeline a second time
+    fs = finest.schema()
+    key_types = {k: fs.base_schema.field(k).type for k in keys}
     out_cols = list(aggs) + ([count_as] if count_as else [])
 
     # re-aggregation spec over the partials: counts become sums
