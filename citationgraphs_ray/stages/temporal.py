@@ -406,6 +406,11 @@ def rank_in_group(
             return pa.table({c: pa.array([], type=types[c]) for c in out_cols})
         g = df.groupby(key, sort=False, dropna=False)[order_col]
         rank = g.rank(method="min").to_numpy()
+        if np.isnan(rank).any():
+            raise ValueError(
+                "rank_in_group: null order values (SQL NULLS LAST vs "
+                "pandas NaN-rank diverge) — filter or impute them upstream"
+            )
         df["rank"] = rank.astype(np.int64)
         df["dense_rank"] = g.rank(method="dense").to_numpy().astype(np.int64)
         n = g.transform("size").to_numpy().astype(np.float64)

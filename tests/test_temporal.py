@@ -498,3 +498,11 @@ def test_path_aggregate_order_and_ties():
     # t=1 tie broken by value: a before b
     assert got.path.tolist() == ["a|b|c", "z"]
     assert got.n_steps.tolist() == [3, 1]
+
+
+def test_rank_in_group_rejects_null_order_values():
+    from citationgraphs_ray.stages.temporal import rank_in_group
+
+    df = pd.DataFrame({"k": [1, 1], "v": [1.0, np.nan]})
+    with pytest.raises(Exception, match="null order"):
+        rank_in_group(_ds(df), "k", "v").materialize()
