@@ -4113,3 +4113,75 @@ SELECT tok.doc_id, count(*) AS n_tokens,
 FROM tok JOIN cnt USING (word), tot
 GROUP BY tok.doc_id
 """
+
+
+def q_qty_price_corr(sf_dir: str):
+    """Per-(returnflag, linestatus) Pearson correlation between quantity
+    and whole-dollar price from one mergeable co-moment pass; integer
+    inputs keep the five sums exact so the derived double matches the
+    spelled-out SQL formula bit-for-bit before round6."""
+    from ..stages.relational import grouped_corr
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"].cast(pa.int64()),
+                "dollars": pa.array(
+                    np.floor(
+                        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    c = grouped_corr(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+        "dollars",
+        assume_integral=True,
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n": t["n"],
+                "corr_qp": pa.array(
+                    _round6(t["corr"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return c.map_batches(clean, batch_format="pyarrow")
+
+
+QUERIES["qty_price_corr"] = q_qty_price_corr
+
+ORACLE_SQL["qty_price_corr"] = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(l_quantity::BIGINT)::BIGINT AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT))::BIGINT AS sy,
+         sum(l_quantity::BIGINT * CAST(round(l_extendedprice) AS BIGINT))::BIGINT AS sxy,
+         sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sx2,
+         sum(CAST(round(l_extendedprice) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT))::BIGINT AS sy2
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, n,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n)
+             / sqrt((sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE / n)
+                    * (sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE / n)), 6)
+         AS corr_qp
+FROM s
+"""

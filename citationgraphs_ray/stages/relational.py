@@ -185,6 +185,70 @@ def grouped_moments(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_corr(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    assume_integral: bool = False,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation from mergeable co-moments: one
+    combiner pass accumulates (Σx, Σy, Σxy, Σx², Σy², n), the population
+    correlation derives at the end — the same one-scan shape as
+    :func:`grouped_moments` extended to two columns.
+
+    With ``assume_integral`` all five sums stay int64 (exact under any
+    merge order); the caller asserts Σx², Σy², Σ|xy| fit int64 — scale
+    wide-ranged inputs down first (e.g. dollars, not cents). Groups with
+    zero variance in either column get NULL (SQL corr() convention).
+    Returns (keys..., n, corr).
+    """
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        dt = np.int64 if assume_integral else np.float64
+        x = x.astype(dt)
+        y = y.astype(dt)
+        cols = {k: t[k] for k in keys}
+        cols["__x"] = pa.array(x)
+        cols["__y"] = pa.array(y)
+        cols["__xy"] = pa.array(x * y)
+        cols["__x2"] = pa.array(x * x)
+        cols["__y2"] = pa.array(y * y)
+        return pa.table(cols)
+
+    agg = fast_grouped_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        keys,
+        {
+            "sx": ("__x", "sum"),
+            "sy": ("__y", "sum"),
+            "sxy": ("__xy", "sum"),
+            "sx2": ("__x2", "sum"),
+            "sy2": ("__y2", "sum"),
+        },
+        count_as="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = lambda c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)  # noqa: E731
+        sx, sy, sxy, sx2, sy2 = f("sx"), f("sy"), f("sxy"), f("sx2"), f("sy2")
+        n = f("n")
+        cov = sxy - sx * sy / n
+        vx = sx2 - sx * sx / n
+        vy = sy2 - sy * sy / n
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(denom > 0, cov / denom, np.nan)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = t["n"]
+        cols["corr"] = pa.array(corr)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def pivot_wide(
     ds: ray.data.Dataset,
     index_col: str,

@@ -186,3 +186,44 @@ def test_grouping_sets_rejects_non_subset(orders):
         grouping_sets_aggregate(
             orders, ["o_orderstatus"], [["nope"]], {"m": ("o_orderkey", "max")}
         )
+
+
+def test_grouped_corr_matches_numpy(orders):
+    from citationgraphs_ray.stages.relational import grouped_corr
+
+    df = orders.to_pandas()
+    df["k2"] = (df.o_orderkey % 7).astype(np.int64)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        grouped_corr(ds, ["o_orderstatus"], "o_orderkey", "k2",
+                     assume_integral=True)
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        sub = df[df.o_orderstatus == row.o_orderstatus]
+        exp = np.corrcoef(sub.o_orderkey, sub.k2)[0, 1]
+        assert np.isclose(row["corr"], exp, atol=1e-12)
+
+
+def test_grouped_corr_zero_variance_is_null():
+    from citationgraphs_ray.stages.relational import grouped_corr
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["a", "a", "b", "b"],
+                "x": [1, 1, 1, 2],
+                "y": [3, 4, 5, 6],
+            }
+        )
+    )
+    got = (
+        grouped_corr(ds, ["g"], "x", "y", assume_integral=True)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(got.loc[0, "corr"])  # x constant in group a
+    assert np.isclose(got.loc[1, "corr"], 1.0)
