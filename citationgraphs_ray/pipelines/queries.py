@@ -4185,3 +4185,38 @@ SELECT l_returnflag, l_linestatus, n,
          AS corr_qp
 FROM s
 """
+
+
+def q_customer_urgent_counts(sf_dir: str):
+    """LEFT OUTER join coverage: every customer with their urgent-order
+    count, zero for customers with none (broadcast_merge(how="left") +
+    null→0 fill) — the COALESCE(LEFT JOIN) shape."""
+    from ..utils import broadcast_merge
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    counts = fast_grouped_agg(urgent, ["o_custkey"], count_as="n_urgent")
+    joined = broadcast_merge(cust, counts, "c_custkey", "o_custkey", how="left")
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c_custkey", "c_nationkey"]].copy()
+        out["n_urgent"] = (
+            df["n_urgent"].fillna(0).to_numpy().astype(np.int64)
+        )
+        return out
+
+    return joined.map_batches(clean, batch_format="pandas")
+
+
+QUERIES["customer_urgent_counts"] = q_customer_urgent_counts
+
+ORACLE_SQL["customer_urgent_counts"] = """
+SELECT c.c_custkey, c.c_nationkey,
+       COALESCE(u.n_urgent, 0)::BIGINT AS n_urgent
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+  ON u.o_custkey = c.c_custkey
+"""
