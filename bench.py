@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "order_price_ranks",
     "user_event_paths",
     "unigram_logprob",
+    "qty_price_corr",
+    "customer_urgent_counts",
 ]
 
 
