@@ -197,6 +197,8 @@ def tfidf(
     """
     import ray
 
+    # three consumers (count, df, scoring) — pin the projected input once
+    ds = ds.select_columns([id_col, text_col]).materialize()
     n_docs = ds.count()
     df_tbl = collect_table(doc_frequencies(ds, text_col, id_col))
     dfs_ref = ray.put(
@@ -264,6 +266,9 @@ def bm25(
     """
     import ray
 
+    # four consumers (count, df, dl/avgdl, scoring) — pin the projected
+    # input once instead of four upstream read+tokenize executions
+    ds = ds.select_columns([id_col, text_col]).materialize()
     n_docs = ds.count()
     df_tbl = collect_table(doc_frequencies(ds, text_col, id_col))
     dfs_ref = ray.put(
@@ -485,6 +490,8 @@ def unigram_logprob(
     """
     import ray
 
+    # two consumers (LM count, scoring) — pin the projected input once
+    ds = ds.select_columns([id_col, text_col]).materialize()
     cnt_tbl = collect_table(
         fast_grouped_agg(explode_tokens(ds, text_col, id_col), ["word"],
                          count_as="c")

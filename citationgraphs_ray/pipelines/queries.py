@@ -3741,14 +3741,17 @@ def q_event_deltas(sf_dir: str):
     r = lag_lead(uniq, "user_id", "ts", "v", lags=(1,), leads=(1,))
 
     def clean(t: pa.Table) -> pa.Table:
-        v = t["v"].to_numpy(zero_copy_only=False)
-        lag1 = t["v_lag1"].to_numpy(zero_copy_only=False)
+        # round BEFORE differencing, exactly like the oracle (round6(v)
+        # in its uniq CTE, delta over the rounded values) — raw-sum
+        # differencing would only coincidentally hash-match
+        v = _round6(t["v"].to_numpy(zero_copy_only=False))
+        lag1 = _round6(t["v_lag1"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "user_id": t["user_id"],
                 "ts_us": t["ts"].cast(pa.int64()),
-                "v": pa.array(_round6(v)),
-                "prev_v": pa.array(_round6(lag1)),
+                "v": pa.array(v),
+                "prev_v": pa.array(lag1),
                 "next_v": pa.array(
                     _round6(t["v_lead1"].to_numpy(zero_copy_only=False))
                 ),

@@ -212,7 +212,10 @@ def _attach_feature(
         }
         prows = g.filter(pa.array(~is_feat))
         keys = prows[key_col].to_numpy(zero_copy_only=False)
-        attached = [lookup.get(int(k), []) for k in keys]
+        # miss default None, not []: valid for every feat_type (the
+        # string features of the edit-distance verify would reject []);
+        # all verify predicates treat null as the empty feature
+        attached = [lookup.get(int(k)) for k in keys]
         cols = {name: prows[name] for name, _ in pair_fields}
         cols[feat_out] = pa.array(attached, type=feat_type)
         return pa.table(cols)

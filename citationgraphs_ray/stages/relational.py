@@ -57,7 +57,22 @@ def grouping_sets_aggregate(
         if not set(s) <= set(keys):
             raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
 
-    finest = fast_grouped_agg(ds, keys, aggs, count_as=count_as).materialize()
+    # count via Σ of a ones column, NOT fast_grouped_agg's count_as: the
+    # latter counts non-null values of keys[0], so a NULL-key group would
+    # report 0 and every coarser subtotal/grand total would undercount —
+    # diverging from SQL ROLLUP/CUBE (which count rows)
+    aggs_eff = dict(aggs)
+    if count_as:
+        aggs_eff[count_as] = ("__one", "sum")
+
+        def add_one(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+
+        ds = ds.map_batches(add_one, batch_format="pyarrow")
+
+    finest = fast_grouped_agg(ds, keys, aggs_eff).materialize()
     # key types read off the materialized finest level — probing the lazy
     # input's schema would execute its upstream pipeline a second time
     fs = finest.schema()
@@ -271,7 +286,16 @@ def pivot_wide(
         cats_tbl = collect_table(
             fast_grouped_agg(grouped, [col_col], {})
         )
-        categories = sorted(cats_tbl[col_col].to_pylist())
+        # NULL categories are dropped, matching the conditional-aggregation
+        # twin (CASE WHEN col = 'x' never matches NULL)
+        categories = sorted(
+            c for c in cats_tbl[col_col].to_pylist() if c is not None
+        )
+    elif any(c is None for c in categories):
+        raise ValueError(
+            "pivot_wide: None is not a valid category (SQL equality never "
+            "matches NULL — filter or fill-null the column upstream)"
+        )
     wide_cols = [f"{col_col}_{c}" for c in categories]
 
     P = max(2, int(ray.cluster_resources().get("CPU", 8)))

@@ -423,7 +423,9 @@ def chunk_dedup_signal(
             }
         )
 
-    rows = ds.map_batches(chunk_rows, batch_format="pyarrow")
+    # rows feeds BOTH the grouped count and the join back — pin it so the
+    # corpus read + tokenize + hash lineage runs once, not twice
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow").materialize()
     df = fast_grouped_agg(rows, ["chunk_hash"], count_as="d")
     joined = bucketed_inner_join(rows, df, ["chunk_hash"])
 

@@ -381,16 +381,40 @@ def _bucketed_membership_join(
 
     def filter_bucket(df: "pd.DataFrame") -> pa.Table:
         l = df[df["__side"] == 0]
-        rk = df[df["__side"] == 1][list(on)]
+        # SQL EXISTS/NOT EXISTS: NULL = NULL never matches — drop null
+        # right keys (pandas merge would match NaN == NaN) and force
+        # null-key left rows unmatched
+        rk = df[df["__side"] == 1][list(on)].dropna()
         m = l[list(on)].merge(
             rk.drop_duplicates(), on=list(on), how="left", indicator=True
         )
         matched = (m["_merge"] == "both").to_numpy()
+        matched &= ~l[list(on)].isna().any(axis=1).to_numpy()
         out = l[matched if keep_matched else ~matched]
         arrs = {}
         for c in out_cols:
             a = pa.array(out[c].to_numpy(), from_pandas=True)
-            arrs[c] = a.cast(l_types[c]) if a.type != l_types[c] else a
+            if a.type != l_types[c]:
+                cast = a.cast(l_types[c])
+                if pa.types.is_floating(a.type) and pa.types.is_integer(
+                    l_types[c]
+                ):
+                    # the tagged union's null padding floats int64 columns;
+                    # beyond ±2^53 that hop rounds silently — raise loudly
+                    # (same contract as stages/temporal._cast_out). Null
+                    # positions (left-side nulls) compare equal by fiat.
+                    eq = pa.compute.fill_null(
+                        pa.compute.equal(cast.cast(a.type), a), True
+                    )
+                    if not pa.compute.all(eq, min_count=0).as_py():
+                        raise ValueError(
+                            f"semi/anti join: column {c!r} holds int64 "
+                            "values beyond float64's exact range (2^53); "
+                            "the null-padded union would corrupt them"
+                        )
+                arrs[c] = cast
+            else:
+                arrs[c] = a
         return pa.table(arrs)
 
     return (
