@@ -316,9 +316,25 @@ def bucketed_inner_join(
         arrs = {}
         for c in out_cols:
             # int64 columns pass through pandas as float64 because of the
-            # union's null padding; cast back (safe — inner rows are exact)
+            # union's null padding; cast back — exact only within ±2^53,
+            # so larger magnitudes raise (the value was already rounded in
+            # the float hop; Arrow's safe cast can't see that)
             a = pa.array(m[c].to_numpy(), from_pandas=True)
-            arrs[c] = a.cast(types[c]) if a.type != types[c] else a
+            if a.type != types[c]:
+                cast = a.cast(types[c])
+                if pa.types.is_floating(a.type) and pa.types.is_integer(
+                    types[c]
+                ):
+                    mx = pa.compute.max(pa.compute.abs(cast)).as_py()
+                    if mx is not None and mx > (1 << 53):
+                        raise ValueError(
+                            f"bucketed_inner_join: column {c!r} holds "
+                            "int64 values beyond float64's exact range "
+                            "(2^53); the null-padded union corrupts them "
+                            "— re-key or split such ids before the join"
+                        )
+                a = cast
+            arrs[c] = a
         return pa.table(arrs)
 
     return (
@@ -399,22 +415,22 @@ def _bucketed_membership_join(
                 if pa.types.is_floating(a.type) and pa.types.is_integer(
                     l_types[c]
                 ):
-                    # the tagged union's null padding floats int64 columns;
-                    # beyond ±2^53 that hop rounds silently — raise loudly
-                    # (same contract as stages/temporal._cast_out). Null
-                    # positions (left-side nulls) compare equal by fiat.
-                    eq = pa.compute.fill_null(
-                        pa.compute.equal(cast.cast(a.type), a), True
-                    )
-                    if not pa.compute.all(eq, min_count=0).as_py():
+                    # the tagged union's null padding floated this int64
+                    # column, so any magnitude past 2^53 has ALREADY been
+                    # rounded (measured: 2^60+1347 arrives as 2^60+1280) —
+                    # raise the _cast_out contract error, never emit it.
+                    # (Arrow's float→int safe cast does NOT catch this:
+                    # the rounded value is integral, so it casts cleanly.)
+                    mx = pa.compute.max(pa.compute.abs(cast)).as_py()
+                    if mx is not None and mx > (1 << 53):
                         raise ValueError(
                             f"semi/anti join: column {c!r} holds int64 "
                             "values beyond float64's exact range (2^53); "
-                            "the null-padded union would corrupt them"
+                            "the null-padded union corrupts them — re-key "
+                            "or split such ids before the join"
                         )
-                arrs[c] = cast
-            else:
-                arrs[c] = a
+                a = cast
+            arrs[c] = a
         return pa.table(arrs)
 
     return (

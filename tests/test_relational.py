@@ -227,3 +227,44 @@ def test_grouped_corr_zero_variance_is_null():
     )
     assert np.isnan(got.loc[0, "corr"])  # x constant in group a
     assert np.isclose(got.loc[1, "corr"], 1.0)
+
+
+def test_rollup_counts_null_key_groups():
+    from citationgraphs_ray.stages.relational import rollup_aggregate
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": ["x", None, None, "x"],
+                "b": ["p", "p", "q", "q"],
+                "v": [1, 2, 3, 4],
+            }
+        )
+    )
+    got = (
+        rollup_aggregate(ds, ["a", "b"], {"s": ("v", "sum")}, count_as="n")
+        .to_pandas()
+        .fillna({"a": "<null>", "b": "<null>"})
+    )
+    # (NULL, NULL) appears twice, exactly as in SQL ROLLUP output: the
+    # a=NULL per-a subtotal (2 rows, s=5) and the grand total (4, s=10)
+    gt = got[(got.a == "<null>") & (got.b == "<null>")]
+    assert sorted(zip(gt.n, gt.s)) == [(2, 5), (4, 10)]
+    # NULL forms its own real group at the finest level with a true count
+    nullp = got[(got.a == "<null>") & (got.b == "p")]
+    assert nullp.n.tolist() == [1] and nullp.s.tolist() == [2]
+
+
+def test_pivot_null_category_dropped_and_explicit_none_rejected():
+    from citationgraphs_ray.stages.relational import pivot_wide
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"i": [1, 1, 2], "c": ["a", None, "a"], "v": [10, 99, 30]}
+        )
+    )
+    got = pivot_wide(ds, "i", "c", "v").to_pandas().sort_values("i")
+    assert list(got.columns) == ["i", "c_a"]  # NULL category not a column
+    assert got.c_a.tolist() == [10, 30]
+    with pytest.raises(ValueError, match="None"):
+        pivot_wide(ds, "i", "c", "v", categories=["a", None])

@@ -120,3 +120,42 @@ def test_semi_anti_join_partition_and_complement():
     # partition invariance
     semi7 = bucketed_semi_join(lds, rds, ["k"], num_partitions=7).to_pandas()
     assert sorted(semi7.payload) == sorted(semi.payload)
+
+
+def test_semi_anti_join_null_keys_never_match():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from citationgraphs_ray.utils import bucketed_anti_join, bucketed_semi_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 3], type=pa.int64()), "p": [10, 20, 30]}
+    )
+    right = pa.table({"k": pa.array([1, None], type=pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    semi = bucketed_semi_join(lds, rds, ["k"]).to_pandas()
+    anti = bucketed_anti_join(lds, rds, ["k"]).to_pandas()
+    # SQL EXISTS: NULL = NULL is not a match
+    assert semi.p.tolist() == [10]
+    assert sorted(anti.p.tolist()) == [20, 30]
+
+
+def test_semi_join_rejects_int64_beyond_2_53():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from citationgraphs_ray.utils import bucketed_semi_join
+
+    big = (1 << 60) + 1347  # corrupts in the float hop; safe cast raises
+    left = pa.table(
+        {"k": pa.array([1], type=pa.int64()),
+         "payload": pa.array([big], type=pa.int64())}
+    )
+    right = pa.table({"k": pa.array([1], type=pa.int64())})
+    with pytest.raises(Exception, match="2\\^53"):
+        bucketed_semi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), ["k"]
+        ).materialize()
